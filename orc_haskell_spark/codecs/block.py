@@ -1,0 +1,86 @@
+"""Chunked general-purpose block compression with a store-uncompressed escape.
+
+Reference semantics: streams are split into ≤262,144-byte chunks; each
+chunk carries a small header whose low bit says "isOriginal" — if the
+compressor didn't shrink the chunk, raw bytes are stored instead
+(src/Orc/Serial/Binary/Internal/Compression.hs:71-92 read, :126-168
+write; chunker resizeChunks src/Orc/X/Streaming.hs:134-163). Supported
+compressors there: snappy / zlib raw-deflate / zstd (:95-118, :171-184).
+
+Our chunk header is 8 bytes LE — u32 (payload_len << 1 | is_original),
+u32 raw_len — slightly wider than ORC's 3 bytes because pyarrow's
+snappy/zstd decoders want the decompressed size up front. The escape-bit
+semantics (the reference's only "codec fallback", generalized by
+selector.py) are identical.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pyarrow as pa
+
+CHUNK = 262144  # reference compression block size (Striped.hs:593)
+
+_PA_CODECS = {}
+for _name in ("snappy", "zstd", "lz4"):
+    try:
+        if pa.Codec.is_available(_name):
+            _PA_CODECS[_name] = pa.Codec(_name)
+    except Exception:  # pragma: no cover - codec probing
+        pass
+
+AVAILABLE = ("none", "zlib", *_PA_CODECS.keys())
+
+
+def _compress_chunk(chunk: bytes, codec: str, level: int | None) -> bytes:
+    if codec == "zlib":
+        c = zlib.compressobj(level if level is not None else 6, zlib.DEFLATED, -15)
+        return c.compress(chunk) + c.flush()
+    return _PA_CODECS[codec].compress(chunk, asbytes=True)
+
+
+def _decompress_chunk(payload: bytes, raw_len: int, codec: str) -> bytes:
+    if codec == "zlib":
+        return zlib.decompress(payload, -15, raw_len)
+    return _PA_CODECS[codec].decompress(payload, raw_len, asbytes=True)
+
+
+def compress(data: bytes, codec: str, level: int | None = None) -> bytes:
+    """Compress a stream in ≤256 KiB chunks; store raw when not smaller."""
+    if codec == "none":
+        return data
+    if codec not in AVAILABLE:
+        raise ValueError(f"unsupported compression codec {codec!r} "
+                         f"(available: {AVAILABLE})")
+    out = bytearray()
+    view = memoryview(data)
+    for pos in range(0, len(data), CHUNK):
+        chunk = bytes(view[pos: pos + CHUNK])
+        packed = _compress_chunk(chunk, codec, level)
+        if len(packed) < len(chunk):
+            out += struct.pack("<II", (len(packed) << 1) | 0, len(chunk))
+            out += packed
+        else:  # isOriginal escape (Compression.hs:160-166)
+            out += struct.pack("<II", (len(chunk) << 1) | 1, len(chunk))
+            out += chunk
+    return bytes(out)
+
+
+def decompress(buf: bytes, codec: str) -> bytes:
+    if codec == "none":
+        return buf
+    out = bytearray()
+    view = memoryview(buf)
+    pos = 0
+    while pos < len(buf):
+        head, raw_len = struct.unpack_from("<II", view, pos)
+        pos += 8
+        plen, original = head >> 1, head & 1
+        payload = bytes(view[pos: pos + plen])
+        if len(payload) != plen:
+            raise ValueError("block stream truncated")
+        pos += plen
+        out += payload if original else _decompress_chunk(payload, raw_len, codec)
+    return bytes(out)

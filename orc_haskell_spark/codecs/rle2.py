@@ -285,7 +285,9 @@ def _plan_delta(w: np.ndarray, signed: bool):
         width = 0
         packed = b""
     else:
-        width = closest_width(int(bit_lengths(mags[1:]).max()))
+        # width code 0 is reserved for fixed-delta in delta mode, so the
+        # minimum packable width is 2 (as the ORC Java writer does)
+        width = max(2, closest_width(int(bit_lengths(mags[1:]).max())))
         packed = pack_width(mags[1:], width)
     cost = 2 + len(base_payload) + len(d0_payload) + len(packed)
     return {

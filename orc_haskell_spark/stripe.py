@@ -1,0 +1,369 @@
+"""Stripe layer: Arrow RecordBatch ↔ per-column ORC-style streams.
+
+One Arrow RecordBatch == one reference "stripe" (README.md:40-45: stripes
+are gathered whole into columnar memory). Per column we emit 1-3 streams
+tagged like the reference's StreamKind (src/Orc/Schema/Types.hs:214-223):
+PRESENT (null bitmap), DATA, LENGTH, DICTIONARY_DATA, SECONDARY — laid
+out by type exactly as the reference reader/writer does
+(src/Orc/Serial/Binary/Striped.hs:304-426 decode, :679-793 encode):
+
+| type               | streams                                              |
+|--------------------|------------------------------------------------------|
+| boolean            | DATA = bit-packed + byte-RLE                          |
+| int8..64 / date    | DATA = int RLE (v1 or v2, selector-chosen)            |
+| float / double     | DATA = raw IEEE754 LE                                 |
+| string/binary      | direct: DATA concat + LENGTH RLE; dict: DATA indices  |
+|                    | + LENGTH dict lens + DICTIONARY_DATA; fsst: DATA      |
+|                    | compressed + LENGTH RLE + FSST_TABLE                  |
+| timestamp          | DATA = seconds-since-2015 RLE, SECONDARY = packed ns  |
+| list / map         | LENGTH = int RLE, then child column(s)                |
+| struct             | child columns                                        |
+| any nullable       | PRESENT prepended; values compacted (nulls stripped)  |
+
+Null compaction matches the reference (withPresence, Striped.hs:199-219):
+the inner streams hold only present values; Arrow's keep-slots-for-null
+representation is compacted on encode and re-expanded via a null-masked
+take on decode (S4 in SURVEY.md §2.2).
+
+Each stream may carry an outer block-compression layer (block.py) chosen
+by actual benefit — the store-if-smaller escape generalized per stream.
+"""
+
+from __future__ import annotations
+
+import base64
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import bitpack, block, byte_rle, rle1, rle2, selector, timestamps
+from .codecs import fsst as fsst_codec
+from .codecs.strings import (
+    build_string_array,
+    dictionary_decode,
+    dictionary_encode_sorted,
+    string_parts,
+)
+
+DEFAULT_CONFIG: dict[str, Any] = {
+    "int_codec": "rle2",          # "rle1" for reference-writer parity
+    "string_codec": "auto",       # "direct" | "dict" | "fsst" | "auto"
+    "compression": "zstd",        # outer block layer; "none" to disable
+    "compression_level": 3,
+    "compression_min_bytes": 256,  # don't frame tiny streams
+}
+
+_U8 = np.uint8
+
+
+def _buf(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, dtype=np.uint8)
+
+
+# ------------------------------------------------------------------ ints
+
+
+def _encode_int_stream(vals: np.ndarray, cfg: dict) -> tuple[str, bytes]:
+    codec = cfg.get("int_codec", "rle2")
+    if codec == "rle1":
+        return "rle1", rle1.encode(vals, True)
+    return "rle2", rle2.encode(vals, True)
+
+
+def _decode_int_stream(buf: np.ndarray, codec: str) -> np.ndarray:
+    if codec == "rle1":
+        return rle1.decode(buf, True)
+    return rle2.decode(buf, True)
+
+
+def _encode_uint_stream(vals: np.ndarray, cfg: dict) -> tuple[str, bytes]:
+    codec = cfg.get("int_codec", "rle2")
+    if codec == "rle1":
+        return "rle1", rle1.encode(vals, False)
+    return "rle2", rle2.encode(vals, False)
+
+
+def _decode_uint_stream(buf: np.ndarray, codec: str) -> np.ndarray:
+    if codec == "rle1":
+        return rle1.decode(buf, False)
+    return rle2.decode(buf, False)
+
+
+# ------------------------------------------------------------------ column encode
+
+def encode_column(name: str, arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
+    """Encode one (possibly nullable) column -> (encoding meta, streams)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    streams: dict[str, bytes] = {}
+    meta: dict[str, Any] = {"n": n}
+    if arr.null_count > 0:
+        present = ~np.asarray(arr.is_null())
+        streams["PRESENT"] = byte_rle.encode(_buf(bitpack.pack_bools(present)))
+        meta["nullable"] = True
+        arr = arr.drop_null()
+    inner_meta, inner_streams = _encode_values(arr, cfg)
+    meta.update(inner_meta)
+    streams.update(inner_streams)
+    return meta, streams
+
+
+def _encode_values(arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
+    typ = arr.type
+    if pa.types.is_boolean(typ):
+        mask = np.asarray(arr)
+        data = byte_rle.encode(_buf(bitpack.pack_bools(mask)))
+        return {"kind": "bool"}, {"DATA": data}
+
+    if pa.types.is_integer(typ) or pa.types.is_date32(typ) or pa.types.is_date64(typ):
+        if pa.types.is_date32(typ):
+            arr = arr.view(pa.int32())
+        elif pa.types.is_date64(typ):
+            arr = arr.view(pa.int64())
+        vals = np.asarray(
+            arr.cast(pa.int64()) if arr.type != pa.int64() else arr
+        ).astype(np.int64, copy=False)
+        codec, data = _encode_int_stream(vals, cfg)
+        return {"kind": "int", "codec": codec}, {"DATA": data}
+
+    if pa.types.is_floating(typ):
+        vals = np.asarray(arr)
+        return {"kind": "float"}, {"DATA": vals.astype(vals.dtype.newbyteorder("<")).tobytes()}
+
+    if pa.types.is_timestamp(typ):
+        us = np.asarray(arr.cast(pa.int64())).astype(np.int64, copy=False)
+        secs, nanos = timestamps.split_micros(us)
+        codec, data = _encode_int_stream(secs, cfg)
+        packed = timestamps.encode_nanos(nanos)
+        ncodec, sec_stream = _encode_uint_stream(packed, cfg)
+        return (
+            {"kind": "timestamp", "codec": codec, "ncodec": ncodec},
+            {"DATA": data, "SECONDARY": sec_stream},
+        )
+
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
+            or pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return _encode_string(arr, cfg)
+
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        n = len(arr)
+        odt = np.int64 if pa.types.is_large_list(typ) else np.int32
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], dtype=odt, count=n + 1,
+                            offset=arr.offset * np.dtype(odt).itemsize).astype(np.int64)
+        lengths = np.diff(off)
+        child = arr.values[off[0]: off[-1]] if n else arr.values[:0]
+        lcodec, lstream = _encode_uint_stream(lengths.view(np.uint64), cfg)
+        cmeta, cstreams = encode_column("item", child, cfg)
+        streams = {"LENGTH": lstream}
+        for k, v in cstreams.items():
+            streams[f"item.{k}"] = v
+        return {"kind": "list", "lcodec": lcodec, "child": cmeta}, streams
+
+    if pa.types.is_struct(typ):
+        streams: dict[str, bytes] = {}
+        children = []
+        for i, field in enumerate(typ):
+            cmeta, cstreams = encode_column(field.name, arr.field(i), cfg)
+            children.append({"name": field.name, "meta": cmeta})
+            for k, v in cstreams.items():
+                streams[f"{field.name}.{k}"] = v
+        return {"kind": "struct", "children": children}, streams
+
+    raise NotImplementedError(
+        f"column type {typ} not supported yet (decimal128 pending; "
+        f"reference analog src/Orc/Serial/Binary/Striped.hs:359-365)"
+    )
+
+
+def _encode_string(arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
+    data, lengths = string_parts(arr)
+    choice = cfg.get("string_codec", "auto")
+    if choice == "auto":
+        allowed = ("dict", "fsst", "direct")
+        choice = selector.choose_string_codec(arr, int(data.nbytes), allowed)
+    if choice == "dict":
+        idx, dlens, ddata = dictionary_encode_sorted(arr)
+        icodec, istream = _encode_uint_stream(idx, cfg)
+        lcodec, lstream = _encode_uint_stream(dlens.view(np.uint64), cfg)
+        return (
+            {"kind": "str", "enc": "dict", "icodec": icodec, "lcodec": lcodec,
+             "card": int(dlens.size)},
+            {"DATA": istream, "LENGTH": lstream, "DICTIONARY_DATA": ddata.tobytes()},
+        )
+    if choice == "fsst":
+        table, payload = fsst_codec.compress(data)
+        if len(payload) + len(table) < data.nbytes * 0.95:
+            lcodec, lstream = _encode_uint_stream(lengths.view(np.uint64), cfg)
+            return (
+                {"kind": "str", "enc": "fsst", "lcodec": lcodec},
+                {"DATA": payload, "LENGTH": lstream, "FSST_TABLE": table},
+            )
+        choice = "direct"  # incompressible escape
+    lcodec, lstream = _encode_uint_stream(lengths.view(np.uint64), cfg)
+    return (
+        {"kind": "str", "enc": "direct", "lcodec": lcodec},
+        {"DATA": data.tobytes(), "LENGTH": lstream},
+    )
+
+
+# ------------------------------------------------------------------ column decode
+
+def decode_column(meta: dict, streams: dict[str, bytes], typ: pa.DataType) -> pa.Array:
+    n = meta["n"]
+    if meta.get("nullable"):
+        present = bitpack.unpack_bools(
+            byte_rle.decode(_buf(streams["PRESENT"])), n
+        )
+        k = int(present.sum())
+        values = _decode_values(meta, streams, k, typ)
+        idx = np.zeros(n, dtype=np.int64)
+        idx[present] = np.arange(k)
+        take_idx = pa.array(idx, mask=~present)
+        return values.take(take_idx)
+    return _decode_values(meta, streams, n, typ)
+
+
+def _decode_values(meta: dict, streams: dict[str, bytes], n: int,
+                   typ: pa.DataType) -> pa.Array:
+    kind = meta["kind"]
+    if kind == "bool":
+        mask = bitpack.unpack_bools(byte_rle.decode(_buf(streams["DATA"])), n)
+        return pa.array(mask, type=pa.bool_())
+
+    if kind == "int":
+        vals = _decode_int_stream(_buf(streams["DATA"]), meta["codec"])[:n]
+        return _fixed_width_array(typ, n, vals)
+
+    if kind == "float":
+        dt = np.dtype("<f4") if pa.types.is_float32(typ) else np.dtype("<f8")
+        vals = np.frombuffer(streams["DATA"], dtype=dt, count=n)
+        return pa.array(vals, type=typ)
+
+    if kind == "timestamp":
+        secs = _decode_int_stream(_buf(streams["DATA"]), meta["codec"])[:n]
+        packed = _decode_uint_stream(_buf(streams["SECONDARY"]), meta["ncodec"])[:n]
+        us = timestamps.join_micros(secs, timestamps.decode_nanos(packed))
+        return _fixed_width_array(typ, n, us)
+
+    if kind == "str":
+        return _decode_string(meta, streams, n, typ)
+
+    if kind == "list":
+        lengths = _decode_uint_stream(_buf(streams["LENGTH"]), meta["lcodec"])[:n]
+        child_streams = {k[len("item."):]: v for k, v in streams.items()
+                         if k.startswith("item.")}
+        child = decode_column(meta["child"], child_streams, typ.value_type)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths.astype(np.int64), out=off[1:])
+        if pa.types.is_large_list(typ):
+            return pa.LargeListArray.from_arrays(pa.array(off), child, type=typ)
+        return pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32)), child, type=typ
+        )
+
+    if kind == "struct":
+        arrays = []
+        names = []
+        for ch in meta["children"]:
+            prefix = ch["name"] + "."
+            cstreams = {k[len(prefix):]: v for k, v in streams.items()
+                        if k.startswith(prefix)}
+            field_type = typ.field(ch["name"]).type
+            arrays.append(decode_column(ch["meta"], cstreams, field_type))
+            names.append(ch["name"])
+        return pa.StructArray.from_arrays(arrays, names=names)
+
+    raise NotImplementedError(f"decode kind {kind}")
+
+
+def _fixed_width_array(typ: pa.DataType, n: int, int64_vals: np.ndarray) -> pa.Array:
+    """int64 values -> any fixed-width arrow type via a buffer cast."""
+    i64 = pa.Array.from_buffers(
+        pa.int64(), n, [None, pa.py_buffer(np.ascontiguousarray(int64_vals).tobytes())]
+    )
+    if typ == pa.int64():
+        return i64
+    if pa.types.is_date32(typ):
+        return i64.cast(pa.int32()).view(typ)
+    if pa.types.is_date64(typ):
+        return i64.view(typ)
+    return i64.cast(typ)
+
+
+def _decode_string(meta, streams, n, typ):
+    enc = meta["enc"]
+    lengths = _decode_uint_stream(_buf(streams["LENGTH"]), meta["lcodec"]).astype(np.int64)
+    if enc == "direct":
+        return build_string_array(_buf(streams["DATA"]), lengths[:n], typ)
+    if enc == "fsst":
+        data = fsst_codec.decompress(_buf(streams["FSST_TABLE"]), _buf(streams["DATA"]))
+        return build_string_array(data, lengths[:n], typ)
+    if enc == "dict":
+        idx = _decode_uint_stream(_buf(streams["DATA"]), meta["icodec"])[:n]
+        return dictionary_decode(idx, lengths, _buf(streams["DICTIONARY_DATA"]), typ)
+    raise NotImplementedError(f"string encoding {enc}")
+
+
+# ------------------------------------------------------------------ stripe
+
+def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None) -> tuple[dict, bytes]:
+    """One RecordBatch -> (footer dict, concatenated stream payload).
+
+    The footer is the analog of the reference's StripeFooter
+    (src/Orc/Schema/Types.hs:205-211): per-column encodings plus the
+    stream directory (kind, offset, length) into the payload.
+    """
+    cfg = {**DEFAULT_CONFIG, **(cfg or {})}
+    comp = cfg["compression"]
+    payload = bytearray()
+    columns = []
+    for name, arr in zip(batch.schema.names, batch.columns):
+        meta, streams = encode_column(name, arr, cfg)
+        entries = []
+        raw_col = _column_nbytes(arr)
+        for key, data in streams.items():
+            scomp = "none"
+            if comp != "none" and len(data) >= cfg["compression_min_bytes"]:
+                framed = block.compress(data, comp, cfg.get("compression_level"))
+                if len(framed) < len(data):
+                    data, scomp = framed, comp
+            entries.append({"k": key, "o": len(payload), "l": len(data), "c": scomp})
+            payload += data
+        columns.append({
+            "name": name,
+            "meta": meta,
+            "streams": entries,
+            "raw_bytes": raw_col,
+        })
+    footer = {
+        "n_rows": batch.num_rows,
+        "schema_b64": base64.b64encode(batch.schema.serialize().to_pybytes()).decode(),
+        "columns": columns,
+    }
+    return footer, bytes(payload)
+
+
+def decode_stripe(footer: dict, payload: bytes | memoryview) -> pa.RecordBatch:
+    schema = pa.ipc.read_schema(
+        pa.py_buffer(base64.b64decode(footer["schema_b64"]))
+    )
+    view = memoryview(payload)
+    arrays = []
+    for col in footer["columns"]:
+        streams: dict[str, bytes] = {}
+        for e in col["streams"]:
+            raw = bytes(view[e["o"]: e["o"] + e["l"]])
+            streams[e["k"]] = block.decompress(raw, e["c"]) if e["c"] != "none" else raw
+        field = schema.field(col["name"])
+        arrays.append(decode_column(col["meta"], streams, field.type))
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def _column_nbytes(arr: pa.Array) -> int:
+    try:
+        return int(arr.nbytes)
+    except Exception:  # pragma: no cover
+        return 0

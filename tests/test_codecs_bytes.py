@@ -1,0 +1,167 @@
+"""String codecs (direct/dict), FSST, and block compression.
+
+Mirrors reference suites test/Test/Orc/Streams/Bytes.hs (byte streams)
+and the dictionary decision in src/Orc/Serial/Binary/Striped.hs:795-858;
+FSST fixtures per FIXTURES.md F5 (empty strings, multibyte UTF-8,
+non-UTF8 binary blobs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_haskell_spark.codecs import block, fsst
+from orc_haskell_spark.codecs.strings import (
+    build_string_array,
+    dictionary_decode,
+    dictionary_encode_sorted,
+    string_parts,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def _rand_words(n, vocab_size=50):
+    vocab = [f"word{i}" * (i % 3 + 1) for i in range(vocab_size)]
+    return [vocab[i] for i in RNG.integers(0, vocab_size, size=n)]
+
+
+# ------------------------------------------------------------- direct strings
+
+
+@pytest.mark.parametrize("values", [
+    [],
+    [""],
+    ["", "", ""],
+    ["a"],
+    ["hello", "world", "", "héllo wörld 中文", "x" * 10000],
+])
+def test_string_direct_roundtrip(values):
+    arr = pa.array(values, type=pa.string())
+    data, lengths = string_parts(arr)
+    assert int(lengths.sum()) == data.size
+    back = build_string_array(data, lengths, pa.string())
+    assert back.equals(arr)
+
+
+def test_binary_direct_roundtrip_nonutf8():
+    vals = [bytes(RNG.integers(0, 256, size=int(k), dtype=np.uint8))
+            for k in RNG.integers(0, 300, size=100)]
+    arr = pa.array(vals, type=pa.binary())
+    data, lengths = string_parts(arr)
+    back = build_string_array(data, lengths, pa.binary())
+    assert back.equals(arr)
+
+
+def test_string_parts_on_sliced_array():
+    arr = pa.array(["aa", "bb", "cc", "dd", "ee"]).slice(1, 3)
+    data, lengths = string_parts(arr)
+    assert build_string_array(data, lengths, pa.string()).to_pylist() == ["bb", "cc", "dd"]
+
+
+# ------------------------------------------------------------- dictionary
+
+
+def test_dictionary_sorted_roundtrip():
+    vals = _rand_words(5000)
+    arr = pa.array(vals)
+    idx, dlens, ddata = dictionary_encode_sorted(arr)
+    # dictionary must be lexicographically sorted (DICTIONARY_V2 convention)
+    dic = build_string_array(ddata, dlens, pa.string()).to_pylist()
+    assert dic == sorted(dic)
+    assert len(dic) == len(set(vals))
+    back = dictionary_decode(idx, dlens, ddata, pa.string())
+    assert back.to_pylist() == vals
+
+
+def test_dictionary_single_value():
+    arr = pa.array(["same"] * 100)
+    idx, dlens, ddata = dictionary_encode_sorted(arr)
+    assert dlens.size == 1 and (idx == 0).all()
+    assert dictionary_decode(idx, dlens, ddata, pa.string()).to_pylist() == ["same"] * 100
+
+
+# ------------------------------------------------------------- FSST
+
+
+def _fsst_roundtrip(raw: bytes):
+    data = np.frombuffer(raw, dtype=np.uint8)
+    table, payload = fsst.compress(data)
+    back = fsst.decompress(np.frombuffer(table, np.uint8),
+                           np.frombuffer(payload, np.uint8))
+    assert back.tobytes() == raw
+    return len(table) + len(payload)
+
+
+def test_fsst_roundtrip_english():
+    text = (b"the quick brown fox jumps over the lazy dog. " * 2000)
+    enc = _fsst_roundtrip(text)
+    assert enc < len(text) * 0.5  # repetitive text must compress well
+
+
+def test_fsst_roundtrip_html():
+    html = (b'<div class="content"><p>hello world</p></div>' * 3000)
+    enc = _fsst_roundtrip(html)
+    assert enc < len(html) * 0.5
+
+
+def test_fsst_roundtrip_random_binary():
+    raw = RNG.integers(0, 256, size=100000, dtype=np.uint8).tobytes()
+    enc = _fsst_roundtrip(raw)  # roundtrip must hold even if it expands
+    assert enc < len(raw) * 2.1
+
+
+def test_fsst_escape_torture():
+    # long runs of 0xff exercise the escape marker/literal parsing
+    raw = (b"\xff" * 1000) + b"abc" + (b"\xff\x00" * 500) + b"\xff"
+    _fsst_roundtrip(raw)
+
+
+def test_fsst_empty_and_tiny():
+    _fsst_roundtrip(b"")
+    _fsst_roundtrip(b"a")
+    _fsst_roundtrip(b"\xff")
+    _fsst_roundtrip(b"ab" * 3)
+
+
+def test_fsst_deterministic():
+    data = np.frombuffer(b"deterministic training input " * 500, dtype=np.uint8)
+    t1, p1 = fsst.compress(data)
+    t2, p2 = fsst.compress(data)
+    assert t1 == t2 and p1 == p2
+
+
+def test_fsst_block_boundary():
+    # symbols must not cross the 4 KiB lockstep block edges
+    raw = b"abcdefgh" * (fsst.BLOCK // 4)  # spans many blocks
+    _fsst_roundtrip(raw)
+
+
+# ------------------------------------------------------------- block compression
+
+
+@pytest.mark.parametrize("codec", [c for c in block.AVAILABLE if c != "none"])
+def test_block_roundtrip(codec):
+    payloads = [
+        b"",
+        b"tiny",
+        b"compress me " * 100000,  # spans multiple 256 KiB chunks
+        RNG.integers(0, 256, size=300000, dtype=np.uint8).tobytes(),  # incompressible
+    ]
+    for raw in payloads:
+        out = block.compress(raw, codec)
+        assert block.decompress(out, codec) == raw
+
+
+def test_block_incompressible_escape():
+    raw = RNG.integers(0, 256, size=block.CHUNK + 100, dtype=np.uint8).tobytes()
+    out = block.compress(raw, "zlib")
+    # store-if-incompressible keeps overhead to the 8-byte header per chunk
+    assert len(out) <= len(raw) + 16
+
+
+def test_block_unsupported_codec():
+    with pytest.raises(ValueError, match="unsupported"):
+        block.compress(b"x", "lzo")  # reference also errors on LZO

@@ -267,6 +267,16 @@ def test_rle2_int64_extremes():
     assert np.array_equal(rle2.decode(u8(rle2.encode(v, True)), True), v)
 
 
+def test_rle2_delta_one_bit_deltas():
+    # deltas of 0/1 only: width code 0 is reserved for fixed-delta, so the
+    # encoder must bump 1-bit delta packing to 2 bits (regression)
+    v = np.array([28, 28, 29, 29, 29, 30, 30, 31, 31, 31] * 60, dtype=np.uint64)
+    v = np.sort(v)
+    enc = rle2.encode(v, False)
+    dec = rle2.decode(u8(enc), False)
+    assert np.array_equal(dec, v)
+
+
 def test_rle2_decreasing_from_zero_delta_start():
     # first delta 0 then decreasing: delta mode is ineligible; must still roundtrip
     v = np.array([10, 10, 9, 8, 7, 3, 1, 0, -5], dtype=np.int64)
