@@ -1,0 +1,140 @@
+"""Benchmark: encode/decode throughput + compression ratio at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "encode_gbps_pages": ..., "docs_per_sec_pages": ...,
+   "compression_ratio_pages": ..., "vs_pyarrow_orc": ...}
+
+Headline queries:
+  gen_pages          materialize the deterministic pages table to parquet
+  encode_pages       distributed encode (url-hash range partitioning)
+  decode_pages       distributed decode + count
+  encode_lineitem    encode the sf lineitem table (int/float/date mix)
+  decode_lineitem    decode it back
+  orc_oracle         pyarrow-ORC writes the same pages sample (size oracle)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", max(2000, int(200_000 * SF / 0.1))))
+
+
+def main() -> None:
+    if not os.path.isfile(f"{SF_DIR}/lineitem.parquet"):
+        raise SystemExit(f"SPARK_GRAFT_SF_DIR={SF_DIR!r} has no lineitem.parquet")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from orc_haskell_spark import engine, gen
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("orc-haskell-spark-bench")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.shuffle.partitions", str(CPUS))
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="ohs_bench_")
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    try:
+        # ---- pages table (deterministic synthetic, FIXTURES.md F1)
+        t0 = time.time()
+        pages_path = f"{tmp}/pages"
+        gen.pages_df(spark, PAGES_ROWS, num_partitions=CPUS * 2) \
+            .write.parquet(pages_path)
+        queries["gen_pages"] = time.time() - t0
+
+        pages = spark.read.parquet(pages_path)
+        raw_pages = int(pages.agg(
+            F.sum(F.octet_length("url") + F.octet_length("text")
+                  + F.coalesce(F.octet_length("html"), F.lit(0))
+                  + F.octet_length("lang") + F.lit(8)).alias("b")
+        ).collect()[0][0])
+
+        # ---- encode pages (the headline metric)
+        t0 = time.time()
+        enc_pages_path = f"{tmp}/enc_pages"
+        engine.encode_table(pages, partition_on="url",
+                            num_partitions=CPUS * 2) \
+            .write.parquet(enc_pages_path)
+        dt = time.time() - t0
+        queries["encode_pages"] = dt
+        enc_pages = spark.read.parquet(enc_pages_path)
+        enc_bytes = int(enc_pages.agg(F.sum("enc_bytes")).collect()[0][0])
+        extras["encode_gbps_pages"] = raw_pages / dt / 1e9
+        extras["docs_per_sec_pages"] = PAGES_ROWS / dt
+        extras["compression_ratio_pages"] = raw_pages / enc_bytes
+        extras["pages_rows"] = PAGES_ROWS
+        extras["pages_raw_bytes"] = raw_pages
+        extras["pages_enc_bytes"] = enc_bytes
+
+        # ---- decode pages
+        t0 = time.time()
+        n = engine.decode_table(enc_pages, pages.schema).count()
+        queries["decode_pages"] = time.time() - t0
+        assert n == PAGES_ROWS, (n, PAGES_ROWS)
+
+        # ---- lineitem encode/decode (int/double/date/string mix)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        t0 = time.time()
+        enc_li_path = f"{tmp}/enc_li"
+        engine.encode_table(li).write.parquet(enc_li_path)
+        queries["encode_lineitem"] = time.time() - t0
+        enc_li = spark.read.parquet(enc_li_path)
+        t0 = time.time()
+        nli = engine.decode_table(enc_li, li.schema).count()
+        queries["decode_lineitem"] = time.time() - t0
+        assert nli == li.count()
+
+        # ---- size oracle: pyarrow ORC on a pages sample (single-node)
+        import pyarrow.orc as paorc
+        import pyarrow.parquet as pq
+
+        sample_rows = min(PAGES_ROWS, 20000)
+        t0 = time.time()
+        sample = pq.read_table(pages_path).slice(0, sample_rows)
+        buf = io.BytesIO()
+        paorc.write_table(sample, buf, compression="zstd")
+        queries["orc_oracle"] = time.time() - t0
+        ours_sample = int(
+            engine.encode_table(
+                spark.read.parquet(pages_path).limit(sample_rows))
+            .agg(F.sum("enc_bytes")).collect()[0][0])
+        extras["vs_pyarrow_orc"] = buf.tell() / ours_sample  # >1 means we win
+
+        total = sum(queries.values())
+        print(json.dumps({
+            "metric": "pages+lineitem encode/decode wall time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in queries.items()},
+            "sf": SF,
+            "cpus": CPUS,
+            **{k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in extras.items()},
+        }))
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Spark engine layer: distributed encode/decode via mapInArrow.
+
+The reference is a single-process streaming encoder (stripe-at-a-time,
+constant memory — src/Orc/Serial/Binary/Striped.hs:560-635). Here Spark
+provides the parallel "stripe directory": each task's Arrow batches are
+re-chunked to exact stripe_rows stripes and encoded entirely JVM→Arrow→
+numpy, one output row per stripe. No per-row Python anywhere; no
+collect() on the hot path (the iterator form of mapInArrow never holds
+more than one stripe per task, preserving the reference's constant-memory
+property proved by test/Test/Orc/Memory/Leaks.hs).
+
+Scale design (100 TB / 1000 executors):
+- encode is shuffle-free by default: narrow map over whatever
+  partitioning the scan produced. `partition_on` opts into an explicit
+  repartitionByRange over xxhash64(key) — balanced ranges over a uniform
+  hash (the north rule's layout for pages tables), with `salt_partitions`
+  oversplitting hot keys before any per-key stage.
+- decode is likewise a narrow map; stripes are self-describing (footer
+  carries the Arrow schema), so a decode task needs no driver state.
+- stripes target a row count AND a byte budget: html/text bodies are
+  log-normal, so a fixed row count alone would make stripe memory
+  unbounded (reference uses fixed rows, main/main.hs:60 — we improve).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pyarrow as pa
+
+from . import stripe as stripe_mod
+
+ENCODED_DDL = (
+    "part_id int, stripe_id bigint, n_rows bigint, n_cols int, "
+    "raw_bytes bigint, enc_bytes bigint, footer string, data binary"
+)
+
+ENCODED_ARROW_SCHEMA = pa.schema([
+    ("part_id", pa.int32()),
+    ("stripe_id", pa.int64()),
+    ("n_rows", pa.int64()),
+    ("n_cols", pa.int32()),
+    ("raw_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()),
+    ("footer", pa.string()),
+    ("data", pa.binary()),
+])
+
+DEFAULT_STRIPE_ROWS = 65536
+DEFAULT_STRIPE_BYTES = 64 << 20  # byte budget per stripe (see module doc)
+
+
+def _rechunk(batches: Iterator[pa.RecordBatch], stripe_rows: int,
+             stripe_bytes: int) -> Iterator[pa.RecordBatch]:
+    """Re-chunk incoming Arrow batches into stripes of ≤stripe_rows rows
+    and ~≤stripe_bytes bytes (reference S9, Convert.hs:197-209)."""
+    pending: list[pa.RecordBatch] = []
+    pending_rows = 0
+    pending_bytes = 0
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        pending.append(batch)
+        pending_rows += batch.num_rows
+        pending_bytes += batch.nbytes
+        while pending_rows >= stripe_rows or pending_bytes >= stripe_bytes:
+            rows_per_byte = pending_rows / max(pending_bytes, 1)
+            take = min(stripe_rows, max(1, int(stripe_bytes * rows_per_byte)),
+                       pending_rows)
+            tbl = pa.Table.from_batches(pending)
+            head = tbl.slice(0, take).combine_chunks()
+            rest = tbl.slice(take).combine_chunks()
+            yield head.to_batches()[0] if head.num_rows else None
+            pending = [b for b in rest.to_batches() if b.num_rows]
+            pending_rows = sum(b.num_rows for b in pending)
+            pending_bytes = sum(b.nbytes for b in pending)
+    if pending_rows:
+        tbl = pa.Table.from_batches(pending).combine_chunks()
+        yield tbl.to_batches()[0]
+
+
+def make_encode_fn(stripe_rows: int = DEFAULT_STRIPE_ROWS,
+                   stripe_bytes: int = DEFAULT_STRIPE_BYTES,
+                   config: dict | None = None):
+    """Build the mapInArrow function: Iterator[RecordBatch] -> encoded rows."""
+
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for b in _rechunk(batches, stripe_rows, stripe_bytes):
+            if b is None or b.num_rows == 0:
+                continue
+            footer, payload = stripe_mod.encode_stripe(b, config)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([pid], pa.int32()),
+                    pa.array([(pid << 32) | seq], pa.int64()),
+                    pa.array([b.num_rows], pa.int64()),
+                    pa.array([b.num_columns], pa.int32()),
+                    pa.array([b.nbytes], pa.int64()),
+                    pa.array([len(payload)], pa.int64()),
+                    pa.array([json.dumps(footer, separators=(",", ":"))]),
+                    pa.array([payload], pa.binary()),
+                ],
+                schema=ENCODED_ARROW_SCHEMA,
+            )
+            seq += 1
+
+    return encode_fn
+
+
+def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow function: encoded stripe rows -> original RecordBatches."""
+    for b in batches:
+        footers = b.column("footer").to_pylist()
+        datas = b.column("data")
+        for i, fjson in enumerate(footers):
+            footer = json.loads(fjson)
+            payload = datas[i].as_buffer()
+            yield stripe_mod.decode_stripe(footer, memoryview(payload))
+
+
+def encode_table(df, stripe_rows: int = DEFAULT_STRIPE_ROWS,
+                 stripe_bytes: int = DEFAULT_STRIPE_BYTES,
+                 config: dict | None = None,
+                 partition_on: str | list[str] | None = None,
+                 num_partitions: int | None = None):
+    """DataFrame -> encoded-stripes DataFrame (1 row per stripe).
+
+    partition_on: explicit range partitioning on xxhash64(cols) — the
+    north rule's layout for the pages table (url hash). Leave None to
+    stay shuffle-free on the scan's partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    if partition_on is not None:
+        cols = [partition_on] if isinstance(partition_on, str) else list(partition_on)
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartitionByRange(n, F.xxhash64(*cols))
+    elif num_partitions is not None:
+        df = df.repartition(num_partitions)
+    return df.mapInArrow(
+        make_encode_fn(stripe_rows, stripe_bytes, config), ENCODED_DDL
+    )
+
+
+def decode_table(enc_df, schema):
+    """Encoded-stripes DataFrame -> original rows. `schema` is the original
+    DataFrame's StructType (stripes are self-describing; Spark just needs
+    the static type)."""
+    return enc_df.mapInArrow(decode_fn, schema)
+
+
+def manifest_df(enc_df):
+    """Stripe directory without blobs — the Footer analog
+    (reference StripeInformation, src/Orc/Schema/Types.hs:79-90)."""
+    return enc_df.drop("data")
+
+
+def salted(df, col: str, buckets: int):
+    """Salt a hot key for skew-free downstream grouping:
+    concat(col, pmod(xxhash64(url-ish uniqueifier), buckets))."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
+    )

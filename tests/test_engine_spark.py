@@ -1,0 +1,110 @@
+"""End-to-end Spark engine: distributed encode -> decode, bit-identical.
+
+The minimum end-to-end slice from SURVEY.md §7.2 step 3, plus resume
+(reference analog: StripeInformation offsets let a reader resume
+mid-file; at cluster scale that's the manifest table).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from orc_haskell_spark import engine, gen, manifest
+
+PAGES_N = 4000
+
+
+def _assert_same_rows(df_a, df_b, key):
+    """Order-insensitive full-row comparison via exceptAll both ways."""
+    assert df_a.count() == df_b.count()
+    assert df_a.exceptAll(df_b).count() == 0
+    assert df_b.exceptAll(df_a).count() == 0
+
+
+def test_pages_roundtrip_e2e(spark):
+    df = gen.pages_df(spark, PAGES_N, num_partitions=4)
+    enc = engine.encode_table(df, stripe_rows=1000, partition_on="url",
+                              num_partitions=4)
+    enc.cache()
+    stripes = enc.count()
+    assert stripes >= 4
+    dec = engine.decode_table(enc, df.schema)
+    _assert_same_rows(df, dec, "url")
+    # per-row invariant: byte-identical text per url (north rule)
+    from pyspark.sql import functions as F
+
+    joined = (df.select("url", F.col("text").alias("t0"))
+              .join(dec.select("url", F.col("text").alias("t1")), "url"))
+    assert joined.count() == PAGES_N
+    assert joined.filter(F.col("t0") != F.col("t1")).count() == 0
+    enc.unpersist()
+
+
+def test_pages_compression_wins(spark):
+    df = gen.pages_df(spark, PAGES_N, num_partitions=2)
+    enc = engine.encode_table(df, stripe_rows=2000)
+    from pyspark.sql import functions as F
+
+    row = enc.agg(F.sum("raw_bytes").alias("raw"),
+                  F.sum("enc_bytes").alias("enc")).collect()[0]
+    assert row.enc < row.raw * 0.5, (row.raw, row.enc)
+
+
+def test_real_table_roundtrip_e2e(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    enc = engine.encode_table(df, stripe_rows=2048)
+    dec = engine.decode_table(enc, df.schema)
+    _assert_same_rows(df, dec, "l_orderkey")
+
+
+def test_stripe_byte_budget(spark):
+    # tiny byte budget must split stripes even below stripe_rows
+    df = gen.pages_df(spark, 2000, num_partitions=1)
+    enc = engine.encode_table(df, stripe_rows=100000, stripe_bytes=1 << 20)
+    sizes = [r.n_rows for r in enc.select("n_rows").collect()]
+    assert len(sizes) > 1
+    dec = engine.decode_table(enc, df.schema)
+    assert dec.count() == 2000
+
+
+def test_manifest_resume(spark, tmp_path):
+    path = str(tmp_path / "enc")
+    df = gen.pages_df(spark, 3000, num_partitions=3)
+    from pyspark.sql import functions as F
+
+    # simulate an interrupted run: first encode only parts {0,1} worth of rows
+    part = F.pmod(F.xxhash64("url"), F.lit(8)).cast("int")
+    first = df.filter(part < 2)
+    r1 = manifest.encode_to_dir(first, path, partition_key="url",
+                                num_partitions=8, stripe_rows=500,
+                                source="pages-gen")
+    assert r1["parts_encoded"] == 2
+
+    # resume with the full input: only the missing 6 parts are encoded
+    r2 = manifest.encode_to_dir(df, path, partition_key="url",
+                                num_partitions=8, stripe_rows=500,
+                                source="pages-gen")
+    assert r2["parts_done_before"] == 2
+    assert r2["parts_encoded"] == 6
+
+    # decoded union must equal the full input exactly
+    enc = manifest.read_encoded(spark, path)
+    dec = engine.decode_table(enc.drop("part_id"), df.schema)
+    _assert_same_rows(df, dec, "url")
+
+    # third run: nothing left to do
+    r3 = manifest.encode_to_dir(df, path, partition_key="url",
+                                num_partitions=8, stripe_rows=500,
+                                source="pages-gen")
+    assert r3["parts_encoded"] == 0
+
+    # manifest metrics are queryable
+    m = manifest.metrics(spark, path)
+    assert m.count() == 8
+    assert m.agg(F.sum("rows")).collect()[0][0] == 3000
+
+
+def test_gen_deterministic_across_partitionings(spark):
+    a = gen.pages_df(spark, 1000, num_partitions=1)
+    b = gen.pages_df(spark, 1000, num_partitions=7)
+    _assert_same_rows(a, b, "url")
