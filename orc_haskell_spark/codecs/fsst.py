@@ -8,9 +8,11 @@ literal input byte.
 
 Implementation notes (numpy-vectorized, no per-byte Python):
 
-- The matcher computes, for every input position, the longest matching
-  symbol via 8-byte little-endian windows (8 shift-or passes build a
-  uint64 per position; per length L, a sorted-key searchsorted lookup).
+- Matching follows the paper's table design: a 64K hash-slot table keyed
+  on the first 3 bytes holds one candidate symbol of length ≥3 (exact
+  masked-window compare confirms it), a 64K direct table resolves 2-byte
+  symbols, a 256 table resolves single bytes. One probe per position,
+  all gathers — no per-length passes.
 - Greedy left-to-right parsing is inherently sequential, BUT any
   segmentation into table symbols decodes identically — the decoder
   only expands codes. So encoding runs in lockstep over independent
@@ -32,6 +34,8 @@ MAX_LEN = 8
 BLOCK = 4096
 SAMPLE_BYTES = 1 << 16
 GENERATIONS = 4
+NSLOTS = 65536
+_HASH_P = 0x9E3779B97F4A7C15
 
 _MASKS = np.array(
     [0] + [(1 << (8 * k)) - 1 for k in range(1, 8)] + [0xFFFFFFFFFFFFFFFF],
@@ -40,21 +44,39 @@ _MASKS = np.array(
 
 
 def _windows_u64(data: np.ndarray) -> np.ndarray:
-    """Little-endian 8-byte window starting at each position (zero padded)."""
+    """Little-endian 8-byte window starting at each position (zero padded).
+
+    Built from aligned uint64 lanes (a[q] >> 8r | a[q+1] << (64-8r)), so
+    total work is ~2 u64 ops per input byte instead of 8 widening passes.
+    """
     n = data.size
-    padded = np.zeros(n + 8, dtype=np.uint8)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    m = n // 8 + 2
+    padded = np.zeros(m * 8, dtype=np.uint8)
     padded[:n] = data
-    u = np.zeros(n, dtype=np.uint64)
-    for k in range(8):
-        u |= padded[k: k + n].astype(np.uint64) << np.uint64(8 * k)
-    return u
+    a = padded.view("<u8")
+    out = np.empty(n, dtype=np.uint64)
+    for r in range(8):
+        dst = out[r::8]
+        if dst.size == 0:
+            continue
+        lo = a[: m - 1] >> np.uint64(8 * r)
+        if r:
+            lo = lo | (a[1:m] << np.uint64(64 - 8 * r))
+        dst[:] = lo[: dst.size]
+    return out
+
+
+def _slot_of(key3: int) -> int:
+    return ((key3 * _HASH_P) & 0xFFFFFFFFFFFFFFFF) >> 48
 
 
 class SymbolTable:
     """Static symbol table: codes 0..n_syms-1, code 255 = escape."""
 
-    __slots__ = ("lens", "flat", "offsets", "keys_by_len", "codes_by_len",
-                 "single_code")
+    __slots__ = ("lens", "flat", "offsets", "single_code", "pair_code",
+                 "slot_key", "slot_len", "slot_code")
 
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMBOLS
@@ -62,21 +84,27 @@ class SymbolTable:
         self.offsets = np.zeros(len(symbols) + 1, dtype=np.int64)
         np.cumsum(self.lens, out=self.offsets[1:])
         self.flat = np.frombuffer(b"".join(symbols), dtype=np.uint8)
-        # per length: sorted window keys + matching codes
-        self.keys_by_len: dict[int, np.ndarray] = {}
-        self.codes_by_len: dict[int, np.ndarray] = {}
-        self.single_code = np.full(256, -1, dtype=np.int64)
-        by_len: dict[int, list[tuple[int, int]]] = {}
-        for code, s in enumerate(symbols):
+        self.single_code = np.full(256, -1, dtype=np.int16)
+        self.pair_code = np.full(65536, -1, dtype=np.int16)
+        # hash-slot table for symbols of length >= 3, keyed on first 3
+        # bytes; lower codes (higher training gain) win slot collisions.
+        # Empty slots hold an impossible key (all-ones) so the masked
+        # compare can never match them — saves a cl>0 pass in the matcher.
+        self.slot_key = np.full(NSLOTS, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        self.slot_len = np.zeros(NSLOTS, dtype=np.uint8)
+        self.slot_code = np.zeros(NSLOTS, dtype=np.int16)
+        for code in range(len(symbols) - 1, -1, -1):
+            s = symbols[code]
             key = int.from_bytes(s, "little")
             if len(s) == 1:
                 self.single_code[s[0]] = code
+            elif len(s) == 2:
+                self.pair_code[key] = code
             else:
-                by_len.setdefault(len(s), []).append((key, code))
-        for length, pairs in by_len.items():
-            pairs.sort()
-            self.keys_by_len[length] = np.array([k for k, _ in pairs], dtype=np.uint64)
-            self.codes_by_len[length] = np.array([c for _, c in pairs], dtype=np.int64)
+                h = _slot_of(key & 0xFFFFFF)
+                self.slot_key[h] = key
+                self.slot_len[h] = len(s)
+                self.slot_code[h] = code
 
     def serialize(self) -> bytes:
         n = self.lens.size
@@ -94,62 +122,102 @@ class SymbolTable:
         return SymbolTable(syms)
 
 
+_MATCH_SEG = 1 << 18  # 256 KiB; must be a multiple of BLOCK
+
+
 def _match(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
-    """Longest-match per position -> (mlen, mcode); mcode -1 means escape."""
+    """Longest-ish match per position -> (mlen uint8, mcode int16; -1 = escape).
+
+    One hash-slot probe per position for ≥3-byte symbols (exact compare of
+    the masked window confirms), then 2-byte and single-byte tables. A
+    slot collision can hide a symbol — that only costs ratio, never
+    correctness (any table segmentation decodes identically).
+
+    Processed in 256 KiB segments so the uint64 window/hash temporaries
+    stay cache-resident: with 32 concurrent executor workers the full-array
+    form saturates DRAM bandwidth (measured 6.5x per-core slowdown).
+    """
     n = data.size
-    u = _windows_u64(data)
-    mlen = np.zeros(n, dtype=np.int64)
-    mcode = np.full(n, -1, dtype=np.int64)
-    idx_all = np.arange(n, dtype=np.int64)
-    for length in sorted(table.keys_by_len, reverse=True):
-        keys = table.keys_by_len[length]
-        k = u & _MASKS[length]
-        pos = np.searchsorted(keys, k)
-        pos_c = np.minimum(pos, keys.size - 1)
-        hit = (keys[pos_c] == k) & (pos < keys.size)
-        # in-bounds, not already matched longer, not crossing a block edge
-        hit &= (idx_all + length <= n)
-        hit &= (idx_all % BLOCK) + length <= BLOCK
-        hit &= mlen == 0
-        mlen[hit] = length
-        mcode[hit] = table.codes_by_len[length][pos_c[hit]]
-    rest = mlen == 0
-    mlen[rest] = 1
-    mcode[rest] = table.single_code[data[rest]]  # -1 -> escape
+    mcode = np.empty(n, dtype=np.int16)
+    mlen = np.empty(n, dtype=np.uint8)
+    has_slots = bool(table.slot_len.any())
+    for s in range(0, max(n, 1), _MATCH_SEG):
+        e = min(s + _MATCH_SEG, n)
+        _match_segment(data, s, e, n, table, has_slots,
+                       mlen[s:e], mcode[s:e])
     return mlen, mcode
 
 
+def _match_segment(data, s, e, n, table, has_slots, mlen_out, mcode_out):
+    m = e - s
+    # windows may read past the segment (up to 7 bytes into the next)
+    seg = data[s: min(e + 8, n)]
+    mcode_out[:] = table.single_code[seg[:m]]
+    mlen_out[:] = 1
+    if m < 2:
+        return
+    w8 = _windows_u64(seg)[:m]
+    if has_slots:
+        h = ((w8 & np.uint64(0xFFFFFF)) * np.uint64(_HASH_P)) >> np.uint64(48)
+        cl = table.slot_len[h]  # uint8 candidate length (0 = empty slot)
+        hit = (w8 & _MASKS[cl]) == table.slot_key[h]
+        # block-edge guard, strided (segment start is BLOCK-aligned)
+        for off in range(BLOCK - 7, BLOCK):
+            hit[off::BLOCK] &= cl[off::BLOCK] <= BLOCK - off
+        # end-of-buffer guard (window is zero-padded past n)
+        if e + 8 > n:
+            tail = max(0, n - 8 - s)
+            hit[tail:] &= (np.arange(s + tail, e) + cl[tail:]) <= n
+        np.copyto(mlen_out, cl, where=hit)
+        np.copyto(mcode_out, table.slot_code[h], where=hit)
+    # exact 2-byte symbols where nothing longer matched
+    c2 = table.pair_code[(w8 & np.uint64(0xFFFF)).astype(np.uint16)]
+    take2 = (c2 >= 0) & (mlen_out == 1)
+    take2[BLOCK - 1:: BLOCK] = False  # 2-byte symbol would cross the block
+    if e == n:
+        take2[m - 1] = False
+    np.copyto(mlen_out, np.uint8(2), where=take2)
+    np.copyto(mcode_out, c2, where=take2)
+
+
 def _parse_tokens(data: np.ndarray, table: SymbolTable):
-    """Lockstep greedy parse -> (token positions, codes, lengths) in order."""
+    """Lockstep greedy parse -> (token positions, codes, lengths) in order.
+
+    All blocks advance one token per iteration; a block stays active for a
+    prefix of iterations, so final ordering is a bincount-offset scatter
+    (no sort): token t of block b lands at cum_tokens[b] + step(t).
+    """
     n = data.size
     mlen, mcode = _match(data, table)
-    starts = np.arange(0, n, BLOCK, dtype=np.int64)
-    ends = np.minimum(starts + BLOCK, n)
+    starts = np.arange(0, n, BLOCK, dtype=np.int32)
+    ends = np.minimum(starts.astype(np.int64) + BLOCK, n).astype(np.int32)
+    nblocks = starts.size
     pos = starts.copy()
-    block_ids = np.arange(starts.size, dtype=np.int64)
-    tok_pos: list[np.ndarray] = []
-    tok_block: list[np.ndarray] = []
-    step = 0
-    tok_step: list[np.ndarray] = []
+    tok_pos: list[np.ndarray] = []  # int32 positions, one array per step
     while True:
         active = pos < ends
         if not active.any():
             break
         p = pos[active]
         tok_pos.append(p)
-        tok_block.append(block_ids[active])
-        tok_step.append(np.full(p.size, step, dtype=np.int64))
         pos[active] = p + mlen[p]
-        step += 1
     if not tok_pos:
         empty = np.zeros(0, dtype=np.int64)
         return empty, empty, empty
     ap = np.concatenate(tok_pos)
-    ab = np.concatenate(tok_block)
-    asq = np.concatenate(tok_step)
-    order = np.lexsort((asq, ab))
-    p = ap[order]
-    return p, mcode[p], mlen[p]
+    ab = ap >> np.int32(BLOCK.bit_length() - 1)  # block id = pos // BLOCK
+    per_block = np.bincount(ab, minlength=nblocks)
+    block_off = (np.cumsum(per_block) - per_block).astype(np.int32)
+    # blocks stay active for a prefix of iterations, so the k-th step's
+    # token of block b lands exactly at block_off[b] + k — no sort needed
+    steps = np.repeat(
+        np.arange(len(tok_pos), dtype=np.int32),
+        np.fromiter((a.size for a in tok_pos), dtype=np.int64,
+                    count=len(tok_pos)))
+    dest = block_off[ab] + steps
+    out_pos = np.empty(ap.size, dtype=np.int32)
+    out_pos[dest] = ap
+    return out_pos, mcode[out_pos], mlen[out_pos]
 
 
 def train(data: np.ndarray) -> SymbolTable:
@@ -175,17 +243,27 @@ def train(data: np.ndarray) -> SymbolTable:
         if p.size < 2:
             break
         # adjacent-token concatenations ≤ 8 bytes, within the same block
-        comb_len = lens[:-1] + lens[1:]
-        ok = (comb_len <= MAX_LEN) & (p[:-1] // BLOCK == p[1:] // BLOCK)
+        comb_len = lens[:-1].astype(np.int16) + lens[1:]
+        ok = (comb_len <= MAX_LEN) & ((p[:-1] >> 12) == (p[1:] >> 12))
         keys = u[p[:-1][ok]] & _MASKS[comb_len[ok]]
-        klen = comb_len[ok]
-        # count (key, len) pairs
-        cand_counts: dict[tuple[int, int], int] = {}
-        uq, cnt = np.unique(
-            np.stack([keys, klen.astype(np.uint64)]), axis=1, return_counts=True,
-        )
-        for i in range(uq.shape[1]):
-            cand_counts[(int(uq[0, i]), int(uq[1, i]))] = int(cnt[i])
+        klen = comb_len[ok].astype(np.uint64)
+        # count (key, len) pairs via one sort; the len tag xor is imperfect
+        # for 8-byte keys but deterministic (counting noise only costs ratio)
+        if keys.size:
+            comb = keys ^ (klen << np.uint64(61))
+            order_ix = np.argsort(comb, kind="stable")
+            sc = comb[order_ix]
+            bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            cnts = np.diff(np.r_[bounds, sc.size])
+            rep = order_ix[bounds]
+            gains = cnts * (klen[rep].astype(np.int64) - 1)
+            # keep only the top candidates worth considering
+            top = min(gains.size, MAX_SYMBOLS * 4)
+            sel = np.argpartition(-gains, top - 1)[:top] if gains.size > top \
+                else np.arange(gains.size)
+        else:
+            rep = gains = klen = keys  # empty
+            sel = np.arange(0)
         # score existing symbols by current usage
         sym_counts = np.bincount(codes[codes >= 0], minlength=table.lens.size)
         scored: list[tuple[int, bytes]] = []
@@ -193,9 +271,10 @@ def train(data: np.ndarray) -> SymbolTable:
             s = table.flat[table.offsets[code]: table.offsets[code + 1]].tobytes()
             gain = int(sym_counts[code]) * max(1, len(s) - 1)
             scored.append((gain, s))
-        for (key, ln), c in cand_counts.items():
-            s = int(key).to_bytes(8, "little")[:ln]
-            scored.append((c * (ln - 1), s))
+        for i in sel.tolist():
+            ln = int(klen[rep[i]])
+            s = int(keys[rep[i]]).to_bytes(8, "little")[:ln]
+            scored.append((int(gains[i]), s))
         # escape pressure: always keep bytes that appear, as singles
         scored.sort(key=lambda t: (-t[0], t[1]))
         seen: set[bytes] = set()
@@ -219,9 +298,11 @@ def compress(data: np.ndarray, table: SymbolTable | None = None) -> tuple[bytes,
         return table.serialize(), b""
     p, codes, lens = _parse_tokens(data, table)
     esc = codes < 0
-    out_sizes = np.where(esc, 2, 1).astype(np.int64)
-    out_off = np.cumsum(out_sizes) - out_sizes
-    out = np.empty(int(out_sizes.sum()), dtype=np.uint8)
+    out_sizes = np.where(esc, np.int32(2), np.int32(1))
+    out_off = np.cumsum(out_sizes, dtype=np.int64).astype(np.int32)
+    total = int(out_off[-1]) if out_off.size else 0
+    out_off -= out_sizes
+    out = np.empty(total, dtype=np.uint8)
     out[out_off] = np.where(esc, ESCAPE, codes).astype(np.uint8)
     out[out_off[esc] + 1] = data[p[esc]]
     return table.serialize(), out.tobytes()

@@ -51,6 +51,21 @@ DEFAULT_STRIPE_ROWS = 65536
 DEFAULT_STRIPE_BYTES = 64 << 20  # byte budget per stripe (see module doc)
 
 
+def clamp_worker_threads() -> None:
+    """Pin Arrow's internal pools to 1 thread inside executor-side Python.
+
+    Every Python worker otherwise creates an os.cpu_count()-sized Arrow
+    thread pool on first compute call; with 32 workers on a 32-core host
+    that's 1000+ threads and a 6x slowdown (measured). Spark provides the
+    parallelism; worker-side kernels must be single-threaded.
+    """
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+
 def _rechunk(batches: Iterator[pa.RecordBatch], stripe_rows: int,
              stripe_bytes: int) -> Iterator[pa.RecordBatch]:
     """Re-chunk incoming Arrow batches into stripes of ≤stripe_rows rows
@@ -88,13 +103,15 @@ def make_encode_fn(stripe_rows: int = DEFAULT_STRIPE_ROWS,
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
+        clamp_worker_threads()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         seq = 0
+        cache: dict = {}  # per-task codec state (e.g. FSST tables)
         for b in _rechunk(batches, stripe_rows, stripe_bytes):
             if b is None or b.num_rows == 0:
                 continue
-            footer, payload = stripe_mod.encode_stripe(b, config)
+            footer, payload = stripe_mod.encode_stripe(b, config, cache)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array([pid], pa.int32()),
@@ -115,6 +132,7 @@ def make_encode_fn(stripe_rows: int = DEFAULT_STRIPE_ROWS,
 
 def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """mapInArrow function: encoded stripe rows -> original RecordBatches."""
+    clamp_worker_threads()
     for b in batches:
         footers = b.column("footer").to_pylist()
         datas = b.column("data")

@@ -87,34 +87,46 @@ def _make_vocab() -> np.ndarray:
     return np.array(words, dtype=object)
 
 _VOCAB = _make_vocab()
+_VOCAB_PA = pa.array(_VOCAB.tolist(), pa.string())
 _BOILER = (b'<div class="sec"><span>nav</span><a href="/l">link</a></div>')
 
 
-def _base36(ids: np.ndarray) -> list[str]:
-    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
-    out = []
-    for v in ids.tolist():
-        s = ""
-        v2 = v
-        while True:
-            s = digits[v2 % 36] + s
-            v2 //= 36
-            if v2 == 0:
-                break
-        out.append(s)
-    return out
+_B36 = np.frombuffer(b"0123456789abcdefghijklmnopqrstuvwxyz", dtype=np.uint8)
+_B36_WIDTH = 9  # fixed-width base36: unique up to 36^9 ≈ 1.0e14 rows
+
+
+def _base36_fixed(ids: np.ndarray) -> pa.Array:
+    """Vectorized fixed-width base36 of row ids -> string array."""
+    n = ids.size
+    chars = np.empty((n, _B36_WIDTH), dtype=np.uint8)
+    v = ids.copy()
+    for k in range(_B36_WIDTH - 1, -1, -1):
+        chars[:, k] = _B36[(v % np.uint64(36)).astype(np.int64)]
+        v //= np.uint64(36)
+    from .codecs.strings import build_string_array
+
+    return build_string_array(chars.ravel(),
+                              np.full(n, _B36_WIDTH, dtype=np.int64),
+                              pa.string())
+
+
+def _dict_strings(indices: np.ndarray, values, typ=None) -> pa.Array:
+    """Gather from a small vocabulary via Arrow take (vectorized)."""
+    dic = values if isinstance(values, pa.Array) else pa.array(
+        list(values), typ or pa.string())
+    return dic.take(pa.array(indices.astype(np.int64)))
 
 
 def pages_batch(start: int, n: int) -> pa.RecordBatch:
     """Rows [start, start+n) of the deterministic pages table."""
     ids = np.arange(start, start + n, dtype=np.uint64)
 
-    # url
+    # url = https://{domain}/{base36(id)}
     dom_idx = np.searchsorted(_DOMAIN_CDF, _unit(ids, 1))
-    paths = _base36(ids)
-    urls = pa.array(
-        [f"https://{d}/{p}" for d, p in zip(_DOMAINS[dom_idx], paths)],
-        pa.string())
+    domains = _dict_strings(dom_idx, _DOMAINS.tolist())
+    urls = pc.binary_join_element_wise(
+        pa.scalar("https://"), domains, pa.scalar("/"), _base36_fixed(ids),
+        pa.scalar(""))
 
     # warc_ts: closed-form monotone-ish crawl time
     jitter = (_lane(ids, 2) % _U(600_000)).astype(np.int64)
@@ -123,8 +135,8 @@ def pages_batch(start: int, n: int) -> pa.RecordBatch:
     warc_ts = pa.array(ts, pa.timestamp("us", tz="UTC"))
 
     # lang
-    lang_idx = np.searchsorted(_LANG_CDF, _unit(ids, 3))
-    langs = pa.array(_LANG_CODES[np.minimum(lang_idx, N_LANGS - 1)], pa.string())
+    lang_idx = np.minimum(np.searchsorted(_LANG_CDF, _unit(ids, 3)), N_LANGS - 1)
+    langs = _dict_strings(lang_idx, _LANG_CODES.tolist())
 
     # text: word soup, Zipf word frequencies, ~20-400 words
     wc = (20 + (_unit(ids, 4) ** 2 * 380)).astype(np.int64)
@@ -134,7 +146,7 @@ def pages_batch(start: int, n: int) -> pa.RecordBatch:
     with np.errstate(over="ignore"):
         wu = _mix(row_of * _U(0x9E3779B97F4A7C15) + j * _U(0xD1B54A32D192ED03) + _U(SEED))
     word_idx = ((wu.astype(np.float64) / 2**64) ** 3 * VOCAB_SIZE).astype(np.int64)
-    flat_words = pa.array(_VOCAB[np.minimum(word_idx, VOCAB_SIZE - 1)], pa.string())
+    flat_words = _dict_strings(np.minimum(word_idx, VOCAB_SIZE - 1), _VOCAB_PA)
     off = np.zeros(n + 1, dtype=np.int64)
     off[1:] = np.cumsum(wc)
     off = off.astype(np.int32)
@@ -144,7 +156,7 @@ def pages_batch(start: int, n: int) -> pa.RecordBatch:
     # html: template-wrapped text with boilerplate padding, ~3% null
     is_null = _unit(ids, 5) < 0.03
     pad_blocks = (1 + _unit(ids, 6) * 6).astype(np.int64)
-    pads = pa.array([(_BOILER * int(k)) for k in pad_blocks], pa.binary())
+    pads = _dict_strings(pad_blocks, [_BOILER * k for k in range(8)], pa.binary())
     title = pc.utf8_slice_codeunits(texts, 0, 32)
     html_all = pc.binary_join_element_wise(
         pa.scalar(b"<html><head><title>").cast(pa.binary()),
@@ -168,6 +180,9 @@ def pages_df(spark, n_rows: int, num_partitions: int | None = None):
     import pyarrow as pa  # re-import for executor pickling
 
     def gen_fn(batches):
+        from orc_haskell_spark.engine import clamp_worker_threads
+
+        clamp_worker_threads()
         for b in batches:
             ids = b.column("id").to_numpy()
             if len(ids) == 0:

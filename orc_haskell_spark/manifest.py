@@ -73,15 +73,19 @@ def encode_to_dir(df, path: str, partition_key="url", num_partitions: int = 32,
         import pyarrow as pa
 
         from orc_haskell_spark import stripe as stripe_mod
+        from orc_haskell_spark.engine import clamp_worker_threads
+
+        clamp_worker_threads()
 
         pending: dict[int, list] = {}
 
         def flush(pid, batch_list):
             tbl = pa.Table.from_batches(batch_list).combine_chunks()
             seq = 0
+            cache: dict = {}  # per-part codec state (e.g. FSST tables)
             for start in range(0, tbl.num_rows, stripe_rows):
                 b = tbl.slice(start, stripe_rows).combine_chunks().to_batches()[0]
-                footer, payload = stripe_mod.encode_stripe(b, config)
+                footer, payload = stripe_mod.encode_stripe(b, config, cache)
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array([pid], pa.int32()),
@@ -114,7 +118,9 @@ def encode_to_dir(df, path: str, partition_key="url", num_partitions: int = 32,
 
     enc = repartitioned.mapInArrow(encode_with_part, engine.ENCODED_DDL)
     spath = os.path.join(path, "stripes")
-    enc.write.mode("append").partitionBy("part_id").parquet(spath)
+    # blobs are already block-compressed: parquet re-compression off
+    enc.write.mode("append").option("compression", "uncompressed") \
+        .partitionBy("part_id").parquet(spath)
 
     # manifest: directory + metrics + lineage, appended per run
     written = spark.read.parquet(spath)

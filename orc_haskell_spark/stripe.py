@@ -92,7 +92,8 @@ def _decode_uint_stream(buf: np.ndarray, codec: str) -> np.ndarray:
 
 # ------------------------------------------------------------------ column encode
 
-def encode_column(name: str, arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
+def encode_column(name: str, arr: pa.Array, cfg: dict,
+                  cache: dict | None = None) -> tuple[dict, dict[str, bytes]]:
     """Encode one (possibly nullable) column -> (encoding meta, streams)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -104,13 +105,14 @@ def encode_column(name: str, arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, 
         streams["PRESENT"] = byte_rle.encode(_buf(bitpack.pack_bools(present)))
         meta["nullable"] = True
         arr = arr.drop_null()
-    inner_meta, inner_streams = _encode_values(arr, cfg)
+    inner_meta, inner_streams = _encode_values(arr, cfg, cache, name)
     meta.update(inner_meta)
     streams.update(inner_streams)
     return meta, streams
 
 
-def _encode_values(arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
+def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
+                   name: str = "") -> tuple[dict, dict[str, bytes]]:
     typ = arr.type
     if pa.types.is_boolean(typ):
         mask = np.asarray(arr)
@@ -145,7 +147,7 @@ def _encode_values(arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
 
     if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
             or pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
-        return _encode_string(arr, cfg)
+        return _encode_string(arr, cfg, cache, name)
 
     if pa.types.is_list(typ) or pa.types.is_large_list(typ):
         n = len(arr)
@@ -156,7 +158,7 @@ def _encode_values(arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
         lengths = np.diff(off)
         child = arr.values[off[0]: off[-1]] if n else arr.values[:0]
         lcodec, lstream = _encode_uint_stream(lengths.view(np.uint64), cfg)
-        cmeta, cstreams = encode_column("item", child, cfg)
+        cmeta, cstreams = encode_column(f"{name}.item", child, cfg, cache)
         streams = {"LENGTH": lstream}
         for k, v in cstreams.items():
             streams[f"item.{k}"] = v
@@ -166,7 +168,7 @@ def _encode_values(arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
         streams: dict[str, bytes] = {}
         children = []
         for i, field in enumerate(typ):
-            cmeta, cstreams = encode_column(field.name, arr.field(i), cfg)
+            cmeta, cstreams = encode_column(f"{name}.{field.name}", arr.field(i), cfg, cache)
             children.append({"name": field.name, "meta": cmeta})
             for k, v in cstreams.items():
                 streams[f"{field.name}.{k}"] = v
@@ -178,7 +180,8 @@ def _encode_values(arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
     )
 
 
-def _encode_string(arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
+def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
+                   name: str = "") -> tuple[dict, dict[str, bytes]]:
     data, lengths = string_parts(arr)
     choice = cfg.get("string_codec", "auto")
     if choice == "auto":
@@ -194,7 +197,13 @@ def _encode_string(arr: pa.Array, cfg: dict) -> tuple[dict, dict[str, bytes]]:
             {"DATA": istream, "LENGTH": lstream, "DICTIONARY_DATA": ddata.tobytes()},
         )
     if choice == "fsst":
-        table, payload = fsst_codec.compress(data)
+        # reuse the symbol table across stripes of the same task: training
+        # is ~20% of a small stripe's encode cost and tables are stable
+        cached = cache.get(("fsst", name)) if cache is not None else None
+        table_obj = cached or fsst_codec.train(data)
+        if cache is not None and cached is None:
+            cache[("fsst", name)] = table_obj
+        table, payload = fsst_codec.compress(data, table_obj)
         if len(payload) + len(table) < data.nbytes * 0.95:
             lcodec, lstream = _encode_uint_stream(lengths.view(np.uint64), cfg)
             return (
@@ -309,7 +318,8 @@ def _decode_string(meta, streams, n, typ):
 
 # ------------------------------------------------------------------ stripe
 
-def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None) -> tuple[dict, bytes]:
+def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None,
+                  cache: dict | None = None) -> tuple[dict, bytes]:
     """One RecordBatch -> (footer dict, concatenated stream payload).
 
     The footer is the analog of the reference's StripeFooter
@@ -321,7 +331,7 @@ def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None) -> tuple[dict,
     payload = bytearray()
     columns = []
     for name, arr in zip(batch.schema.names, batch.columns):
-        meta, streams = encode_column(name, arr, cfg)
+        meta, streams = encode_column(name, arr, cfg, cache)
         entries = []
         raw_col = _column_nbytes(arr)
         for key, data in streams.items():
