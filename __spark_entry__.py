@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from orc_haskell_spark import engine, gen  # noqa: E402
+from orc_haskell_spark.pipeline import dedup, multimodal, similarity, text  # noqa: E402
 
 _TABLE_COLS = {
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
@@ -146,7 +147,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["manifest_rows_documents"] = _manifest_rows_documents
     q["roundtrip_embeddings"] = _embeddings_checked
     q["pages_roundtrip"] = _pages_roundtrip
+
+    # ---- training-data pipeline operators (dedup / similarity / text / media)
+    q["dedup_exact_documents"] = lambda s, d: dedup.exact_dedup(
+        _load(s, d, "documents"), ["text"], "doc_id")
+    q["dedup_jaccard_documents"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _load(s, d, "documents"), "doc_id", "text", threshold=0.8)
+    q["dedup_minhash_documents"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _load(s, d, "documents"), "doc_id", "text", threshold=0.8)
+    q["dedup_simhash_documents"] = lambda s, d: dedup.simhash_pairs(
+        _load(s, d, "documents"), "doc_id", "text",
+        max_hamming=10, verify_jaccard=0.5)
+    q["dedup_embedding_documents"] = lambda s, d: dedup.embedding_neardup_pairs(
+        _load(s, d, "embeddings"), "vec_id", "embedding", threshold=0.3)
+    q["sim_topk_embeddings"] = _sim_topk
+    q["sim_lsh_topk_embeddings"] = _sim_lsh_topk
+    q["text_token_stats_documents"] = lambda s, d: text.token_stats(
+        _load(s, d, "documents"), "doc_id", "text")
+    q["text_quality_documents"] = lambda s, d: text.quality_scores(
+        _load(s, d, "documents"), "doc_id", "text")
+    q["text_langid_documents"] = lambda s, d: text.language_id(
+        _load(s, d, "documents"), "doc_id", "text")
+    q["text_fingerprints_documents"] = lambda s, d: text.fingerprints(
+        _load(s, d, "documents"), "doc_id", "text")
+    q["media_features"] = _media_features
+    q["media_frame_sample"] = _media_frames
     return q
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list:
+    row = (_load(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") == 0).select("embedding").collect())
+    return [float(x) for x in row[0][0]]
+
+
+def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, "vec_id", "embedding",
+                                       _query_vec(spark, sf_dir), 10)
+
+
+def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, "vec_id", "embedding",
+                               _query_vec(spark, sf_dir), 10)
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_df(spark, 500, 4)
+    feats = multimodal.extract_features(media)
+    return feats.agg(
+        F.count("*").alias("items"),
+        F.max("dim").cast("bigint").alias("dim"),
+        F.sum("checksum").alias("checksum_sum"))
+
+
+def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_df(spark, 500, 4)
+    return multimodal.frame_sample(media).agg(
+        F.count("*").alias("frames"),
+        F.countDistinct("id").cast("bigint").alias("videos"))
 
 
 def _select_sql(table: str) -> str:
@@ -182,5 +242,108 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(embedding) AS BIGINT) AS dim, "
         "CAST(embedding[1] AS DOUBLE) AS first_elem, "
         "CAST(embedding[-1] AS DOUBLE) AS last_elem FROM embeddings")
+    # ---- pipeline operator oracles (engine-independent: md5 / regex /
+    # list math reproduce Spark's values exactly in DuckDB)
+    o["dedup_exact_documents"] = (
+        "SELECT text, CAST(min(doc_id) AS BIGINT) AS keeper, "
+        "count(*) AS copies FROM documents GROUP BY text")
+    o["dedup_jaccard_documents"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
+  FROM documents
+), toksf AS (SELECT * FROM toks WHERE length(token) > 0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toksf GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM toksf a JOIN toksf b USING (token)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+  round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jacc
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8"""
+    o["dedup_minhash_documents"] = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(0, greatest(len(string_split_regex(text, '\s+')) - 3, 0) + 1),
+    i -> array_to_string(list_slice(string_split_regex(text, '\s+'), i + 1, i + 3), ' ')
+  )) AS shingles FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jacc
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8"""
+    o["dedup_embedding_documents"] = (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 5) AS cos "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.3")
+    o["sim_topk_embeddings"] = (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        "WHERE vec_id = 0) "
+        "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        "q.qv), 5) AS cos FROM embeddings, q "
+        "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, "
+        "vec_id ASC LIMIT 10")
+    o["text_token_stats_documents"] = r"""
+SELECT doc_id,
+  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+  CAST(length(text) AS INT) AS n_chars,
+  round(length(text) * 1.0 / len(string_split_regex(text, '\s+')), 4) AS mean_tok_len
+FROM documents"""
+    o["text_quality_documents"] = r"""
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  round((length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0 / length(text), 5) AS punct_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 5) AS digit_ratio,
+  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text), 5) AS upper_ratio,
+  round((
+    (length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3.0
+  + (length(text) - length(regexp_replace(text, '\band\b', '', 'g'))) / 3.0
+  + (length(text) - length(regexp_replace(text, '\bof\b', '', 'g'))) / 2.0
+  + (length(text) - length(regexp_replace(text, '\bto\b', '', 'g'))) / 2.0
+  + (length(text) - length(regexp_replace(text, '\bin\b', '', 'g'))) / 2.0
+  ) / len(string_split_regex(text, '\s+')), 5) AS stopword_ratio,
+  round(least(length(text) / 500.0, 1.0) *
+    (1 - (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0 / length(text)), 5) AS quality
+FROM documents"""
+    o["text_langid_documents"] = _langid_oracle_sql()
+    o["text_fingerprints_documents"] = r"""
+SELECT doc_id, md5(text) AS md5,
+  list_min(list_transform(
+    range(0, greatest(length(text) - 16, 0) + 1),
+    i -> md5(substr(text, CAST(i + 1 AS INT), 16)))) AS min_shingle,
+  CAST(greatest(length(text) - 16, 0) + 1 AS INT) AS n_shingles
+FROM documents"""
+    # dedup_simhash_documents, sim_lsh_topk_embeddings, media_*: no SQL
+    # twin (xxhash64 / seeded hyperplanes / synthetic media) -> rows-only
     # pages_roundtrip intentionally has no oracle (synthetic input)
     return o
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of text.language_id: per-lang stopword votes, argmax
+    with strict-greater updates scanning langs alphabetically."""
+    from orc_haskell_spark.pipeline.text import STOPWORDS
+
+    def score(lang):
+        parts = [
+            f"(length(text) - length(regexp_replace(text, '\\b{w}\\b', '', 'g'))) / {len(w)}.0"
+            for w in STOPWORDS[lang]
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    s = {lang: score(lang) for lang in STOPWORDS}
+    langs = sorted(STOPWORDS)  # de, en, es, fr — same scan order as Spark
+    # replicate the sequential strict-greater argmax
+    best_expr = "'und'"
+    best_score = "0.0"
+    for lang in langs:
+        best_expr = f"CASE WHEN {s[lang]} > {best_score} THEN '{lang}' ELSE {best_expr} END"
+        best_score = f"CASE WHEN {s[lang]} > {best_score} THEN {s[lang]} ELSE {best_score} END"
+    return (f"SELECT doc_id, {best_expr} AS pred_lang, "
+            f"CAST(floor({best_score}) AS BIGINT) AS votes FROM documents")

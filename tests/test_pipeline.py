@@ -1,0 +1,148 @@
+"""Training-data pipeline operators: recall on constructed near-dups,
+plus plumbing checks for similarity search and multimodal columns."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from orc_haskell_spark.pipeline import dedup, multimodal, similarity, text
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest to find some food for the long winter")
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """10 docs: 0/1 near-identical, 2/3 near-identical, rest unrelated."""
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("winter", "summer")),  # 1-word edit
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4),
+        (3, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)
+            .replace("kappa", "lambda", 1)),
+        (4, "completely different content about databases and query engines"),
+        (5, "yet another unrelated document discussing compression codecs"),
+        (6, "spark catalyst tungsten whole stage codegen adaptive execution"),
+        (7, "numbers 123 and 456 with UPPER case Letters, punctuation!"),
+        (8, "word " * 50),
+        (9, "unique terms zebra yak xylophone walrus vulture"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "text"])
+    got = {(r.text, r.keeper, r.copies)
+           for r in dedup.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert got == {("a", 1, 2), ("b", 3, 1)}
+
+
+def test_jaccard_finds_near_dups(near_dup_docs):
+    p = _pairs(dedup.ngram_jaccard_pairs(near_dup_docs, "doc_id", "text", 0.5))
+    assert (0, 1) in p and (2, 3) in p
+    assert (4, 5) not in p and (0, 9) not in p
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    p = _pairs(dedup.minhash_lsh_pairs(near_dup_docs, "doc_id", "text",
+                                       threshold=0.5))
+    assert (0, 1) in p and (2, 3) in p
+    assert (4, 5) not in p
+
+
+def test_simhash_finds_near_dups(near_dup_docs):
+    # 16 4-bit bands guarantee catching any pair with hamming < 16
+    p = _pairs(dedup.simhash_pairs(near_dup_docs, "doc_id", "text",
+                                   max_hamming=15, verify_jaccard=0.5,
+                                   n_bands=16))
+    assert (0, 1) in p and (2, 3) in p
+
+
+def test_embedding_neardup_and_topk(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    vecs = [base, base + rng.standard_normal(16) * 0.01,  # near-dup pair
+            rng.standard_normal(16), rng.standard_normal(16)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    p = _pairs(dedup.embedding_neardup_pairs(df, "vec_id", "embedding", 0.98))
+    assert p == {(0, 1)}
+    top = similarity.brute_force_topk(df, "vec_id", "embedding",
+                                      [float(x) for x in base], 2).collect()
+    assert [r.vec_id for r in top] == [0, 1]
+
+
+def test_lsh_topk_contains_exact_top1(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((100, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[42]]
+    approx = similarity.lsh_topk(df, "vec_id", "embedding", q, 5)
+    got = [r.vec_id for r in approx.collect()]
+    assert got[0] == 42  # the query vector itself shares its own bucket
+
+
+def test_text_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog."), (2, "x" * 600)], ["doc_id", "text"])
+    ts = {r.doc_id: r for r in text.token_stats(df, "doc_id", "text").collect()}
+    assert ts[1].n_tokens == 5
+    qs = {r.doc_id: r for r in text.quality_scores(df, "doc_id", "text").collect()}
+    assert qs[1].punct_ratio > 0 and qs[2].punct_ratio == 0
+    assert qs[2].n_chars == 600
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame([
+        (1, "the cat and the dog of the house went to the store in town"),
+        (2, "der hund und die katze und das haus nicht der garten"),
+        (3, "le chat et la maison et les jardins des villes"),
+        (4, "el perro y la casa de que los gatos"),
+        (5, "zzz qqq www"),
+    ], ["doc_id", "text"])
+    got = {r.doc_id: r.pred_lang
+           for r in text.language_id(df, "doc_id", "text").collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_fingerprints_detect_shared_content(spark):
+    df = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, "something else entirely here")],
+        ["doc_id", "text"])
+    fp = {r.doc_id: r for r in text.fingerprints(df, "doc_id", "text").collect()}
+    assert fp[1].md5 == fp[2].md5 != fp[3].md5
+    assert fp[1].min_shingle == fp[2].min_shingle
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.media_df(spark, 60, 3)
+    f1 = multimodal.extract_features(media).orderBy("id").collect()
+    f2 = multimodal.extract_features(media).orderBy("id").collect()
+    assert [r.checksum for r in f1] == [r.checksum for r in f2]
+    assert all(r.dim == 32 and len(r.feature) == 32 for r in f1)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-3 for r in f1)
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG", {})
+
+
+def test_frame_sample_counts(spark):
+    media = multimodal.media_df(spark, 30, 2)
+    frames = multimodal.frame_sample(media, every_ms=1000)
+    rows = frames.collect()
+    videos = media.filter(F.col("kind") == "video").select(
+        "id", "meta.duration_ms").collect()
+    expect = sum(r.duration_ms // 1000 + 1 for r in videos)
+    assert len(rows) == expect
