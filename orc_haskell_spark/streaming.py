@@ -1,0 +1,72 @@
+"""Structured Streaming ingestion into the columnar encoder.
+
+The reference has no event-time streaming — its "streaming" is
+constant-memory stripe-at-a-time IO (SURVEY.md §2.3). At cluster scale
+the analog is continuous ingestion: a readStream source (files landing
+in a crawl directory, Kafka, rate) encoded micro-batch by micro-batch
+through the same mapInArrow path, with the manifest as the exactly-once
+ledger.
+
+``foreachBatch`` is the right tool (not a stateful operator): encoding
+is a stateless per-row transform, and foreachBatch gives us batch-id
+idempotence — a replayed micro-batch is skipped because its batch_id is
+already in the manifest (checkpoint + ledger = exactly-once sink).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import engine
+
+
+def stream_encode(stream_df: DataFrame, path: str,
+                  checkpoint: str | None = None,
+                  stripe_rows: int = engine.DEFAULT_STRIPE_ROWS,
+                  config: dict | None = None,
+                  trigger_available_now: bool = True):
+    """Encode a streaming DataFrame into path/stripes with a batch ledger.
+
+    Returns the StreamingQuery. Use ``trigger_available_now`` for
+    drain-and-stop semantics (tests, backfills); False for continuous
+    micro-batches.
+    """
+    spark = stream_df.sparkSession
+    spath = os.path.join(path, "stripes")
+    ledger = os.path.join(path, "ledger")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        done = set()
+        try:
+            done = {r.batch_id for r in
+                    spark.read.parquet(ledger).select("batch_id").collect()}
+        except Exception:
+            pass
+        if batch_id in done:  # replayed micro-batch: already encoded
+            return
+        enc = engine.encode_table(batch_df, stripe_rows=stripe_rows,
+                                  config=config)
+        enc = enc.withColumn("batch_id", F.lit(batch_id))
+        (enc.write.mode("append").option("compression", "uncompressed")
+            .parquet(spath))
+        row = (spark.createDataFrame([(batch_id,)], "batch_id bigint")
+               .withColumn("committed_at", F.current_timestamp()))
+        row.write.mode("append").parquet(ledger)
+
+    writer = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_encoded(spark, path: str):
+    return spark.read.parquet(os.path.join(path, "stripes"))
+
+
+def decode_stream(spark, path: str, schema) -> DataFrame:
+    return engine.decode_table(
+        read_stream_encoded(spark, path).drop("batch_id"), schema)

@@ -174,9 +174,29 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
                 streams[f"{field.name}.{k}"] = v
         return {"kind": "struct", "children": children}, streams
 
+    if pa.types.is_decimal(typ):
+        # reference stores unbounded varint mantissas + per-value scale
+        # (src/Orc/Serial/Binary/Striped.hs:359-365); Spark scales are
+        # fixed per column, so we RLE the mantissa limbs instead: lo/hi
+        # uint64 halves of the 16-byte little-endian decimal128 payload
+        # (hi stream is all sign-extension for precision <= 18 and
+        # collapses to a few RLE bytes)
+        n = len(arr)
+        limbs = np.frombuffer(
+            arr.buffers()[1], dtype=np.uint64, count=2 * n, offset=arr.offset * 16
+        ).reshape(n, 2)
+        lo = np.ascontiguousarray(limbs[:, 0])
+        hi = np.ascontiguousarray(limbs[:, 1]).view(np.int64)
+        lcodec, lstream = _encode_uint_stream(lo, cfg)
+        hcodec, hstream = _encode_int_stream(hi, cfg)
+        return (
+            {"kind": "decimal", "locodec": lcodec, "hicodec": hcodec},
+            {"DATA": lstream, "SECONDARY": hstream},
+        )
+
     raise NotImplementedError(
-        f"column type {typ} not supported yet (decimal128 pending; "
-        f"reference analog src/Orc/Serial/Binary/Striped.hs:359-365)"
+        f"column type {typ} not supported yet "
+        f"(reference analog src/Orc/Serial/Binary/Striped.hs:296-426)"
     )
 
 
@@ -272,6 +292,15 @@ def _decode_values(meta: dict, streams: dict[str, bytes], n: int,
         return pa.ListArray.from_arrays(
             pa.array(off.astype(np.int32)), child, type=typ
         )
+
+    if kind == "decimal":
+        lo = _decode_uint_stream(_buf(streams["DATA"]), meta["locodec"])[:n]
+        hi = _decode_int_stream(_buf(streams["SECONDARY"]), meta["hicodec"])[:n]
+        limbs = np.empty((n, 2), dtype=np.uint64)
+        limbs[:, 0] = lo
+        limbs[:, 1] = hi.view(np.uint64)
+        return pa.Array.from_buffers(
+            typ, n, [None, pa.py_buffer(limbs.tobytes())])
 
     if kind == "struct":
         arrays = []

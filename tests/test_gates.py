@@ -1,0 +1,90 @@
+"""Project gates: compressed size <= reference ORC writer; constant-memory
+streaming encode (reference leak-test analog); decimal128 roundtrip.
+"""
+
+from __future__ import annotations
+
+import io
+import subprocess
+import sys
+import textwrap
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc as paorc
+import pyarrow.parquet as pq
+import pytest
+
+from orc_haskell_spark import gen, stripe
+
+
+def _ours_vs_orc(table: pa.Table) -> tuple[int, int]:
+    batch = table.combine_chunks().to_batches()[0]
+    _, payload = stripe.encode_stripe(batch)
+    buf = io.BytesIO()
+    paorc.write_table(table, buf, compression="zstd")
+    return len(payload), buf.tell()
+
+
+def test_size_gate_pages():
+    """BASELINE.json metric: total encoded bytes <= pyarrow-ORC output."""
+    t = gen.pages_table(0, 20000)
+    ours, orc = _ours_vs_orc(t)
+    assert ours <= orc, f"ours={ours} > orc={orc}"
+
+
+def test_size_gate_documents():
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    ours, orc = _ours_vs_orc(t)
+    assert ours <= orc, f"ours={ours} > orc={orc}"
+
+
+def test_size_gate_events():
+    t = pq.read_table("/root/testdata/sf0.01/events.parquet")
+    ours, orc = _ours_vs_orc(t)
+    assert ours <= orc, f"ours={ours} > orc={orc}"
+
+
+def test_decimal128_roundtrip():
+    vals = [Decimal("12345.67"), Decimal("-0.01"), Decimal("0"),
+            Decimal("99999999999999999999.99"),  # > int64 mantissa
+            Decimal("-99999999999999999999.99"), None]
+    batch = pa.RecordBatch.from_pydict(
+        {"d": pa.array(vals, pa.decimal128(38, 2)),
+         "d18": pa.array([Decimal("1.5"), Decimal("-2.25"), None,
+                          Decimal("0"), Decimal("1000000.00"),
+                          Decimal("-4.75")], pa.decimal128(18, 2))})
+    footer, payload = stripe.encode_stripe(batch)
+    back = stripe.decode_stripe(footer, payload)
+    assert back.equals(batch)
+
+
+def test_constant_memory_encode():
+    """Encoding 40 x ~8 MB stripes must not hold them all (reference
+    analog: weak-pointer leak tests, test/Test/Orc/Memory/Leaks.hs)."""
+    code = textwrap.dedent("""
+        import resource, sys
+        sys.path.insert(0, %r)
+        from orc_haskell_spark import gen
+        from orc_haskell_spark.engine import _rechunk
+        from orc_haskell_spark import stripe
+
+        def batches():
+            for k in range(40):
+                yield gen.pages_batch(k * 4000, 4000)  # ~8 MB each
+
+        cache = {}
+        total = 0
+        for b in _rechunk(batches(), 4000, 64 << 20):
+            footer, payload = stripe.encode_stripe(b, None, cache)
+            total += len(payload)
+        peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(f"{total} {peak_mb:.0f}")
+    """) % ("/root/repo",)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True)
+    total, peak_mb = out.stdout.split()
+    # ~320 MB of input; holding it all would need >400 MB + temporaries
+    assert float(peak_mb) < 1200, f"peak RSS {peak_mb} MB"
+    assert int(total) > 0
