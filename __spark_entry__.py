@@ -172,7 +172,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _load(s, d, "documents"), "doc_id", "text")
     q["media_features"] = _media_features
     q["media_frame_sample"] = _media_frames
+    q["salted_lang_stats"] = _salted_lang_stats
     return q
+
+
+def _salted_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation on the hot `lang` key — the north
+    rule's salted-repartition path; must be semantically invisible."""
+    docs = _load(spark, sf_dir, "documents")
+    return engine.salted_agg(
+        docs, "lang",
+        {"docs": ("count", "doc_id"), "chars": ("sum", "n_chars"),
+         "min_doc": ("min", "doc_id"), "max_doc": ("max", "doc_id")},
+        buckets=16)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list:
@@ -319,6 +331,10 @@ SELECT doc_id, md5(text) AS md5,
     i -> md5(substr(text, CAST(i + 1 AS INT), 16)))) AS min_shingle,
   CAST(greatest(length(text) - 16, 0) + 1 AS INT) AS n_shingles
 FROM documents"""
+    o["salted_lang_stats"] = (
+        "SELECT lang, count(doc_id) AS docs, sum(n_chars) AS chars, "
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
+        "FROM documents GROUP BY lang")
     # dedup_simhash_documents, sim_lsh_topk_embeddings, media_*: no SQL
     # twin (xxhash64 / seeded hyperplanes / synthetic media) -> rows-only
     # pages_roundtrip intentionally has no oracle (synthetic input)

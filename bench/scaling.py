@@ -28,12 +28,20 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
+def best_of(n_runs: int, cpus: int, sf_dir: str) -> dict:
+    """This host's wall times vary 2-3x across sessions (page cache, JIT,
+    THP); best-of-N per level is the steady-state estimate."""
+    runs = [run_bench(cpus, sf_dir) for _ in range(n_runs)]
+    return min(runs, key=lambda r: r["queries"]["encode_pages"])
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_lo = int(os.environ.get("SCALE_N", "8"))
+    reps = int(os.environ.get("SCALE_REPS", "2"))
     n_hi = 4 * n_lo
-    lo = run_bench(n_lo, sf_dir)
-    hi = run_bench(n_hi, sf_dir)
+    lo = best_of(reps, n_lo, sf_dir)
+    hi = best_of(reps, n_hi, sf_dir)
 
     def thr(r):  # encode throughput, GB/s of raw input bytes
         return r["pages_raw_bytes"] / r["queries"]["encode_pages"] / 1e9

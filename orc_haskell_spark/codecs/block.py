@@ -34,11 +34,26 @@ for _name in ("snappy", "zstd", "lz4"):
 AVAILABLE = ("none", "zlib", *_PA_CODECS.keys())
 
 
+_LEVELED_CODECS: dict = {}
+
+
+def _leveled(codec: str, level: int | None):
+    if level is None:
+        return _PA_CODECS[codec]
+    key = (codec, level)
+    if key not in _LEVELED_CODECS:
+        try:
+            _LEVELED_CODECS[key] = pa.Codec(codec, compression_level=level)
+        except Exception:  # codec without level support
+            _LEVELED_CODECS[key] = _PA_CODECS[codec]
+    return _LEVELED_CODECS[key]
+
+
 def _compress_chunk(chunk: bytes, codec: str, level: int | None) -> bytes:
     if codec == "zlib":
         c = zlib.compressobj(level if level is not None else 6, zlib.DEFLATED, -15)
         return c.compress(chunk) + c.flush()
-    return _PA_CODECS[codec].compress(chunk, asbytes=True)
+    return _leveled(codec, level).compress(chunk, asbytes=True)
 
 
 def _decompress_chunk(payload: bytes, raw_len: int, codec: str) -> bytes:

@@ -339,15 +339,22 @@ def decompress(table_buf: np.ndarray, payload: np.ndarray) -> np.ndarray:
     # (symbols first, then 256 single literal bytes for escapes)
     flat2 = np.concatenate([table.flat, np.arange(256, dtype=np.uint8)])
     lit_base = table.flat.size
+    safe_codes = np.where(tesc, 0, tcodes).astype(np.int64)
     src_off = np.where(
         tesc,
         lit_base + c[np.minimum(tpos + 1, n - 1)].astype(np.int64),
-        table.offsets[np.where(tesc, 0, tcodes).astype(np.int64)],
-    )
-    out_lens = np.where(tesc, 1, table.lens[np.where(tesc, 0, tcodes).astype(np.int64)])
+        table.offsets[safe_codes],
+    ).astype(np.int32)
+    out_lens = np.where(tesc, 1, table.lens[safe_codes]).astype(np.int32)
     total = int(out_lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8)
+    # gather indices via scatter+cumsum instead of arange+2x repeat
+    # (3 sequential passes; the repeats were the decode hot spot)
     out_off = np.cumsum(out_lens) - out_lens
-    idx = (np.arange(total, dtype=np.int64)
-           - np.repeat(out_off, out_lens)
-           + np.repeat(src_off, out_lens))
+    d = np.ones(total, dtype=np.int32)
+    d[0] = src_off[0]
+    if src_off.size > 1:
+        d[out_off[1:]] = src_off[1:] - (src_off[:-1] + out_lens[:-1]) + 1
+    idx = np.cumsum(d, dtype=np.int32)
     return flat2[idx]

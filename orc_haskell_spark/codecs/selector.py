@@ -19,13 +19,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 DICT_CARDINALITY_GATE = 0.5  # reference threshold (Striped.hs:828-830)
-FSST_MIN_BYTES = 4096  # below this, symbol table overhead dominates
+FSST_MIN_BYTES = 65536  # below this, symbol table overhead dominates
+SAMPLE_BYTES = 1 << 19  # 512 KiB measurement sample
 
 
-def choose_string_codec(arr: pa.Array, data_nbytes: int,
-                        allowed: tuple[str, ...]) -> str:
-    """Pick 'dict' | 'fsst' | 'direct' for a no-null string/binary array."""
+def choose_string_codec(arr: pa.Array, data: "np.ndarray",
+                        allowed: tuple[str, ...],
+                        compression: str = "none",
+                        compression_level: int | None = None) -> str:
+    """Pick 'dict' | 'fsst' | 'direct' for a no-null string/binary array.
+
+    The dictionary decision is the reference's cardinality gate; the
+    fsst-vs-direct decision is *measured* on a sample: FSST(+outer
+    block codec) vs outer block codec alone — whichever yields fewer
+    bytes wins. (With a strong outer compressor, FSST only sometimes
+    pays; without one, it almost always does.)
+    """
     n = len(arr)
+    data_nbytes = int(data.nbytes)
     if n == 0:
         return "direct"
     if "dict" in allowed:
@@ -39,5 +50,17 @@ def choose_string_codec(arr: pa.Array, data_nbytes: int,
             if est_dict < 0.8 * data_nbytes:
                 return "dict"
     if "fsst" in allowed and data_nbytes >= FSST_MIN_BYTES:
-        return "fsst"
+        from . import block, fsst
+
+        sample = data[:SAMPLE_BYTES]
+        table, payload = fsst.compress(sample)
+        fsst_bytes = len(table) + len(payload)
+        direct_bytes = sample.nbytes
+        if compression != "none":
+            fsst_bytes = len(block.compress(
+                bytes(payload), compression, compression_level)) + len(table)
+            direct_bytes = len(block.compress(
+                sample.tobytes(), compression, compression_level))
+        if fsst_bytes < 0.95 * direct_bytes:
+            return "fsst"
     return "direct"

@@ -180,10 +180,44 @@ def manifest_df(enc_df):
 
 
 def salted(df, col: str, buckets: int):
-    """Salt a hot key for skew-free downstream grouping:
-    concat(col, pmod(xxhash64(url-ish uniqueifier), buckets))."""
+    """Attach a deterministic salt column for skew-free grouping on a hot
+    key (north rule: skewed lang/domain keys). Salt derives from the full
+    row hash so identical keys spread over ``buckets`` reducers."""
     from pyspark.sql import functions as F
 
     return df.withColumn(
         "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
     )
+
+
+def salted_agg(df, key_cols, agg_exprs: dict, buckets: int = 16):
+    """Two-phase aggregation for skewed keys: partial-aggregate on
+    (key, salt), then merge per key. P(en)=0.55-style hot languages never
+    funnel into one reducer.
+
+    agg_exprs: {out_name: ("sum"|"count"|"min"|"max", in_col)} — the
+    re-aggregable subset (avg = sum/count at the call site).
+    """
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    salted_df = salted(df, keys[0], buckets)
+    partial_aggs, final_aggs = [], []
+    for out, (fn, col) in agg_exprs.items():
+        pname = f"_p_{out}"
+        if fn == "count":
+            partial_aggs.append(F.count(col).alias(pname))
+            final_aggs.append(F.sum(pname).alias(out))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(col).alias(pname))
+            final_aggs.append(F.sum(pname).alias(out))
+        elif fn == "min":
+            partial_aggs.append(F.min(col).alias(pname))
+            final_aggs.append(F.min(pname).alias(out))
+        elif fn == "max":
+            partial_aggs.append(F.max(col).alias(pname))
+            final_aggs.append(F.max(pname).alias(out))
+        else:
+            raise ValueError(f"not re-aggregable: {fn}")
+    partial = salted_df.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

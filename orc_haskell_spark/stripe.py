@@ -205,8 +205,16 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
     data, lengths = string_parts(arr)
     choice = cfg.get("string_codec", "auto")
     if choice == "auto":
-        allowed = ("dict", "fsst", "direct")
-        choice = selector.choose_string_codec(arr, int(data.nbytes), allowed)
+        # decide once per column per task (sampled measurement is stable
+        # across stripes of the same partition)
+        ckey = ("strchoice", name)
+        choice = cache.get(ckey) if cache is not None else None
+        if choice is None:
+            choice = selector.choose_string_codec(
+                arr, data, ("dict", "fsst", "direct"),
+                cfg.get("compression", "none"), cfg.get("compression_level"))
+            if cache is not None:
+                cache[ckey] = choice
     if choice == "dict":
         idx, dlens, ddata = dictionary_encode_sorted(arr)
         icodec, istream = _encode_uint_stream(idx, cfg)

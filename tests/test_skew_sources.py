@@ -1,0 +1,51 @@
+"""Skew-safe salted aggregation + source resolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orc_haskell_spark import engine, sources
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    salted = engine.salted_agg(
+        docs, "lang",
+        {"docs": ("count", "doc_id"), "chars": ("sum", "n_chars"),
+         "min_doc": ("min", "doc_id"), "max_doc": ("max", "doc_id")},
+        buckets=16)
+    plain = docs.groupBy("lang").agg(
+        F.count("doc_id").alias("docs"), F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_agg_rejects_non_reaggregable(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import pytest
+
+    with pytest.raises(ValueError, match="not re-aggregable"):
+        engine.salted_agg(docs, "lang", {"a": ("avg", "n_chars")})
+
+
+def test_salted_partial_stage_fans_out(spark):
+    """The partial aggregation must group on (key, salt): a hot key's
+    rows land in multiple partial groups."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    salted = engine.salted(docs, "lang", 16)
+    partial_groups = salted.groupBy("lang", "_salt").count()
+    en_groups = partial_groups.filter(F.col("lang") == "en").count()
+    assert en_groups > 4  # 218 'en' docs spread over ~16 salt buckets
+
+
+def test_sources_parquet_path(spark):
+    df = sources.read_table(spark, "/root/testdata/sf0.001/region.parquet")
+    assert df.count() == 5
+
+
+def test_sources_catalog_name(spark):
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet") \
+        .createOrReplaceTempView("nation_view")
+    df = sources.read_table(spark, "nation_view")
+    assert df.count() == 25
