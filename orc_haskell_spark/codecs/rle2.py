@@ -47,15 +47,22 @@ _U1 = np.uint64(1)
 
 
 def bit_lengths(u: np.ndarray) -> np.ndarray:
-    """Per-value bit length of uint64 values (0 for 0)."""
-    u = u.copy()
-    bl = np.zeros(u.shape, dtype=np.int64)
-    for s in (32, 16, 8, 4, 2, 1):
-        m = u >= (_U1 << np.uint64(s))
-        bl[m] += s
-        u[m] >>= np.uint64(s)
-    bl += (u > 0).astype(np.int64)
-    return bl
+    """Per-value bit length of uint64 values (0 for 0).
+
+    Fast path: float64 exponent via frexp (exact for values < 2^53);
+    values >= 2^53 (rare in real streams) get a branch-free shift loop.
+    """
+    big = u >= np.uint64(1 << 53)
+    if big.any():
+        bl = np.zeros(u.shape, dtype=np.int64)
+        v = u.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            m = v >= (_U1 << np.uint64(s))
+            bl += m * s
+            v = v >> (m.astype(np.uint8) * np.uint8(s))
+        bl += (v > 0).astype(np.int64)
+        return bl
+    return np.frexp(u.astype(np.float64))[1].astype(np.int64)
 
 
 # ---------------------------------------------------------------- decode
@@ -332,7 +339,9 @@ def _plan_patched(w: np.ndarray, wu: np.ndarray, signed: bool):
     bl = bit_lengths(reduced)
     w100 = closest_width(int(bl.max()))
     # try widths from p90 up; compute exact patch cost; keep cheapest
-    w90 = closest_width(int(np.percentile(bl, 90)) or 1)
+    k = max(0, int(0.9 * (bl.size - 1)))
+    p90 = int(np.partition(bl, k)[k]) if bl.size else 1
+    w90 = closest_width(p90 or 1)
     best = None
     for width in {w90, w100}:
         plan = _plan_patched_at(reduced, bl, width, base, base_width, n)
