@@ -173,7 +173,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_features"] = _media_features
     q["media_frame_sample"] = _media_frames
     q["salted_lang_stats"] = _salted_lang_stats
+    q["text_bpe_tokens_documents"] = lambda s, d: text.token_counts_bpe(
+        _load(s, d, "documents"), "doc_id", "text")
+    q["stream_windowed_events"] = _stream_windowed_events
     return q
+
+
+def _stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation with watermark, drained via
+    availableNow over the events table as a file stream; results land in
+    an in-memory sink and are returned as a DataFrame."""
+    import uuid
+
+    from orc_haskell_spark import streaming as streaming_mod
+
+    ev = _load(spark, sf_dir, "events")
+    name = f"winev_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.schema(ev.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)  # file source wants a directory
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    q = (streaming_mod.windowed_event_counts(stream, "ts", "event_type",
+                                             "1 hour", "2 hours")
+         .drop("approx_users")  # HLL has no exact SQL twin
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
 
 
 def _salted_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,6 +361,14 @@ FROM documents"""
         "SELECT lang, count(doc_id) AS docs, sum(n_chars) AS chars, "
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
         "FROM documents GROUP BY lang")
+    o["text_bpe_tokens_documents"] = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_word_tokens,
+  CAST(floor(length(text) / 4) AS BIGINT) AS est_subwords
+FROM documents"""
+    o["stream_windowed_events"] = (
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
+        "event_type, count(*) AS events FROM events GROUP BY 1, 2")
     # dedup_simhash_documents, sim_lsh_topk_embeddings, media_*: no SQL
     # twin (xxhash64 / seeded hyperplanes / synthetic media) -> rows-only
     # pages_roundtrip intentionally has no oracle (synthetic input)

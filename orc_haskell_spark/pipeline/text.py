@@ -31,6 +31,18 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def token_counts_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish tokenization estimate: words and punctuation count as
+    separate tokens (the \\w+|[^\\w\\s] regex families used to size LLM
+    training batches), plus a ~chars/4 subword estimate."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_word_tokens"),
+        (F.length(text_col) / 4).cast("bigint").alias("est_subwords"),
+    )
+
+
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features: length, punctuation ratio, digit
     ratio, uppercase ratio, stopword(en) hit count, and a composite."""

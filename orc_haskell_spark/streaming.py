@@ -63,6 +63,22 @@ def stream_encode(stream_df: DataFrame, path: str,
     return writer.start()
 
 
+def windowed_event_counts(stream_df: DataFrame, ts_col: str = "ts",
+                          key_col: str = "event_type",
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Event-time windowed aggregation with late-data handling: the
+    standard watermark + tumbling-window pattern over an event stream
+    (crawl-rate monitoring alongside the encode pipeline)."""
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"), key_col)
+            .agg(F.count("*").alias("events"),
+                 F.approx_count_distinct("user_id").alias("approx_users"))
+            .select(F.col("w.start").alias("window_start"), key_col,
+                    "events", "approx_users"))
+
+
 def read_stream_encoded(spark, path: str):
     return spark.read.parquet(os.path.join(path, "stripes"))
 

