@@ -81,15 +81,27 @@ def _shingles(text_col: str, n: int):
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 64, shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per doc: perm j = min over shingles of
-    md5(shingle || ':' || j). md5 so the DuckDB oracle reproduces it."""
+    """MinHash signature per doc via Carter-Wegman permutations: each
+    shingle is md5'd once into two 60-bit halves (h1, h2); permutation j
+    is min over shingles of (h1 + j*h2) & (2^40-1). 64x fewer digest
+    computations than hashing per permutation; engine-independent should
+    an oracle ever need to reproduce it (conv/substr/md5 exist in both
+    Spark and DuckDB and agree bit-for-bit)."""
     sh = _shingles(text_col, shingle_n)
+    mask40 = (1 << 40) - 1
+    base = (df.select(F.col(id_col), sh.alias("__sh"))
+            .select(
+                F.col(id_col),
+                F.expr("transform(__sh, s -> "
+                       "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+                       ")").alias("h1s"),
+                F.expr(f"transform(__sh, s -> "
+                       f"(cast(conv(substring(md5(s), 17, 15), 16, 10) as bigint) "
+                       f"& {mask40}) | 1)").alias("h2s")))  # odd -> proper perm
     perms = F.expr(
         f"transform(sequence(0, {num_perm - 1}), j -> "
-        f"array_min(transform(__sh, s -> md5(concat(s, ':', j)))))"
-    )
-    return (df.select(F.col(id_col), sh.alias("__sh"))
-            .select(F.col(id_col), perms.alias("sig")))
+        f"array_min(zip_with(h1s, h2s, (a, b) -> (a + j * b) & {mask40})))")
+    return base.select(F.col(id_col), perms.alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
