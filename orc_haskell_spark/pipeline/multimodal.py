@@ -84,31 +84,46 @@ def extract_features(media, use_real_decoders: bool = False):
     """
 
     def feature_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from orc_haskell_spark.codecs.strings import string_parts
         from orc_haskell_spark.engine import clamp_worker_threads
 
         clamp_worker_threads()
         for b in batches:
-            ids = b.column("id")
-            kinds = b.column("kind")
-            payloads = b.column("payload")
-            metas = b.column("meta")
-            widths = metas.field("width").to_numpy(zero_copy_only=False)
-            heights = metas.field("height").to_numpy(zero_copy_only=False)
-            feats, checks = [], []
-            for i in range(b.num_rows):
-                raw = np.frombuffer(payloads[i].as_py(), dtype=np.uint8)
-                if use_real_decoders:
-                    decode_image(raw.tobytes(), {})  # raises: stub
-                px = fake_decode(raw, int(widths[i]), int(heights[i]))
-                hist = np.bincount(px.ravel() >> 3, minlength=_FEAT_DIM)[:_FEAT_DIM]
-                f = (hist / max(hist.sum(), 1)).astype(np.float32)
-                feats.append(f)
-                checks.append(int(px.sum()))
+            n = b.num_rows
+            if use_real_decoders:
+                decode_image(b"", {})  # raises: stub
+            data, lengths = string_parts(b.column("payload"))
+            # vectorized per-row byte histogram: one bincount over
+            # (row_id * DIM + bucket) — no per-row Python
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            combined = row_of * _FEAT_DIM + (data >> np.uint8(3)).astype(np.int64)
+            hist = np.bincount(combined, minlength=n * _FEAT_DIM) \
+                .reshape(n, _FEAT_DIM).astype(np.float64)
+            hist /= np.maximum(hist.sum(axis=1, keepdims=True), 1)
+            feats = hist.astype(np.float32)
+            # checksum of the (virtually tiled) pixels: payload byte sum
+            # scaled by the tile repetition count
+            widths = b.column("meta").field("width").to_numpy(zero_copy_only=False)
+            heights = b.column("meta").field("height").to_numpy(zero_copy_only=False)
+            need = widths.astype(np.int64) * heights
+            sums = np.add.reduceat(
+                data.astype(np.int64),
+                np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            ) if data.size else np.zeros(n, dtype=np.int64)
+            sums = np.where(lengths > 0, sums, 0)  # reduceat quirk on empties
+            # exact tiled sum: full_reps * payload_sum + partial prefix sum
+            csum = np.concatenate(([0], np.cumsum(data.astype(np.int64))))
+            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            full = need // np.maximum(lengths, 1)
+            rem = need % np.maximum(lengths, 1)
+            checks = full * sums + (csum[starts + rem] - csum[starts])
+            off = np.arange(0, (n + 1) * _FEAT_DIM, _FEAT_DIM, dtype=np.int32)
+            flist = pa.ListArray.from_arrays(
+                pa.array(off), pa.array(feats.ravel()), type=pa.list_(pa.float32()))
             yield pa.RecordBatch.from_arrays(
-                [ids, kinds,
-                 pa.array([_FEAT_DIM] * b.num_rows, pa.int32()),
-                 pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
-                 pa.array(checks, pa.int64())],
+                [b.column("id"), b.column("kind"),
+                 pa.array(np.full(n, _FEAT_DIM, dtype=np.int32)),
+                 flist, pa.array(checks, pa.int64())],
                 names=["id", "kind", "dim", "feature", "checksum"])
 
     return media.mapInArrow(feature_fn, FEATURE_DDL)
