@@ -24,6 +24,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from orc_haskell_spark import engine, gen  # noqa: E402
 from orc_haskell_spark.pipeline import dedup, multimodal, similarity, text  # noqa: E402
 
+_WORKERS_READY: set[int] = set()
+
+
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship the package to executors regardless of the harness cwd.
+
+    sys.path tweaks only affect the driver; a harness launching Spark
+    outside /root/repo would hit ModuleNotFoundError inside mapInArrow
+    workers. addPyFile of a package zip makes the contract self-carrying.
+    """
+    key = id(spark.sparkContext)
+    if key in _WORKERS_READY:
+        return
+    import tempfile
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg_dir = os.path.join(root, "orc_haskell_spark")
+    stamp = 0
+    for dirpath, _, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                stamp = max(stamp, int(os.path.getmtime(os.path.join(dirpath, f))))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"orc_haskell_spark_pyfiles_{stamp}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(root, "orc_haskell_spark")
+            for dirpath, _, files in os.walk(pkg):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(dirpath, f)
+                        z.write(p, os.path.relpath(p, root))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+    _WORKERS_READY.add(key)
+
 _TABLE_COLS = {
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -44,6 +85,7 @@ _STRIPE_ROWS = 8192
 
 
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _ensure_worker_imports(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -112,6 +154,7 @@ def _embeddings_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pages_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic pages table (no parquet twin -> rows-only check)
+    _ensure_worker_imports(spark)
     df = gen.pages_df(spark, 2000, num_partitions=4)
     enc = engine.encode_table(df, stripe_rows=500, partition_on="url",
                               num_partitions=4)
@@ -232,6 +275,7 @@ def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_worker_imports(spark)
     media = multimodal.media_df(spark, 500, 4)
     feats = multimodal.extract_features(media)
     return feats.agg(
@@ -241,6 +285,7 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_worker_imports(spark)
     media = multimodal.media_df(spark, 500, 4)
     return multimodal.frame_sample(media).agg(
         F.count("*").alias("frames"),
