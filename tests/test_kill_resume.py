@@ -1,0 +1,68 @@
+"""Crash-consistency: SIGKILL mid-encode, then resume.
+
+The manifest is written after the stripes of a run commit, so a killed
+run must leave either (a) nothing visible, or (b) committed stripes
+WITH manifest rows — never visible stripes without manifest accounting
+that a resume would duplicate.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+from orc_haskell_spark import engine, gen, manifest
+
+
+def test_sigkill_mid_encode_then_resume(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "enc")
+    gen.pages_df(spark, 6000, 4).write.parquet(src)
+
+    # run encode_to_dir in a subprocess and SIGKILL it mid-flight
+    code = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from pyspark.sql import SparkSession
+        from orc_haskell_spark import manifest
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "2").getOrCreate())
+        df = spark.read.parquet({src!r})
+        print("READY", flush=True)
+        manifest.encode_to_dir(df, {out!r}, partition_key="url",
+                               num_partitions=8, stripe_rows=500,
+                               source="kill-test")
+        print("DONE", flush=True)
+    """)
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                            text=True)
+    # wait for the job to be well underway, then kill hard
+    t0 = time.time()
+    while time.time() - t0 < 120:
+        line = proc.stdout.readline()
+        if "READY" in line:
+            break
+    time.sleep(6)  # mid-encode (full run takes ~15-25 s)
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    # resume: completes whatever is missing
+    df = spark.read.parquet(src)
+    r = manifest.encode_to_dir(df, out, partition_key="url",
+                               num_partitions=8, stripe_rows=500,
+                               source="kill-test")
+    assert r["parts_done_before"] + r["parts_encoded"] == 8
+
+    # decoded output must equal the input exactly — no dupes, no holes
+    enc = manifest.read_encoded(spark, out)
+    dec = engine.decode_table(enc.drop("part_id"), df.schema)
+    assert dec.count() == 6000, "row count after kill+resume"
+    assert dec.exceptAll(df).count() == 0
+    assert df.exceptAll(dec).count() == 0
