@@ -32,8 +32,12 @@ ESCAPE = 255
 MAX_SYMBOLS = 255
 MAX_LEN = 8
 BLOCK = 4096
+# (64 KiB sample, 6 generations) measured best on html: +6% ratio over
+# (64K, 4) AND the fastest compression of the sweep (longer symbols ->
+# fewer tokens); bigger samples buy ~2% more ratio but cost ~15%
+# concurrent throughput
 SAMPLE_BYTES = 1 << 16
-GENERATIONS = 4
+GENERATIONS = 6
 NSLOTS = 65536
 _HASH_P = 0x9E3779B97F4A7C15
 
