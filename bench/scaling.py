@@ -52,7 +52,10 @@ def main():
     doc_hi = hi["pages_rows"] / hi["queries"]["encode_pages"]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/BASELINE.md — encode-throughput scaling evidence
+    # append raw results; BENCH/BASELINE.md is the curated summary of all runs
+    with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as f:
+        f.write(json.dumps({"lo": lo, "hi": hi, "eff": eff}) + "\n")
+    md = f"""# BENCH/last_run.md — most recent two-parallelism run
 
 North rule: encode-throughput scaling efficiency >= 0.8 from N to 4N
 executors. Sandbox stand-in: the identical encode job (deterministic
@@ -78,7 +81,7 @@ Full bench JSON:
 {json.dumps(hi)}
 ```
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "last_run.md"), "w") as f:
         f.write(md)
     print(json.dumps({"eff": round(eff, 3), "thr_lo_gbps": round(t_lo, 4),
                       "thr_hi_gbps": round(t_hi, 4)}))
