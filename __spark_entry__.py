@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _load(s, d, "embeddings"), "vec_id", "embedding", threshold=0.3)
     q["sim_topk_embeddings"] = _sim_topk
     q["sim_lsh_topk_embeddings"] = _sim_lsh_topk
+    q["sim_ivf_topk_embeddings"] = _sim_ivf_topk
     q["text_token_stats_documents"] = lambda s, d: text.token_stats(
         _load(s, d, "documents"), "doc_id", "text")
     q["text_quality_documents"] = lambda s, d: text.quality_scores(
@@ -273,6 +274,12 @@ def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, "vec_id", "embedding",
+                               _query_vec(spark, sf_dir), 10)
+
+
+def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, "vec_id", "embedding",
                                _query_vec(spark, sf_dir), 10)
 
 

@@ -58,6 +58,66 @@ def _signature(vec_col: str, planes: np.ndarray) -> "F.Column":
     return sig
 
 
+def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
+                  n_lists: int = 16, sample: int = 2048,
+                  iters: int = 2, seed: int = SEED) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means on a driver-side
+    sample (tiny: n_lists x dim floats), Lloyd-iterated in numpy.
+
+    At 100 TB the sample is a bounded collect (e.g. 1e4 vectors); the
+    expensive part — assigning every vector to its nearest centroid —
+    stays distributed in ivf_topk."""
+    rows = (df.orderBy(id_col).limit(sample)
+            .select(vec_col).collect())
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(x.shape[0], size=min(n_lists, x.shape[0]),
+                        replace=False)]
+    for _ in range(iters):
+        sim = x @ cent.T
+        assign = np.argmax(sim, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
+             k: int = 10, n_lists: int = 16, n_probe: int = 4,
+             seed: int = SEED) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid (Catalyst argmax over dot products), scan only the n_probe
+    lists closest to the query. The inverted-file scale path: work per
+    query drops to ~n_probe/n_lists of the corpus."""
+    cent = ivf_centroids(df, id_col, vec_col, n_lists=n_lists, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cent @ qn))[:n_probe].tolist()
+
+    # distributed assignment in ONE expression: transform over the
+    # centroid-matrix literal computes all dots, array_position of the
+    # max picks the list (a per-centroid when-chain blows up Catalyst's
+    # expression tree at 16 lists x 64 dims)
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in c]) for c in cent])
+    vecd = F.col(vec_col).cast("array<double>")
+    sims = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(F.zip_with(vecd, c, lambda a, b: a * b),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    assigned = df.withColumn(
+        "_list", F.array_position(sims, F.array_max(sims)) - 1)
+    cand = assigned.filter(F.col("_list").isin(probe))
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (cand.withColumn("cos", _cosine(vec_col, qlit))
+            .orderBy(F.desc("cos"), F.asc(id_col))
+            .limit(k)
+            .select(F.col(id_col), F.round("cos", 5).alias("cos")))
+
+
 def lsh_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
              k: int = 10, bits: int = 8, seed: int = SEED) -> DataFrame:
     """Approximate cosine top-k: search the query's LSH bucket, widening

@@ -80,6 +80,24 @@ def test_embedding_neardup_and_topk(spark):
     assert [r.vec_id for r in top] == [0, 1]
 
 
+def test_ivf_topk_contains_exact_top1(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[17]]
+    got = [r.vec_id for r in
+           similarity.ivf_topk(df, "vec_id", "embedding", q, 5,
+                               n_lists=8, n_probe=3).collect()]
+    assert got[0] == 17  # the query's own vector lives in its probe list
+    # deterministic
+    got2 = [r.vec_id for r in
+            similarity.ivf_topk(df, "vec_id", "embedding", q, 5,
+                                n_lists=8, n_probe=3).collect()]
+    assert got == got2
+
+
 def test_lsh_topk_contains_exact_top1(spark):
     rng = np.random.default_rng(7)
     vecs = rng.standard_normal((100, 16))
