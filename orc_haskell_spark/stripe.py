@@ -164,6 +164,27 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
             streams[f"item.{k}"] = v
         return {"kind": "list", "lcodec": lcodec, "child": cmeta}, streams
 
+    if pa.types.is_map(typ):
+        # reference MAP layout: LENGTH = entries per map, then key and
+        # value child columns (src/Orc/Serial/Binary/Striped.hs:399-426)
+        n = len(arr)
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1,
+                            offset=arr.offset * 4).astype(np.int64)
+        lengths = np.diff(off)
+        keys = arr.keys[off[0]: off[-1]] if n else arr.keys[:0]
+        items = arr.items[off[0]: off[-1]] if n else arr.items[:0]
+        lcodec, lstream = _encode_uint_stream(lengths.view(np.uint64), cfg)
+        kmeta, kstreams = encode_column(f"{name}.key", keys, cfg, cache)
+        vmeta, vstreams = encode_column(f"{name}.value", items, cfg, cache)
+        streams = {"LENGTH": lstream}
+        for k, v in kstreams.items():
+            streams[f"key.{k}"] = v
+        for k, v in vstreams.items():
+            streams[f"value.{k}"] = v
+        return ({"kind": "map", "lcodec": lcodec, "key": kmeta,
+                 "value": vmeta}, streams)
+
     if pa.types.is_struct(typ):
         streams: dict[str, bytes] = {}
         children = []
@@ -309,6 +330,19 @@ def _decode_values(meta: dict, streams: dict[str, bytes], n: int,
         limbs[:, 1] = hi.view(np.uint64)
         return pa.Array.from_buffers(
             typ, n, [None, pa.py_buffer(limbs.tobytes())])
+
+    if kind == "map":
+        lengths = _decode_uint_stream(_buf(streams["LENGTH"]), meta["lcodec"])[:n]
+        kstreams = {k[len("key."):]: v for k, v in streams.items()
+                    if k.startswith("key.")}
+        vstreams = {k[len("value."):]: v for k, v in streams.items()
+                    if k.startswith("value.")}
+        keys = decode_column(meta["key"], kstreams, typ.key_type)
+        items = decode_column(meta["value"], vstreams, typ.item_type)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths.astype(np.int64), out=off[1:])
+        return pa.MapArray.from_arrays(
+            pa.array(off.astype(np.int32)), keys, items, type=typ)
 
     if kind == "struct":
         arrays = []

@@ -124,6 +124,16 @@ def test_timestamp_extremes():
     roundtrip(batch)
 
 
+def test_map_column():
+    batch = pa.RecordBatch.from_pydict({
+        "m": pa.array([{"a": 1, "b": 2}, {}, None, {"c": 3}] * 50,
+                      pa.map_(pa.string(), pa.int64())),
+        "deep": pa.array([{"k": [1.5, 2.5]}, None] * 100,
+                         pa.map_(pa.string(), pa.list_(pa.float64()))),
+    })
+    roundtrip(batch)
+
+
 def test_struct_column():
     n = 300
     batch = pa.RecordBatch.from_pydict({
