@@ -345,17 +345,26 @@ WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
   FROM documents
 ), toksf AS (SELECT * FROM toks WHERE length(token) > 0),
-sizes AS (SELECT doc_id, count(*) AS sz FROM toksf GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM toksf a JOIN toksf b USING (token)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+dfreq AS (SELECT token, count(*) AS df_tok FROM toksf GROUP BY token),
+rare AS (
+  SELECT t.doc_id, t.token FROM toksf t JOIN dfreq USING (token)
+  WHERE df_tok <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b USING (token) WHERE a.doc_id < b.doc_id),
+sets AS (
+  SELECT doc_id,
+    list_filter(list_distinct(string_split_regex(text, '\s+')),
+                t -> length(t) > 0) AS tk
+  FROM documents)
 SELECT id_a, id_b,
-  round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jacc
-FROM shared
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8"""
+  round(len(list_intersect(sa.tk, sb.tk)) * 1.0 /
+    (len(sa.tk) + len(sb.tk) - len(list_intersect(sa.tk, sb.tk))), 6) AS jacc
+FROM cand
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.tk, sb.tk)) * 1.0 /
+    (len(sa.tk) + len(sb.tk) - len(list_intersect(sa.tk, sb.tk))) >= 0.8"""
     o["dedup_minhash_documents"] = r"""
 WITH sh AS (
   SELECT doc_id, list_distinct(list_transform(
@@ -413,7 +422,7 @@ SELECT doc_id, md5(text) AS md5,
   CAST(greatest(length(text) - 16, 0) + 1 AS INT) AS n_shingles
 FROM documents"""
     o["salted_lang_stats"] = (
-        "SELECT lang, count(doc_id) AS docs, sum(n_chars) AS chars, "
+        "SELECT lang, count(doc_id) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, "
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
         "FROM documents GROUP BY lang")
     o["text_bpe_tokens_documents"] = r"""

@@ -41,28 +41,44 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        threshold: float = 0.5, max_df: int = 10**9) -> DataFrame:
-    """Exact token-set Jaccard over all pairs via an inverted-index join.
+                        threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
+    """Token-set Jaccard near-dup pairs via a document-frequency-capped
+    inverted-index join, exactly verified.
 
     Returns (id_a, id_b, jacc) with id_a < id_b and jacc >= threshold.
-    ``max_df`` drops tokens present in more than that many documents
-    before the join (stop-token cut; affects candidate generation only
-    when a pair shares *only* ultra-common tokens).
+
+    Scale shape: candidate pairs come from tokens present in at most
+    ``max_df`` documents (the classic stop-token cut — a token like
+    "the" with df = N would otherwise contribute O(df^2) candidates);
+    each candidate is then verified with the exact Jaccard over the
+    *full* (uncapped) token sets, so reported jacc values are exact and
+    there are no false positives. The only approximation is recall: a
+    pair sharing exclusively ultra-common tokens (every shared token in
+    > max_df docs) produces no candidate. ``max_df=None`` is the
+    documented exact-mode escape hatch (uncapped index; small tables
+    only — O(df^2) on the hottest token).
     """
-    t = tokens(df, id_col, text_col).cache()
-    sizes = t.groupBy(id_col).agg(F.count("*").alias("sz"))
-    dfreq = t.groupBy("token").agg(F.count("*").alias("df_tok"))
-    t2 = t.join(F.broadcast(dfreq.filter(F.col("df_tok") <= max_df)), "token")
-    a = t2.select(F.col(id_col).alias("id_a"), "token")
-    b = t2.select(F.col(id_col).alias("id_b"), "token")
-    shared = (a.join(b, "token")
-              .filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
-    return (shared
-            .join(F.broadcast(sizes.selectExpr(f"{id_col} as id_a", "sz as sz_a")), "id_a")
-            .join(F.broadcast(sizes.selectExpr(f"{id_col} as id_b", "sz as sz_b")), "id_b")
-            .withColumn("jacc", F.col("inter")
-                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    t = tokens(df, id_col, text_col)
+    if max_df is not None:
+        dfreq = t.groupBy("token").agg(F.count("*").alias("df_tok"))
+        t = t.join(F.broadcast(dfreq.filter(F.col("df_tok") <= max_df)),
+                   "token").select(id_col, "token")
+    cand = (t.selectExpr(f"{id_col} as id_a", "token")
+            .join(t.selectExpr(f"{id_col} as id_b", "token"), "token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+    tk = df.select(
+        F.col(id_col),
+        F.filter(F.array_distinct(F.split(F.col(text_col), TOKEN_SPLIT)),
+                 lambda x: F.length(x) > 0).alias("tk"))
+    return (cand
+            .join(tk.selectExpr(f"{id_col} as id_a", "tk as tk_a"), "id_a")
+            .join(tk.selectExpr(f"{id_col} as id_b", "tk as tk_b"), "id_b")
+            .withColumn("inter", F.size(F.array_intersect("tk_a", "tk_b")))
+            .withColumn("jacc", F.col("inter") / (
+                F.size("tk_a") + F.size("tk_b") - F.col("inter")))
             .filter(F.col("jacc") >= threshold)
             .select("id_a", "id_b", F.round("jacc", 6).alias("jacc")))
 
@@ -163,11 +179,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3, verify_jaccard: float = 0.5,
-                  n_bands: int = 4) -> DataFrame:
+                  n_bands: int | None = None) -> DataFrame:
     """SimHash near-dup candidates via banded blocking (n_bands equal
     bit-slices of the 64-bit hash; pigeonhole guarantees catching every
     pair with hamming < n_bands), verified by hamming distance and true
-    token Jaccard."""
+    token Jaccard.
+
+    n_bands defaults to the smallest power-of-two divisor of 64 that
+    is > max_hamming, so recall of the banded join is exact for the
+    requested hamming radius. An explicit n_bands <= max_hamming would
+    silently drop qualifying pairs and is rejected.
+    """
+    if n_bands is None:
+        n_bands = next(b for b in (1, 2, 4, 8, 16, 32, 64)
+                       if b > max_hamming)
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall for "
+            f"max_hamming={max_hamming}; need n_bands > max_hamming")
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     s = simhash(df, id_col, text_col).cache()
@@ -202,12 +233,105 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "hamming", F.round("jacc", 6).alias("jacc")))
 
 
-def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                            threshold: float = 0.98) -> DataFrame:
-    """Embedding-cosine near-duplicates (brute-force pairwise).
+def _lsh_band_plan(threshold: float, max_planes: int = 128,
+                   target_miss: float = 1e-9) -> tuple[int, int]:
+    """Size hyperplane-LSH bands for recall at a cosine threshold.
 
-    For 100 TB use the LSH-bucketed variant in similarity.py to bound the
-    join; this exact form is the verifier and the small-table path.
+    p = P(two vectors at cosine exactly ``threshold`` agree on one
+    random hyperplane sign) = 1 - acos(threshold)/pi. Pick the largest
+    band width b (more pruning) such that the band count n needed for
+    per-pair miss probability <= target_miss fits in max_planes total
+    bits. Pairs above the threshold have higher p, so this is the
+    worst-case miss. Returns (band_bits, n_bands).
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    best = None
+    for b in range(1, 33):
+        pb = p ** b
+        if pb >= 1.0:
+            return b, 1
+        n = math.ceil(math.log(target_miss) / math.log(1.0 - pb))
+        if b * n <= max_planes:
+            best = (b, n)
+    if best is None:
+        # threshold too loose for the plane budget: one-bit bands, as
+        # many as fit (recall still >= 1 - (1-p)^max_planes)
+        best = (1, max_planes)
+    return best
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                            threshold: float = 0.98, dim: int | None = None,
+                            seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicates via banded hyperplane LSH,
+    exactly verified.
+
+    The 100 TB shape (same as minhash_lsh_pairs): each vector gets a
+    deterministic sign-bit signature over seeded Gaussian hyperplanes;
+    signatures are sliced into bands sized by _lsh_band_plan so a
+    qualifying pair collides in >= 1 band with probability
+    >= 1 - 1e-9; the banded equi-join shuffles O(docs x bands) small
+    rows; candidates are verified with the exact cosine, so the output
+    has no false positives. Compare the reference's whole-engine
+    pattern of exact verification after a probabilistic index
+    (/root/reference has no ANN analog; this is a pipeline addition).
+
+    For the all-pairs exact verifier (small tables / tests) use
+    embedding_neardup_pairs_exact.
+    """
+    from orc_haskell_spark.pipeline.similarity import hyperplanes
+
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    band_bits, n_bands = _lsh_band_plan(threshold)
+    planes = hyperplanes(dim, band_bits * n_bands, seed)
+    planes_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in p]) for p in planes])
+    vecd = F.col(vec_col).cast("array<double>")
+    bits = F.transform(
+        planes_lit,
+        lambda c: F.when(
+            F.aggregate(F.zip_with(vecd, c, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x) > 0,
+            F.lit("1")).otherwise(F.lit("0")))
+    sig = df.select(F.col(id_col), bits.alias("_bits"))
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{j}|"),
+                     F.concat_ws("", F.slice(F.col("_bits"),
+                                             j * band_bits + 1, band_bits)))
+            for j in range(n_bands)
+        ])).alias("band"))
+    cand = (banded.alias("x").join(banded.alias("y"), "band")
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("id_a"),
+                    F.col(f"y.{id_col}").alias("id_b"))
+            .distinct())
+    vecs = df.select(F.col(id_col), vecd.alias("v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    return (cand
+            .join(vecs.selectExpr(f"{id_col} as id_a", "v as v_a"), "id_a")
+            .join(vecs.selectExpr(f"{id_col} as id_b", "v as v_b"), "id_b")
+            .withColumn("cos", dot / (norm("v_a") * norm("v_b")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 5).alias("cos")))
+
+
+def embedding_neardup_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
+                                  threshold: float = 0.98) -> DataFrame:
+    """Embedding-cosine near-duplicates, brute-force all pairs.
+
+    The small-table verifier for embedding_neardup_pairs (tests compare
+    the LSH path against this for recall=1). O(n^2) — never the 100 TB
+    path.
     """
     dot = F.aggregate(
         F.zip_with(F.col("v_a"), F.col("v_b"), lambda a, b: a * b),

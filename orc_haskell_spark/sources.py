@@ -12,17 +12,27 @@ through Catalyst's DataSourceV2; nothing in the engine changes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 
 def read_table(spark: SparkSession, source: str) -> DataFrame:
     """Read an input table: catalog name (e.g. 'crawl.pages') or a
     parquet path. Iceberg tables resolve through the catalog when the
-    iceberg-spark-runtime jar is present."""
+    iceberg-spark-runtime jar is present.
+
+    Only TABLE_OR_VIEW_NOT_FOUND falls through to the parquet path: a
+    genuine catalog error (permissions, bad snapshot, misconfigured
+    Iceberg) must surface as itself, not as an unrelated 'parquet path
+    not found'.
+    """
     if "/" not in source and "\\" not in source:
         try:
             return spark.read.table(source)
-        except Exception:
-            pass
+        except AnalysisException as e:
+            cond = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
+            if "TABLE_OR_VIEW_NOT_FOUND" not in cond and \
+                    "cannot be found" not in str(e):
+                raise
     return spark.read.parquet(source)
 
 

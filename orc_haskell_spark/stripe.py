@@ -131,6 +131,10 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
         return {"kind": "int", "codec": codec}, {"DATA": data}
 
     if pa.types.is_floating(typ):
+        # decode assumes f4/f8 raw LE; refuse float16 at encode time so a
+        # corrupt stripe is never persisted
+        if not (pa.types.is_float32(typ) or pa.types.is_float64(typ)):
+            raise NotImplementedError(f"float type {typ} not supported (f4/f8 only)")
         vals = np.asarray(arr)
         return {"kind": "float"}, {"DATA": vals.astype(vals.dtype.newbyteorder("<")).tobytes()}
 
@@ -196,6 +200,11 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
         return {"kind": "struct", "children": children}, streams
 
     if pa.types.is_decimal(typ):
+        # the limb extraction below reads 2 uint64 limbs at 16-byte
+        # offsets — decimal128 layout only; decimal256 must fail at
+        # encode time, not decode time
+        if not pa.types.is_decimal128(typ):
+            raise NotImplementedError(f"decimal type {typ} not supported (decimal128 only)")
         # reference stores unbounded varint mantissas + per-value scale
         # (src/Orc/Serial/Binary/Striped.hs:359-365); Spark scales are
         # fixed per column, so we RLE the mantissa limbs instead: lo/hi

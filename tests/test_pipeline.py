@@ -80,6 +80,27 @@ def test_embedding_neardup_and_topk(spark):
     assert [r.vec_id for r in top] == [0, 1]
 
 
+def test_embedding_lsh_matches_exact_verifier(spark):
+    """Driver config (threshold=0.3) on the real embeddings table: the
+    banded-LSH path must return exactly the pairs the all-pairs
+    verifier returns (recall sized to ~1e-9 per-pair miss)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = _pairs(dedup.embedding_neardup_pairs(df, "vec_id", "embedding", 0.3))
+    exact = _pairs(dedup.embedding_neardup_pairs_exact(
+        df, "vec_id", "embedding", 0.3))
+    assert lsh == exact
+
+
+def test_embedding_lsh_plan_has_no_cartesian(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = dedup.embedding_neardup_pairs(df, "vec_id", "embedding", 0.3)
+    plan = pairs._jdf.queryExecution().explainString(
+        pairs.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_topk_contains_exact_top1(spark):
     rng = np.random.default_rng(3)
     vecs = rng.standard_normal((200, 16))
