@@ -118,8 +118,16 @@ def encode_to_dir(df, path: str, partition_key="url", num_partitions: int = 32,
 
     enc = repartitioned.mapInArrow(encode_with_part, engine.ENCODED_DDL)
     spath = os.path.join(path, "stripes")
+    # Crash-safety: stripes land before their manifest rows, so a driver
+    # crash in that window leaves committed stripes with no manifest.
+    # The re-run sees the part as not-done and encodes it again —
+    # dynamic partition overwrite makes that REPLACE the orphan
+    # part_id=N directory instead of appending duplicate stripes, so
+    # the two-step commit is idempotent.
     # blobs are already block-compressed: parquet re-compression off
-    enc.write.mode("append").option("compression", "uncompressed") \
+    enc.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .option("compression", "uncompressed") \
         .partitionBy("part_id").parquet(spath)
 
     # manifest: directory + metrics + lineage, appended per run

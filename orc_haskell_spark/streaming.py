@@ -49,7 +49,14 @@ def stream_encode(stream_df: DataFrame, path: str,
         enc = engine.encode_table(batch_df, stripe_rows=stripe_rows,
                                   config=config)
         enc = enc.withColumn("batch_id", F.lit(batch_id))
-        (enc.write.mode("append").option("compression", "uncompressed")
+        # stripes land before the ledger row; a crash in that window
+        # leaves orphan stripes for this batch_id. Partitioning by
+        # batch_id with dynamic overwrite makes the replay REPLACE them
+        # (idempotent), and readers additionally filter by the ledger.
+        (enc.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "uncompressed")
+            .partitionBy("batch_id")
             .parquet(spath))
         row = (spark.createDataFrame([(batch_id,)], "batch_id bigint")
                .withColumn("committed_at", F.current_timestamp()))
@@ -80,7 +87,15 @@ def windowed_event_counts(stream_df: DataFrame, ts_col: str = "ts",
 
 
 def read_stream_encoded(spark, path: str):
-    return spark.read.parquet(os.path.join(path, "stripes"))
+    """Committed stripes only: the ledger is the source of truth, so
+    stripes whose batch_id never reached the ledger (crash between the
+    stripe write and the ledger append) are invisible to readers. The
+    ledger is one row per micro-batch — the semi-join broadcasts."""
+    stripes = spark.read.parquet(os.path.join(path, "stripes"))
+    ledger = spark.read.parquet(os.path.join(path, "ledger"))
+    return stripes.join(
+        F.broadcast(ledger.select("batch_id").distinct()),
+        "batch_id", "left_semi")
 
 
 def decode_stream(spark, path: str, schema) -> DataFrame:

@@ -66,3 +66,27 @@ def test_sigkill_mid_encode_then_resume(spark, tmp_path):
     assert dec.count() == 6000, "row count after kill+resume"
     assert dec.exceptAll(df).count() == 0
     assert df.exceptAll(dec).count() == 0
+
+
+def test_orphan_stripes_replaced_not_duplicated(spark, tmp_path):
+    """Crash window: stripes committed, manifest rows not. The re-run
+    must REPLACE the orphan stripes (dynamic partition overwrite), so
+    decoded output has no duplicate rows."""
+    import shutil
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "enc")
+    gen.pages_df(spark, 2000, 2).write.parquet(src)
+    df = spark.read.parquet(src)
+    manifest.encode_to_dir(df, out, partition_key="url",
+                           num_partitions=4, stripe_rows=500)
+    # simulate the crash: all stripes on disk, no manifest at all
+    shutil.rmtree(os.path.join(out, "manifest"))
+
+    r = manifest.encode_to_dir(df, out, partition_key="url",
+                               num_partitions=4, stripe_rows=500)
+    assert r["parts_encoded"] == 4  # everything re-ran...
+    enc = manifest.read_encoded(spark, out)
+    dec = engine.decode_table(enc.drop("part_id"), df.schema)
+    assert dec.count() == 2000  # ...and replaced, not appended
+    assert dec.exceptAll(df).count() == 0

@@ -48,3 +48,34 @@ def test_stream_encode_file_source(spark, tmp_path):
     q3.awaitTermination(120)
     dec2 = streaming.decode_stream(spark, out, schema)
     assert dec2.count() == 2500
+
+
+def test_orphan_stripes_invisible_without_ledger_row(spark, tmp_path):
+    """Crash window: stripes written, ledger row not. Readers must not
+    see the orphan batch (the ledger is the source of truth)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "encoded")
+    ckpt = str(tmp_path / "ckpt")
+    gen.pages_df(spark, 500, 1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = streaming.stream_encode(
+        spark.readStream.schema(schema).parquet(src), out,
+        checkpoint=ckpt, stripe_rows=250)
+    q.awaitTermination(120)
+    committed = streaming.decode_stream(spark, out, schema).count()
+    assert committed == 500
+
+    # simulate a crash that left stripes for batch 999 but no ledger row
+    spath = os.path.join(out, "stripes")
+    orphan = (spark.read.parquet(spath)
+              .withColumn("batch_id", F.lit(999)))
+    (orphan.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "uncompressed")
+        .partitionBy("batch_id").parquet(spath))
+
+    assert streaming.decode_stream(spark, out, schema).count() == committed
