@@ -133,9 +133,14 @@ def _dec_patched(buf, pos):
     data_bytes = (repeats * width + 7) // 8
     vals = unpack_width(buf[pos: pos + data_bytes], repeats, width)
     pos += data_bytes
-    patch_bytes = (pll * (patch_width + pgw) + 7) // 8
+    # entries are packed at closestFixedBits(pw + pgw), NOT the raw sum
+    # (C++/Java writers' convention; found by cross-decoding with the
+    # C++ implementation — both our encoder and mirror decoder had the
+    # raw-sum bug and hid it from each other)
+    entry_width = closest_width(patch_width + pgw)
+    patch_bytes = (pll * entry_width + 7) // 8
     if pll:
-        entries = unpack_width(buf[pos: pos + patch_bytes], pll, patch_width + pgw)
+        entries = unpack_width(buf[pos: pos + patch_bytes], pll, entry_width)
         gaps = entries >> np.uint64(patch_width)
         pvals = entries & ((_U1 << np.uint64(patch_width)) - _U1)
         idx = np.cumsum(gaps.astype(np.int64))
@@ -355,9 +360,13 @@ def _plan_patched_at(reduced, bl, width, base, base_width, n):
     if over.size > 31:
         return None
     if over.size == 0:
-        gaps = np.zeros(0, dtype=np.int64)
-        pvals = np.zeros(0, dtype=np.uint64)
-        entries = np.zeros(0, dtype=np.uint64)
+        # A zero-length patch list is rejected by the C++ reader
+        # ("Corrupt PATCHED_BASE (pl==0)") — found by cross-decoding our
+        # files with pyarrow. Emit one no-op patch (gap 0, value 0):
+        # readers OR 0 into the high bits of element 0, a no-op.
+        gaps = np.zeros(1, dtype=np.int64)
+        pvals = np.zeros(1, dtype=np.uint64)
+        entries = np.zeros(1, dtype=np.uint64)
         pw, pgw = 1, 1
     else:
         pvals = reduced[over] >> np.uint64(width)
@@ -385,7 +394,8 @@ def _plan_patched_at(reduced, bl, width, base, base_width, n):
     pll = int(entries.size)
     mask = np.uint64(0xFFFFFFFFFFFFFFFF) if width == 64 else (_U1 << np.uint64(width)) - _U1
     data = pack_width(reduced & mask, width)
-    patch_packed = pack_width(entries, pw + pgw) if pll else b""
+    # spec/impl convention: entries packed at closestFixedBits(pw+pgw)
+    patch_packed = pack_width(entries, closest_width(pw + pgw)) if pll else b""
     cost = 4 + base_width + len(data) + len(patch_packed)
     return {
         "cost": cost,

@@ -1,0 +1,371 @@
+"""Pure-Python ORC v1 file reader over the engine's codec kernels.
+
+The whole-file analog of the reference reader
+(/root/reference/src/Orc/Serial/Binary/Base.hs:78-159 `withOrcFileLifted`
+/ `checkOrcFile`): parse PostScript -> Footer -> per-stripe
+StripeFooter, then decode every column's streams (PRESENT / DATA /
+LENGTH / DICTIONARY_DATA / SECONDARY) with the same RLEv1/RLEv2 /
+byte-RLE / bit-pack / varint kernels the Spark engine uses. Produces
+pyarrow Tables; cross-validated against pyarrow's bundled C++ ORC
+implementation (the one orc-haskell declares compatibility with,
+/root/reference/optimised-row-columnar.cabal:8-11).
+
+Scale note: this module is deliberately single-file/driver-friendly;
+the distributed path is spark_source.read_orc_distributed, which fans
+stripes out to executors via mapInArrow (stripes are the reference's
+own parallelism unit: self-contained, ~64 MB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from orc_haskell_spark.codecs import (bitpack, byte_rle, rle1, rle2,
+                                      timestamps)
+from orc_haskell_spark.codecs.strings import (build_string_array,
+                                              dictionary_decode)
+from . import proto
+from .compression import decompress_stream
+
+ORC_EPOCH_SECONDS = 1420070400  # 2015-01-01 UTC, reference Time.hs:84-86
+
+_DATA_KINDS = ("PRESENT", "DATA", "LENGTH", "DICTIONARY_DATA", "SECONDARY")
+
+
+def parse_tail(tail: bytes) -> tuple[dict, dict]:
+    """(postscript, footer) from the file tail bytes."""
+    ps_len = tail[-1]
+    ps = proto.decode("PostScript", tail[-1 - ps_len:-1])
+    if ps.get("magic") != "ORC":
+        raise ValueError("not an ORC file (bad magic)")
+    comp = proto.COMPRESSION_NAME[ps.get("compression", 0)]
+    flen = ps["footerLength"]
+    raw = tail[-1 - ps_len - flen:-1 - ps_len]
+    footer = proto.decode("Footer", decompress_stream(raw, comp))
+    return ps, footer
+
+
+def arrow_type(types: list[dict], col: int) -> pa.DataType:
+    t = types[col]
+    kind = proto.KIND_NAME[t.get("kind", 0)]
+    if kind == "BOOLEAN":
+        return pa.bool_()
+    if kind == "BYTE":
+        return pa.int8()
+    if kind == "SHORT":
+        return pa.int16()
+    if kind == "INT":
+        return pa.int32()
+    if kind == "LONG":
+        return pa.int64()
+    if kind == "FLOAT":
+        return pa.float32()
+    if kind == "DOUBLE":
+        return pa.float64()
+    if kind in ("STRING", "VARCHAR", "CHAR"):
+        return pa.string()
+    if kind == "BINARY":
+        return pa.binary()
+    if kind == "TIMESTAMP":
+        return pa.timestamp("ns")
+    if kind == "TIMESTAMP_INSTANT":
+        return pa.timestamp("ns", tz="UTC")
+    if kind == "DATE":
+        return pa.date32()
+    if kind == "DECIMAL":
+        return pa.decimal128(t.get("precision", 38), t.get("scale", 0))
+    if kind == "LIST":
+        return pa.list_(arrow_type(types, t["subtypes"][0]))
+    if kind == "MAP":
+        return pa.map_(arrow_type(types, t["subtypes"][0]),
+                       arrow_type(types, t["subtypes"][1]))
+    if kind == "STRUCT":
+        return pa.struct([
+            pa.field(name, arrow_type(types, sub))
+            for name, sub in zip(t.get("fieldNames", []),
+                                 t.get("subtypes", []))])
+    raise NotImplementedError(f"ORC type {kind} not supported")
+
+
+def arrow_schema(footer: dict) -> pa.Schema:
+    root = arrow_type(footer["types"], 0)
+    if not pa.types.is_struct(root):
+        raise ValueError("ORC root type must be STRUCT")
+    return pa.schema(list(root))
+
+
+def _int_rle(buf: bytes, enc: str, signed: bool) -> np.ndarray:
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if enc in ("DIRECT_V2", "DICTIONARY_V2"):
+        return rle2.decode(arr, signed)
+    return rle1.decode(arr, signed)
+
+
+def _present_mask(streams: dict, n: int) -> np.ndarray | None:
+    """Validity (True = non-null) for n values, or None if no PRESENT."""
+    buf = streams.get("PRESENT")
+    if buf is None:
+        return None
+    bytes_ = byte_rle.decode(np.frombuffer(buf, dtype=np.uint8))
+    return bitpack.unpack_bools(bytes_, n)
+
+
+class _StripeReader:
+    def __init__(self, types: list[dict], encodings: list[dict],
+                 streams: dict[tuple[int, str], bytes], n_rows: int,
+                 tz: str):
+        self.types = types
+        self.encodings = encodings
+        self.streams = streams
+        self.n_rows = n_rows
+        self.tz = tz
+
+    def column(self, col: int, n: int) -> pa.Array:
+        """Decode column `col` producing n entries (parent-present)."""
+        t = self.types[col]
+        kind = proto.KIND_NAME[t.get("kind", 0)]
+        enc = proto.ENCODING_NAME[self.encodings[col].get("kind", 0)]
+        st = {k: v for (c, k), v in self.streams.items() if c == col}
+        valid = _present_mask(st, n)
+        m = n if valid is None else int(valid.sum())
+        null_mask = None if valid is None else ~valid
+
+        def expand(vals: np.ndarray, fill=0) -> np.ndarray:
+            if valid is None:
+                return vals
+            out = np.full(n, fill, dtype=vals.dtype)
+            out[valid] = vals
+            return out
+
+        typ = arrow_type(self.types, col)
+
+        if kind == "STRUCT":
+            children, names = [], t.get("fieldNames", [])
+            for sub in t.get("subtypes", []):
+                children.append(self.column(sub, m if valid is None else m))
+            # children carry entries only where the struct is present
+            if valid is not None:
+                children = [_expand_array(c, valid) for c in children]
+            return pa.StructArray.from_arrays(
+                children, names=names,
+                mask=pa.array(null_mask) if null_mask is not None else None)
+
+        if kind in ("LIST", "MAP"):
+            lengths = _int_rle(st["LENGTH"], enc, signed=False)[:m]
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            if valid is None:
+                np.cumsum(lengths, out=offsets[1:])
+            else:
+                per = np.zeros(n, dtype=np.int64)
+                per[valid] = lengths
+                np.cumsum(per, out=offsets[1:])
+            n_child = int(offsets[-1])
+            if kind == "LIST":
+                child = self.column(t["subtypes"][0], n_child)
+                off = pa.array(offsets.astype(np.int32))
+                arr = pa.ListArray.from_arrays(
+                    off, child,
+                    mask=pa.array(null_mask) if null_mask is not None else None)
+                return arr
+            keys = self.column(t["subtypes"][0], n_child)
+            items = self.column(t["subtypes"][1], n_child)
+            if null_mask is not None and null_mask.any():
+                raise NotImplementedError("null MAP entries not supported")
+            return pa.MapArray.from_arrays(
+                pa.array(offsets.astype(np.int32)), keys, items)
+
+        if kind == "BOOLEAN":
+            bytes_ = byte_rle.decode(np.frombuffer(st["DATA"], np.uint8))
+            vals = bitpack.unpack_bools(bytes_, m)
+            return pa.array(expand(vals, False),
+                            type=pa.bool_(), mask=null_mask)
+
+        if kind == "BYTE":
+            vals = byte_rle.decode(np.frombuffer(st["DATA"], np.uint8))[:m]
+            return pa.array(expand(vals.view(np.int8)), type=pa.int8(),
+                            mask=null_mask)
+
+        if kind in ("SHORT", "INT", "LONG"):
+            vals = _int_rle(st["DATA"], enc, signed=True)[:m]
+            return pa.array(expand(vals), type=pa.int64(),
+                            mask=null_mask).cast(typ)
+
+        if kind == "DATE":
+            vals = _int_rle(st["DATA"], enc, signed=True)[:m]
+            return pa.array(expand(vals.astype(np.int32)),
+                            type=pa.date32(), mask=null_mask)
+
+        if kind in ("FLOAT", "DOUBLE"):
+            dt = np.dtype("<f4") if kind == "FLOAT" else np.dtype("<f8")
+            vals = np.frombuffer(st["DATA"], dtype=dt, count=m)
+            return pa.array(expand(vals), type=typ, mask=null_mask)
+
+        if kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+            if kind == "TIMESTAMP" and self.tz not in ("UTC", "GMT", ""):
+                raise NotImplementedError(
+                    f"writer timezone {self.tz!r}: only UTC/GMT wall "
+                    f"timestamps supported")
+            secs = _int_rle(st["DATA"], enc, signed=True)[:m]
+            nanos = _decode_nanos_signed(
+                _int_rle(st["SECONDARY"], enc, signed=False)[:m])
+            secs = secs + ORC_EPOCH_SECONDS
+            # Java-writer convention: non-negative nanos with
+            # truncated-toward-zero seconds, so pre-1970 values with
+            # sub-second digits need one second subtracted. (C++ files
+            # store negative nanos instead — no adjustment fires.)
+            secs = secs - ((secs < 0) & (nanos > 0))
+            ns = secs * 1_000_000_000 + nanos
+            return pa.array(expand(ns), type=pa.int64(),
+                            mask=null_mask).cast(typ)
+
+        if kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
+            base = pa.binary() if kind == "BINARY" else pa.string()
+            if enc in ("DICTIONARY", "DICTIONARY_V2"):
+                idx = _int_rle(st["DATA"], enc, signed=False)[:m]
+                dlen = _int_rle(st["LENGTH"], enc, signed=False)
+                ddata = np.frombuffer(st.get("DICTIONARY_DATA", b""),
+                                      np.uint8)
+                vals = dictionary_decode(idx.astype(np.int64), dlen, ddata,
+                                         base)
+            else:
+                lens = _int_rle(st["LENGTH"], enc, signed=False)[:m]
+                data = np.frombuffer(st["DATA"], np.uint8)
+                vals = build_string_array(data, lens, base)
+            if valid is not None:
+                vals = _expand_array(vals, valid)
+                return _with_validity(vals, ~null_mask)
+            return vals
+
+        if kind == "DECIMAL":
+            scale = t.get("scale", 0)
+            mantissa = _decode_decimal_mantissas(st["DATA"], m)
+            # SECONDARY carries per-value scales; with a fixed column
+            # scale they all equal t.scale, but honor them anyway
+            scales = _int_rle(st["SECONDARY"], enc, signed=True)[:m]
+            import decimal as _d
+
+            py = [_d.Decimal(int(v)).scaleb(int(-s)).quantize(
+                      _d.Decimal(1).scaleb(-scale))
+                  for v, s in zip(mantissa, scales)]
+            vals = pa.array(py, type=typ)
+            if valid is not None:
+                vals = _expand_array(vals, valid)
+                return _with_validity(vals, ~null_mask)
+            return vals
+
+        raise NotImplementedError(f"ORC column kind {kind}")
+
+
+def _decode_nanos_signed(raw: np.ndarray) -> np.ndarray:
+    """ORC nano decode tolerating the C++ writer's signed remainders.
+
+    The C++ writer decomposes t into (trunc seconds, remainder nanos),
+    so pre-1970 sub-second values carry NEGATIVE nanos in two's
+    complement through the 'unsigned' RLE stream. Arithmetic shift +
+    low-3-bit zero count decodes both signs.
+    """
+    v = raw.astype(np.int64)
+    zeros = (v & 7).astype(np.int64)
+    base = v >> 3
+    # code k>0 means k+1 trailing decimal zeros were stripped
+    # (golden: 0x0a -> base 1, code 2 -> 1000)
+    mul = np.array([1] + [10 ** (k + 2) for k in range(7)], dtype=np.int64)
+    return base * mul[zeros]
+
+
+def _decode_decimal_mantissas(buf: bytes, m: int) -> list[int]:
+    """Unbounded zigzag base-128 varints (python ints: may exceed 64b)."""
+    out, pos = [], 0
+    for _ in range(m):
+        shift, acc = 0, 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        out.append((acc >> 1) ^ -(acc & 1))
+    return out
+
+
+def _expand_array(arr: pa.Array, valid: np.ndarray) -> pa.Array:
+    """Scatter m present values into n slots (None where absent)."""
+    idx = np.full(valid.size, -1, dtype=np.int64)
+    idx[valid] = np.arange(int(valid.sum()))
+    take = pa.array(idx, type=pa.int64())
+    take = pa.compute.if_else(pa.array(valid), take, pa.nulls(valid.size, pa.int64()))
+    return arr.take(take)
+
+
+def _with_validity(arr: pa.Array, valid: np.ndarray) -> pa.Array:
+    return pa.compute.if_else(pa.array(valid), arr, pa.nulls(len(arr), arr.type))
+
+
+def read_stripe_tables(data: bytes, info: dict, footer: dict,
+                       comp: str) -> pa.RecordBatch:
+    """Decode one stripe given its raw bytes (offset already applied)."""
+    flen = info["footerLength"]
+    sfoot = proto.decode("StripeFooter",
+                         decompress_stream(data[-flen:], comp))
+    streams: dict[tuple[int, str], bytes] = {}
+    pos = 0
+    for s in sfoot.get("streams", []):
+        kind = proto.STREAM_KIND_NAME[s.get("kind", 0)]
+        col = s.get("column", 0)
+        ln = s.get("length", 0)
+        if kind in _DATA_KINDS:
+            streams[(col, kind)] = decompress_stream(
+                data[pos:pos + ln], comp)
+        pos += ln
+    encodings = sfoot.get("columns", [])
+    n_rows = info["numberOfRows"]
+    rd = _StripeReader(footer["types"], encodings, streams, n_rows,
+                       sfoot.get("writerTimezone", ""))
+    root = footer["types"][0]
+    arrays = [rd.column(sub, n_rows) for sub in root.get("subtypes", [])]
+    schema = arrow_schema(footer)
+    arrays = [a.cast(f.type) if a.type != f.type else a
+              for a, f in zip(arrays, schema)]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+class ORCFile:
+    """Random-access ORC reader (file path or bytes)."""
+
+    def __init__(self, source):
+        if isinstance(source, (bytes, bytearray)):
+            self._buf = bytes(source)
+        else:
+            with open(source, "rb") as f:
+                self._buf = f.read()
+        tail = self._buf[-min(len(self._buf), 16 * 1024 * 1024):]
+        self.postscript, self.footer = parse_tail(tail)
+        self.compression = proto.COMPRESSION_NAME[
+            self.postscript.get("compression", 0)]
+        self.schema = arrow_schema(self.footer)
+        self.stripes = self.footer.get("stripes", [])
+        self.num_rows = self.footer.get("numberOfRows", 0)
+
+    def read_stripe(self, i: int) -> pa.RecordBatch:
+        info = self.stripes[i]
+        start = info["offset"]
+        end = start + info.get("indexLength", 0) + info["dataLength"] \
+            + info["footerLength"]
+        # skip the index region: data streams start after indexLength,
+        # but stream offsets in read_stripe_tables are walked from the
+        # start of the stream list, which includes ROW_INDEX entries —
+        # pass the full stripe slice
+        return read_stripe_tables(self._buf[start:end], info, self.footer,
+                                  self.compression)
+
+    def read(self) -> pa.Table:
+        if not self.stripes:
+            return self.schema.empty_table()
+        return pa.Table.from_batches(
+            [self.read_stripe(i) for i in range(len(self.stripes))])
+
+
+def read_orc(source) -> pa.Table:
+    return ORCFile(source).read()

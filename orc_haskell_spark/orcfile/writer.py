@@ -1,0 +1,380 @@
+"""Pure-Python ORC v1 file writer over the engine's codec kernels.
+
+Produces real .orc files readable by the C++ ORC implementation
+(pyarrow) — the strongest possible oracle for the encode kernels: every
+RLEv2 sub-mode (short-repeat / direct / patched-base / delta), byte-RLE,
+bit-packed booleans, string DIRECT_V2 / sorted DICTIONARY_V2, timestamp
+second+nano split and decimal varints are decoded by an independent
+implementation, not our own mirror decoder.
+
+The reference only READS ORC files plus re-serializes logical tables
+(/root/reference/src/Orc/Serial/Binary/Base.hs, putOrcFile in
+Striped.hs:700-800); a conforming writer is strictly more than parity.
+
+Layout written: "ORC" header, stripes (data streams + stripe footer;
+row indexes disabled via rowIndexStride=0), file footer with minimal
+per-column statistics, postscript, postscript length byte.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from orc_haskell_spark.codecs import byte_rle, rle2
+from orc_haskell_spark.codecs.bitpack import pack_bools
+from orc_haskell_spark.codecs.strings import (dictionary_encode_sorted,
+                                              string_parts)
+from . import proto
+from .compression import compress_stream
+from .reader import ORC_EPOCH_SECONDS
+
+MAGIC = b"ORC"
+
+
+# ------------------------------------------------------------- schema
+
+def _build_types(schema_or_type, types: list[dict]) -> int:
+    """Append the ORC Type tree (pre-order) and return this node's id."""
+    my_id = len(types)
+    t: dict = {}
+    types.append(t)
+
+    if isinstance(schema_or_type, pa.Schema):
+        t["kind"] = proto.KIND["STRUCT"]
+        t["subtypes"], t["fieldNames"] = [], []
+        for field in schema_or_type:
+            t["fieldNames"].append(field.name)
+            t["subtypes"].append(_build_types(field.type, types))
+        return my_id
+
+    typ = schema_or_type
+    if pa.types.is_boolean(typ):
+        t["kind"] = proto.KIND["BOOLEAN"]
+    elif pa.types.is_int8(typ):
+        t["kind"] = proto.KIND["BYTE"]
+    elif pa.types.is_int16(typ):
+        t["kind"] = proto.KIND["SHORT"]
+    elif pa.types.is_int32(typ):
+        t["kind"] = proto.KIND["INT"]
+    elif pa.types.is_int64(typ):
+        t["kind"] = proto.KIND["LONG"]
+    elif pa.types.is_float32(typ):
+        t["kind"] = proto.KIND["FLOAT"]
+    elif pa.types.is_float64(typ):
+        t["kind"] = proto.KIND["DOUBLE"]
+    elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        t["kind"] = proto.KIND["STRING"]
+    elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        t["kind"] = proto.KIND["BINARY"]
+    elif pa.types.is_timestamp(typ):
+        t["kind"] = proto.KIND[
+            "TIMESTAMP_INSTANT" if typ.tz else "TIMESTAMP"]
+    elif pa.types.is_date32(typ):
+        t["kind"] = proto.KIND["DATE"]
+    elif pa.types.is_decimal128(typ):
+        t["kind"] = proto.KIND["DECIMAL"]
+        t["precision"], t["scale"] = typ.precision, typ.scale
+    elif pa.types.is_list(typ):
+        t["kind"] = proto.KIND["LIST"]
+        t["subtypes"] = [_build_types(typ.value_type, types)]
+    elif pa.types.is_map(typ):
+        t["kind"] = proto.KIND["MAP"]
+        t["subtypes"] = [_build_types(typ.key_type, types),
+                         _build_types(typ.item_type, types)]
+    elif pa.types.is_struct(typ):
+        t["kind"] = proto.KIND["STRUCT"]
+        t["subtypes"], t["fieldNames"] = [], []
+        for field in typ:
+            t["fieldNames"].append(field.name)
+            t["subtypes"].append(_build_types(field.type, types))
+    else:
+        raise NotImplementedError(f"arrow type {typ} not writable to ORC")
+    return my_id
+
+
+# ------------------------------------------------------------ encoding
+
+def _zigzag_varint_bytes(values) -> bytes:
+    """Unbounded zigzag base-128 varints (python ints, any magnitude)."""
+    out = bytearray()
+    for v in values:
+        z = (v << 1) if v >= 0 else ((-v << 1) - 1)
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def _encode_nanos_signed(nanos: np.ndarray) -> np.ndarray:
+    """Signed variant of the nano zero-suppression packing: strip
+    trailing decimal zeros from |n|, keep the sign on the shifted base
+    (two's complement travels through the 'unsigned' RLE unchanged,
+    exactly like the C++ writer)."""
+    n = np.ascontiguousarray(nanos, dtype=np.int64)
+    mag = np.abs(n)
+    stripped = mag.copy()
+    zeros = np.zeros(n.shape, dtype=np.int64)
+    for _ in range(9):
+        m = (stripped != 0) & (stripped % 10 == 0)
+        if not m.any():
+            break
+        stripped[m] //= 10
+        zeros[m] += 1
+    signed_base = np.where(n < 0, -stripped, stripped)
+    out = np.where(zeros > 1, (signed_base << 3) | (zeros - 1), n << 3)
+    out[n == 0] = 0
+    return out
+
+
+class _ColumnWriter:
+    """Encodes one stripe's worth of one column subtree."""
+
+    def __init__(self, types: list[dict], dict_ratio: float = 0.5):
+        self.types = types
+        self.dict_ratio = dict_ratio
+        self.streams: list[tuple[int, str, bytes]] = []  # (col, kind, raw)
+        self.encodings: dict[int, dict] = {}
+
+    def _put(self, col: int, kind: str, data: bytes) -> None:
+        if data:
+            self.streams.append((col, kind, data))
+
+    def _set_enc(self, col: int, name: str, dict_size: int = 0) -> None:
+        e: dict = {"kind": proto.ENCODING[name]}
+        if dict_size:
+            e["dictionarySize"] = dict_size
+        self.encodings[col] = e
+
+    def write(self, col: int, arr: pa.Array) -> None:
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        kind = proto.KIND_NAME[self.types[col].get("kind", 0)]
+        has_nulls = arr.null_count > 0
+        valid = None
+        if has_nulls:
+            valid = np.asarray(arr.is_valid())
+            self._put(col, "PRESENT",
+                      byte_rle.encode(np.frombuffer(pack_bools(valid),
+                                                    np.uint8)))
+        self._set_enc(col, "DIRECT_V2" if kind in (
+            "STRING", "BINARY") else "DIRECT")
+        dense = arr.drop_null() if has_nulls else arr
+
+        if kind == "STRUCT":
+            self._set_enc(col, "DIRECT")
+            for i, sub in enumerate(self.types[col].get("subtypes", [])):
+                child = arr.field(i)
+                if has_nulls:
+                    child = child.filter(pa.array(valid))
+                self.write(sub, child)
+            return
+
+        if kind in ("LIST", "MAP"):
+            self._set_enc(col, "DIRECT_V2")
+            offs = np.asarray(dense.offsets)
+            lengths = np.diff(offs.astype(np.int64))
+            self._put(col, "LENGTH",
+                      rle2.encode(lengths.astype(np.int64), False))
+            if kind == "LIST":
+                self.write(self.types[col]["subtypes"][0], dense.flatten())
+            else:
+                self.write(self.types[col]["subtypes"][0], dense.keys)
+                self.write(self.types[col]["subtypes"][1], dense.items)
+            return
+
+        if kind == "BOOLEAN":
+            self._set_enc(col, "DIRECT")
+            bits = np.asarray(dense, dtype=bool)
+            self._put(col, "DATA",
+                      byte_rle.encode(np.frombuffer(pack_bools(bits),
+                                                    np.uint8)))
+            return
+
+        if kind == "BYTE":
+            self._set_enc(col, "DIRECT")
+            vals = np.asarray(dense, dtype=np.int8).view(np.uint8)
+            self._put(col, "DATA", byte_rle.encode(vals))
+            return
+
+        if kind in ("SHORT", "INT", "LONG"):
+            self._set_enc(col, "DIRECT_V2")
+            vals = np.asarray(dense.cast(pa.int64()), dtype=np.int64)
+            self._put(col, "DATA", rle2.encode(vals, True))
+            return
+
+        if kind == "DATE":
+            self._set_enc(col, "DIRECT_V2")
+            days = np.asarray(dense.cast(pa.int32()), dtype=np.int64)
+            self._put(col, "DATA", rle2.encode(days, True))
+            return
+
+        if kind in ("FLOAT", "DOUBLE"):
+            self._set_enc(col, "DIRECT")
+            dt = np.dtype("<f4") if kind == "FLOAT" else np.dtype("<f8")
+            self._put(col, "DATA", np.asarray(dense, dtype=dt).tobytes())
+            return
+
+        if kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+            self._set_enc(col, "DIRECT_V2")
+            ns = np.asarray(
+                dense.cast(pa.timestamp("ns", tz=dense.type.tz))
+                .cast(pa.int64()), dtype=np.int64)
+            # C++ writer convention (verified against pyarrow stream
+            # dumps): seconds truncated TOWARD ZERO, nanos carry the
+            # signed remainder. The C++ reader subtracts a second when
+            # it sees negative seconds with POSITIVE nanos (Java-file
+            # compat), so floor+positive-nanos files decode wrong —
+            # trunc+signed is the only layout all readers agree on.
+            secs = np.sign(ns) * (np.abs(ns) // 1_000_000_000)
+            nanos = ns - secs * 1_000_000_000  # sign follows ns
+            self._put(col, "DATA",
+                      rle2.encode(secs - ORC_EPOCH_SECONDS, True))
+            self._put(col, "SECONDARY",
+                      rle2.encode(_encode_nanos_signed(nanos), False))
+            return
+
+        if kind in ("STRING", "BINARY"):
+            base = pa.string() if kind == "STRING" else pa.binary()
+            dense = dense.cast(base) if dense.type != base else dense
+            n = len(dense)
+            n_unique = pa.compute.count_distinct(dense).as_py() if n else 0
+            if kind == "STRING" and n and n_unique / n <= self.dict_ratio:
+                idx, dlens, ddata = dictionary_encode_sorted(dense)
+                self._set_enc(col, "DICTIONARY_V2", dict_size=len(dlens))
+                self._put(col, "DATA",
+                          rle2.encode(idx.astype(np.int64), False))
+                self._put(col, "DICTIONARY_DATA", ddata.tobytes())
+                self._put(col, "LENGTH",
+                          rle2.encode(dlens.astype(np.int64), False))
+            else:
+                self._set_enc(col, "DIRECT_V2")
+                data, lens = string_parts(dense)
+                self._put(col, "DATA", data.tobytes())
+                self._put(col, "LENGTH", rle2.encode(lens, False))
+            return
+
+        if kind == "DECIMAL":
+            self._set_enc(col, "DIRECT_V2")
+            scale = self.types[col].get("scale", 0)
+            mantissas = [None if v is None else int(v.scaleb(scale))
+                         for v in dense.to_pylist()]
+            self._put(col, "DATA", _zigzag_varint_bytes(mantissas))
+            self._put(col, "SECONDARY",
+                      rle2.encode(np.full(len(dense), scale, np.int64),
+                                  True))
+            return
+
+        raise NotImplementedError(f"ORC writer kind {kind}")
+
+
+def _basic_stats(n_values: int, has_null: bool) -> bytes:
+    """Minimal ColumnStatistics: numberOfValues + hasNull."""
+    out = bytearray()
+    out.append((1 << 3) | 0)  # field 1 numberOfValues, varint
+    v = n_values
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | 0x80 if v else b)
+        if not v:
+            break
+    out.append((10 << 3) | 0)  # field 10 hasNull, varint bool
+    out.append(1 if has_null else 0)
+    return bytes(out)
+
+
+def write_orc(table: pa.Table, where, compression: str = "ZLIB",
+              stripe_rows: int = 64 * 1024,
+              block_size: int = 256 * 1024,
+              dict_ratio: float = 0.5) -> dict:
+    """Write a pyarrow Table as a real ORC file. Returns a summary dict
+    {stripes, bytes, rows}."""
+    compression = compression.upper()
+    if compression not in ("NONE", "ZLIB", "SNAPPY", "ZSTD", "LZ4"):
+        raise ValueError(f"unsupported compression {compression}")
+    types: list[dict] = []
+    _build_types(table.schema, types)
+
+    buf = bytearray()
+    buf += MAGIC
+    stripe_infos = []
+    n_cols = len(types)
+    value_counts = np.zeros(n_cols, dtype=np.int64)
+    has_null = np.zeros(n_cols, dtype=bool)
+
+    table = table.combine_chunks()
+    for start in range(0, max(table.num_rows, 1), stripe_rows):
+        chunk = table.slice(start, stripe_rows)
+        if chunk.num_rows == 0:
+            break
+        cw = _ColumnWriter(types, dict_ratio)
+        cw.encodings[0] = {"kind": proto.ENCODING["DIRECT"]}
+        for i, sub in enumerate(types[0].get("subtypes", [])):
+            col_arr = chunk.column(i)
+            col_arr = (col_arr.combine_chunks()
+                       if isinstance(col_arr, pa.ChunkedArray) else col_arr)
+            cw.write(sub, col_arr)
+
+        offset = len(buf)
+        stream_protos = []
+        for col, kind, raw in cw.streams:
+            comp = compress_stream(raw, compression, block_size)
+            stream_protos.append({"kind": proto.STREAM_KIND[kind],
+                                  "column": col, "length": len(comp)})
+            buf += comp
+        data_len = len(buf) - offset
+        sfoot = proto.encode("StripeFooter", {
+            "streams": stream_protos,
+            "columns": [cw.encodings.get(c, {"kind": 0})
+                        for c in range(n_cols)],
+            "writerTimezone": "UTC",
+        })
+        sfoot_c = compress_stream(sfoot, compression, block_size)
+        buf += sfoot_c
+        stripe_infos.append({
+            "offset": offset, "indexLength": 0, "dataLength": data_len,
+            "footerLength": len(sfoot_c),
+            "numberOfRows": chunk.num_rows,
+        })
+    # minimal statistics: counts only (readers that serve
+    # getStatistics want more; plain reads don't need it)
+    stats = [_basic_stats(int(table.num_rows), False)]
+    for col in range(1, n_cols):
+        stats.append(_basic_stats(int(table.num_rows), True))
+
+    footer = proto.encode("Footer", {
+        "headerLength": len(MAGIC),
+        "contentLength": len(buf) - len(MAGIC),
+        "stripes": stripe_infos,
+        "types": types,
+        "numberOfRows": table.num_rows,
+        "statistics": stats,
+        "rowIndexStride": 0,
+        "writer": 1,
+    })
+    footer_c = compress_stream(footer, compression, block_size)
+    buf += footer_c
+    ps = proto.encode("PostScript", {
+        "footerLength": len(footer_c),
+        "compression": proto.COMPRESSION[compression],
+        "compressionBlockSize": block_size,
+        "version": [0, 12],
+        "metadataLength": 0,
+        "writerVersion": 1,
+        "magic": "ORC",
+    })
+    buf += ps
+    buf.append(len(ps))
+
+    if isinstance(where, (str, bytes)) and isinstance(where, str):
+        with open(where, "wb") as f:
+            f.write(buf)
+    else:
+        where.write(bytes(buf))
+    return {"stripes": len(stripe_infos), "bytes": len(buf),
+            "rows": table.num_rows}

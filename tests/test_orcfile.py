@@ -1,0 +1,179 @@
+"""Real ORC file interop, cross-validated against the C++ implementation
+(pyarrow's bundled ORC) in BOTH directions — the reference's own
+correctness bar is whole-file ("all files from the examples given in
+the ORC repository work", /root/reference/README.md:16-20).
+
+- pyarrow writes -> our reader decodes bit-identical
+- our writer writes -> pyarrow (C++) decodes bit-identical
+- every compression kind, every RLEv2 sub-mode, nested types, nulls,
+  pre-1970 timestamps, dictionary + direct strings, RLEv1 (0.11) files
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc as po
+import pytest
+
+from orc_haskell_spark.orcfile import ORCFile, read_orc
+from orc_haskell_spark.orcfile.writer import write_orc
+
+D = decimal.Decimal
+
+
+def _roundtrip_pa_to_us(t: pa.Table, **write_kw) -> pa.Table:
+    path = tempfile.mktemp(suffix=".orc")
+    try:
+        po.write_table(t, path, **write_kw)
+        got = read_orc(path)
+        exp = po.read_table(path)
+        assert got.equals(exp), f"mismatch vs pyarrow read: {write_kw}"
+        return got
+    finally:
+        os.unlink(path)
+
+
+def _roundtrip_us_to_pa(t: pa.Table, **write_kw):
+    path = tempfile.mktemp(suffix=".orc")
+    try:
+        write_orc(t, path, **write_kw)
+        got = po.read_table(path).combine_chunks()
+        ours = read_orc(path).combine_chunks()
+        t = t.combine_chunks()
+        for c in t.column_names:
+            for name, g in (("pyarrow", got[c]), ("own", ours[c])):
+                g = g.combine_chunks()
+                e = t[c].combine_chunks()
+                if g.type != e.type:
+                    g = g.cast(e.type)
+                assert g.equals(e), f"{name} read mismatch col {c}"
+    finally:
+        os.unlink(path)
+
+
+def _wide_table(n: int = 2000) -> pa.Table:
+    rng = np.random.default_rng(11)
+    outliers = rng.integers(0, 100, n)
+    outliers[::97] = 10**12
+    q = n // 4
+    ts = [datetime.datetime(1969, 12, 31, 23, 59, 59, 123456),
+          datetime.datetime(1900, 1, 1, 0, 0, 0, 1), None,
+          datetime.datetime(2024, 6, 1, 12, 0, 0, 250000)] * q
+    return pa.table({
+        "sorted": pa.array(np.arange(n) * 3 + 7),
+        "const": pa.array(np.full(n, 42)),
+        "rand": pa.array(rng.integers(-2**40, 2**40, n)),
+        "outl": pa.array(outliers),
+        "dict": pa.array([["red", "green", "blue"][i % 3] for i in range(n)]),
+        "uniq": pa.array([f"u-{i}-{rng.integers(0, 10**9)}" for i in range(n)]),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "date": pa.array([datetime.date(1969, 1, 1), datetime.date(2020, 5, 5),
+                          None, datetime.date(2030, 1, 1)] * q),
+        "dec": pa.array([D("123.45"), D("-0.01"), None,
+                         D("99999999999999.99")] * q, pa.decimal128(16, 2)),
+        "bin": pa.array([b"\x00\x01", None, b"", b"\xff" * 10] * q, pa.binary()),
+        "i8": pa.array([1, -2, None, 127] * q, pa.int8()),
+        "b": pa.array([True, False, None, True] * q),
+        "f32": pa.array(rng.standard_normal(n).astype(np.float32)),
+        "f64": pa.array(rng.standard_normal(n)),
+        "lst": pa.array([[1, 2], None, [], [3, None, 5]] * q,
+                        pa.list_(pa.int64())),
+        "mp": pa.array([{"a": 1}, {}, {"c": 3}, {"d": None}] * q,
+                       pa.map_(pa.string(), pa.int64())),
+        "st": pa.array([{"x": 1, "y": "a"}, None, {"x": None, "y": "b"},
+                        {"x": 4, "y": None}] * q,
+                       pa.struct([("x", pa.int64()), ("y", pa.string())])),
+    })
+
+
+@pytest.mark.parametrize("comp", ["uncompressed", "zlib", "snappy", "zstd",
+                                  "lz4"])
+def test_read_pyarrow_files_all_compressions(comp):
+    _roundtrip_pa_to_us(_wide_table(), compression=comp)
+
+
+def test_read_multi_stripe_and_dictionary():
+    n = 50000
+    t = pa.table({
+        "x": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array([f"w{i % 50}" for i in range(n)]),
+    })
+    path = tempfile.mktemp(suffix=".orc")
+    try:
+        po.write_table(t, path, compression="zlib", stripe_size=65536,
+                       dictionary_key_size_threshold=0.9)
+        f = ORCFile(path)
+        assert len(f.stripes) > 1
+        assert f.read().equals(po.read_table(path))
+    finally:
+        os.unlink(path)
+
+
+def test_read_rlev1_hive011_files():
+    n = 5000
+    t = pa.table({
+        "i": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array([f"w{i % 7}" for i in range(n)]),
+    })
+    _roundtrip_pa_to_us(t, compression="zlib", file_version="0.11")
+
+
+def test_read_edge_tables():
+    _roundtrip_pa_to_us(pa.table({"n": pa.array([None] * 50, pa.int64()),
+                                  "s": pa.array([None] * 50, pa.string())}))
+    _roundtrip_pa_to_us(pa.table({"a": pa.array([], pa.int64())}))
+    _roundtrip_pa_to_us(pa.table({"u": pa.array(
+        ["héllo", "日本語", "🚀🚀🚀", "", None] * 100)}))
+
+
+@pytest.mark.parametrize("comp", ["NONE", "ZLIB", "SNAPPY", "ZSTD", "LZ4"])
+def test_write_files_cpp_reads_all_compressions(comp):
+    _roundtrip_us_to_pa(_wide_table(), compression=comp)
+
+
+def test_write_multi_stripe_cpp_reads():
+    _roundtrip_us_to_pa(_wide_table(4000), compression="ZLIB",
+                        stripe_rows=1000)
+
+
+def test_write_patched_base_cpp_reads():
+    """Every outlier-magnitude class through PATCHED_BASE, decoded by
+    the independent C++ implementation (catches mirror-bugs our own
+    decoder can't: pl==0 rejection, closestFixedBits patch packing)."""
+    rng = np.random.default_rng(3)
+    cols = {}
+    for k, mag in enumerate([10**6, 10**9, 10**12, 10**15, 2**62]):
+        v = rng.integers(0, 50, 3000)
+        v[::113] = mag
+        v[7::211] = mag - 3
+        cols[f"c{k}"] = pa.array(v)
+    _roundtrip_us_to_pa(pa.table(cols), compression="ZLIB")
+    # and the reverse: C++-written patched files through our reader
+    _roundtrip_pa_to_us(pa.table(cols), compression="zlib")
+
+
+def test_write_garbage_rejected():
+    with pytest.raises(ValueError):
+        read_orc(b"not an orc file at all, definitely")
+    with pytest.raises((ValueError, IndexError, KeyError)):
+        read_orc(b"\x00" * 100 + b"ORC\x05")
+
+
+def test_postscript_roundtrip_fields():
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    path = tempfile.mktemp(suffix=".orc")
+    try:
+        write_orc(t, path, compression="ZSTD")
+        f = ORCFile(path)
+        assert f.compression == "ZSTD"
+        assert f.num_rows == 3
+        assert f.postscript["magic"] == "ORC"
+        assert [x for x in f.postscript["version"]] == [0, 12]
+    finally:
+        os.unlink(path)
