@@ -169,6 +169,45 @@ def _pages_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("text_mismatches")))
 
 
+def _mk_orcfile_roundtrip(table: str):
+    """Distributed write to real .orc files (one per partition), then
+    stripe-parallel distributed read — the whole-file interop surface
+    (reference parity: /root/reference/src/Orc/Serial/Binary/Base.hs)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from orc_haskell_spark.orcfile.spark_source import (
+            read_orc_distributed, write_orc_distributed)
+
+        df = _load(spark, sf_dir, table)
+        d = tempfile.mkdtemp(prefix=f"orcfile_{table}_")
+        write_orc_distributed(df.repartition(4), d, compression="ZLIB",
+                              stripe_rows=_STRIPE_ROWS).collect()
+        return read_orc_distributed(spark, d)
+    return q
+
+
+def _mk_orcfile_cpp_cross(table: str):
+    """C++ ORC (pyarrow) writes the file; OUR reader decodes it
+    distributed. Pins real-world ORC-file compatibility in the gate."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        import pyarrow.orc as po
+        import pyarrow.parquet as pq
+
+        from orc_haskell_spark.orcfile.spark_source import (
+            read_orc_distributed)
+
+        _ensure_worker_imports(spark)
+        d = tempfile.mkdtemp(prefix=f"orccpp_{table}_")
+        t = pq.read_table(f"{sf_dir}/{table}.parquet")
+        po.write_table(t, f"{d}/data.orc", compression="zlib",
+                       stripe_size=512 * 1024)
+        return read_orc_distributed(spark, d)
+    return q
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for table in ["documents", "lineitem", "orders", "events", "customer",
@@ -187,6 +226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events", {"compression": "none"})
     q["roundtrip_zlib_orders"] = _mk_roundtrip(
         "orders", {"compression": "zlib"})
+    q["orcfile_roundtrip_lineitem"] = _mk_orcfile_roundtrip("lineitem")
+    q["orcfile_roundtrip_documents"] = _mk_orcfile_roundtrip("documents")
+    q["orcfile_roundtrip_events"] = _mk_orcfile_roundtrip("events")
+    q["orcfile_cpp_read_lineitem"] = _mk_orcfile_cpp_cross("lineitem")
+    q["orcfile_cpp_read_documents"] = _mk_orcfile_cpp_cross("documents")
     q["decoded_agg_lineitem"] = _decoded_agg_lineitem
     q["decoded_window_orders"] = _decoded_window_orders
     q["manifest_rows_documents"] = _manifest_rows_documents
@@ -317,6 +361,11 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_direct_documents"] = _select_sql("documents")
     o["roundtrip_nocomp_events"] = _select_sql("events")
     o["roundtrip_zlib_orders"] = _select_sql("orders")
+    o["orcfile_roundtrip_lineitem"] = _select_sql("lineitem")
+    o["orcfile_roundtrip_documents"] = _select_sql("documents")
+    o["orcfile_roundtrip_events"] = _select_sql("events")
+    o["orcfile_cpp_read_lineitem"] = _select_sql("lineitem")
+    o["orcfile_cpp_read_documents"] = _select_sql("documents")
     o["decoded_agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 2) AS sum_qty, "

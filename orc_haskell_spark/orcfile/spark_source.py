@@ -1,0 +1,137 @@
+"""Distributed ORC file IO on Spark: stripe-parallel scan, partition-
+parallel write.
+
+Scale shape (100 TB): the unit of read parallelism is the STRIPE — the
+same self-contained unit the reference streams one at a time
+(/root/reference/src/Orc/Serial/Binary/Striped.hs stripe reader). The
+driver touches only file TAILS (postscript+footer, a few KB per file)
+to enumerate (file, stripe) tasks; stripe decode fans out via
+mapInArrow, so a directory of thousands of multi-GB ORC files reads
+with full cluster parallelism and zero driver data movement. Writes
+are one ORC file per Spark partition (the standard parquet-style
+layout), each written independently by its task.
+
+Files must be on storage all executors can reach (local FS here;
+HDFS/S3 via a mounted path on a real cluster — same contract as
+spark.read.orc).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _list_orc_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".orc"))
+
+
+def _spark_schema_for(schema: pa.Schema):
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    # Spark has no ns timestamps: normalize to us. ORC TIMESTAMP is
+    # wall time -> TimestampNTZ; TIMESTAMP_INSTANT keeps its zone ->
+    # TimestampType (prefer_timestamp_ntz only affects naive types).
+    fields = []
+    for f in schema:
+        t = f.type
+        if pa.types.is_timestamp(t):
+            t = pa.timestamp("us", tz=t.tz)
+        fields.append(pa.field(f.name, t, f.nullable))
+    return (from_arrow_schema(pa.schema(fields), prefer_timestamp_ntz=True),
+            pa.schema(fields))
+
+
+def read_orc_distributed(spark: SparkSession, path: str,
+                         tasks_per_partition: int = 1) -> DataFrame:
+    """Read ORC file(s) into a DataFrame, one decode task per stripe."""
+    from orc_haskell_spark.orcfile.reader import ORCFile
+
+    files = _list_orc_files(path)
+    if not files:
+        raise ValueError(f"no .orc files under {path}")
+    tasks = []
+    schema = None
+    for f in files:
+        orc = ORCFile(f)  # tail-only metadata parse per file
+        if schema is None:
+            schema = orc.schema
+        elif not schema.equals(orc.schema):
+            raise ValueError(f"schema mismatch in {f}")
+        tasks.extend((f, i) for i in range(len(orc.stripes)))
+    spark_schema, arrow_schema = _spark_schema_for(schema)
+
+    if not tasks:  # all files empty
+        return spark.createDataFrame([], spark_schema)
+
+    task_df = spark.createDataFrame(tasks, "file string, stripe int") \
+        .repartition(max(1, len(tasks) // max(tasks_per_partition, 1)))
+
+    def decode(batches):
+        from orc_haskell_spark.engine import clamp_worker_threads
+        from orc_haskell_spark.orcfile.reader import ORCFile as OF
+
+        clamp_worker_threads()
+        opened: dict[str, OF] = {}
+        for b in batches:
+            for f, i in zip(b.column("file").to_pylist(),
+                            b.column("stripe").to_pylist()):
+                orc = opened.get(f) or opened.setdefault(f, OF(f))
+                rb = orc.read_stripe(i)
+                cols = []
+                for field, col in zip(arrow_schema, rb.columns):
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    cols.append(col)
+                yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    return task_df.mapInArrow(decode, spark_schema)
+
+
+def write_orc_distributed(df: DataFrame, out_dir: str,
+                          compression: str = "ZLIB",
+                          stripe_rows: int = 64 * 1024) -> DataFrame:
+    """Write a DataFrame as one ORC file per partition under out_dir.
+
+    Returns the manifest DataFrame (file, rows, bytes, stripes) —
+    forcing it (e.g. .collect()) executes the write.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches):
+        import pyarrow as pa
+
+        from orc_haskell_spark.engine import clamp_worker_threads
+        from orc_haskell_spark.orcfile.writer import write_orc
+
+        clamp_worker_threads()
+        got = list(batches)
+        if not got:
+            return
+        ctx = None
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+        except Exception:
+            pass
+        pid = ctx.partitionId() if ctx else os.getpid()
+        table = pa.Table.from_batches(got)
+        path = os.path.join(out_dir, f"part-{pid:05d}.orc")
+        info = write_orc(table, path, compression=compression,
+                         stripe_rows=stripe_rows)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([path]), pa.array([info["rows"]], pa.int64()),
+             pa.array([info["bytes"]], pa.int64()),
+             pa.array([info["stripes"]], pa.int32())],
+            names=["file", "rows", "bytes", "stripes"])
+
+    return df.mapInArrow(
+        write_part, "file string, rows long, bytes long, stripes int")
