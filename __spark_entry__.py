@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprints_documents"] = lambda s, d: text.fingerprints(
         _load(s, d, "documents"), "doc_id", "text")
     q["media_features"] = _media_features
+    q["media_real_decode"] = _media_real_decode
     q["media_frame_sample"] = _media_frames
     q["salted_lang_stats"] = _salted_lang_stats
     q["text_bpe_tokens_documents"] = lambda s, d: text.token_counts_bpe(
@@ -335,6 +336,17 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("items"),
         F.max("dim").cast("bigint").alias("dim"),
         F.sum("checksum").alias("checksum_sum"))
+
+
+def _media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP/WAV decoders (pure numpy) over synthesized real
+    payloads — the decode step is no longer a stub for these formats."""
+    _ensure_worker_imports(spark)
+    media = multimodal.real_media_df(spark, 300, 4)
+    feats = multimodal.extract_features(media, use_real_decoders=True)
+    return (feats.groupBy("kind")
+            .agg(F.count("*").alias("items"),
+                 F.sum("checksum").alias("checksum_sum")))
 
 
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

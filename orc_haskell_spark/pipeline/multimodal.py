@@ -58,14 +58,170 @@ def media_df(spark, n_rows: int, num_partitions: int | None = None):
     return spark.range(0, n_rows, 1, num_partitions).mapInArrow(gen_fn, MEDIA_DDL)
 
 
-def decode_image(payload: bytes, meta: dict) -> np.ndarray:
-    """Real image decode — STUB: no imaging library in this container.
+def synth_real_media_batch(start: int, n: int) -> pa.RecordBatch:
+    """Deterministic REAL media payloads: actual BMP images and PCM16
+    WAV clips (plus fake-codec 'video' rows), so the real decoders run
+    end-to-end with no external library."""
+    ids = np.arange(start, start + n, dtype=np.int64)
+    kinds = np.array(["image", "audio", "video"], dtype=object)[ids % 3]
+    payloads, metas = [], []
+    for i, kind in zip(ids.tolist(), kinds.tolist()):
+        if kind == "image":
+            w, h = 16 + i % 48, 16 + (i * 7) % 48
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(xx * (i + 1)) % 256, (yy * 3 + i) % 256,
+                           (xx + yy + i) % 256], axis=-1).astype(np.uint8)
+            payloads.append(encode_bmp(px))
+            metas.append({"width": w, "height": h, "sample_rate": 0,
+                          "duration_ms": 0, "codec": "bmp"})
+        elif kind == "audio":
+            ns = 400 + i % 800
+            t = np.arange(ns, dtype=np.int64)
+            samples = ((t * (i % 17 + 1) * 97) % 20000 - 10000).astype(np.int16)
+            payloads.append(encode_wav(samples.reshape(-1, 1), 16000))
+            metas.append({"width": 0, "height": 0, "sample_rate": 16000,
+                          "duration_ms": ns * 1000 // 16000, "codec": "pcm16"})
+        else:
+            payloads.append(
+                (np.arange(512, dtype=np.int64) * (i * 2 + 1) % 251)
+                .astype(np.uint8).tobytes())
+            metas.append({"width": 64, "height": 64, "sample_rate": 0,
+                          "duration_ms": int(1000 + i % 9000),
+                          "codec": "fake"})
+    meta_arr = pa.array(metas, pa.struct(
+        [("width", pa.int32()), ("height", pa.int32()),
+         ("sample_rate", pa.int32()), ("duration_ms", pa.int32()),
+         ("codec", pa.string())]))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(ids), pa.array(kinds, pa.string()),
+         pa.array(payloads, pa.binary()), meta_arr],
+        names=["id", "kind", "payload", "meta"])
 
-    The production body is `PIL.Image.open(io.BytesIO(payload))`; the
-    deterministic fake below keeps the pipeline testable end-to-end.
+
+def real_media_df(spark, n_rows: int, num_partitions: int | None = None):
+    def gen_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            if len(ids):
+                yield synth_real_media_batch(int(ids[0]), len(ids))
+
+    return spark.range(0, n_rows, 1, num_partitions).mapInArrow(gen_fn, MEDIA_DDL)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real pure-numpy BMP decode: uncompressed 24/32-bit BITMAPINFOHEADER.
+
+    Returns (height, width, 3) uint8 RGB. No imaging library needed —
+    BMP is a header + padded raw scanlines, exactly the decode shape
+    (binary blob in, pixel tensor out) a production pipeline has.
     """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMPs (got bpp={bpp}, "
+            f"compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    row_bytes = (width * nch + 3) & ~3  # 4-byte padded scanlines
+    raw = np.frombuffer(payload, np.uint8,
+                        count=row_bytes * height, offset=data_off)
+    rows = raw.reshape(height, row_bytes)[:, :width * nch]
+    px = rows.reshape(height, width, nch)
+    if bottom_up:
+        px = px[::-1]
+    # BGR(A) -> RGB
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Inverse of decode_bmp (24-bit bottom-up), for tests/goldens."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_bytes), np.uint8)
+    img[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    body = img.tobytes()
+    off = 14 + 40
+    header = (b"BM" + (off + len(body)).to_bytes(4, "little") + b"\0\0\0\0"
+              + off.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+              + (2835).to_bytes(4, "little") * 2
+              + (0).to_bytes(4, "little") * 2)
+    return header + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real pure-numpy WAV decode: RIFF/WAVE PCM 8/16-bit.
+
+    Returns (samples int16 array shaped (n, channels), sample_rate).
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM 8/16-bit WAV (fmt={audio_fmt}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2")
+    else:  # 8-bit WAV is unsigned, rebase to signed int16 range
+        samples = (np.frombuffer(data, np.uint8).astype(np.int16) - 128) * 256
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Inverse of decode_wav (PCM16), for tests/goldens."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    channels = s.shape[1] if s.ndim == 2 else 1
+    body = s.tobytes()
+    fmt = ((1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * channels * 2).to_bytes(4, "little")
+           + (channels * 2).to_bytes(2, "little")
+           + (16).to_bytes(2, "little"))
+    return (b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(body).to_bytes(4, "little") + body)
+
+
+def decode_image(payload: bytes, meta: dict) -> np.ndarray:
+    """Image decode dispatch: BMP is decoded for real (pure numpy);
+    JPEG/PNG remain STUBS — no imaging library in this container (the
+    production body is `PIL.Image.open(io.BytesIO(payload))`)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires Pillow/libvips; use fake_decode for tests")
+        "JPEG/PNG decoding requires Pillow/libvips; BMP decodes natively, "
+        "fake_decode covers synthetic tests")
 
 
 def fake_decode(payload: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -83,6 +239,40 @@ def extract_features(media, use_real_decoders: bool = False):
     embedder would have (binary in, fixed-dim float vector out).
     """
 
+    def real_feature_rows(b: pa.RecordBatch):
+        """Per-row real decode (BMP pixels / WAV samples); histogram +
+        checksum over the DECODED tensors. The outer loop is per blob —
+        the same shape a real embedder batch has; each decode body is
+        one vectorized numpy op."""
+        n = b.num_rows
+        kinds = b.column("kind").to_pylist()
+        payloads = b.column("payload").to_pylist()
+        feats = np.zeros((n, _FEAT_DIM), np.float64)
+        checks = np.zeros(n, np.int64)
+        for r in range(n):
+            if kinds[r] == "image" and payloads[r][:2] == b"BM":
+                px = decode_bmp(payloads[r]).ravel()
+                vals = (px >> np.uint8(3)).astype(np.int64)
+            elif kinds[r] == "audio" and payloads[r][:4] == b"RIFF":
+                s, _rate = decode_wav(payloads[r])
+                vals = (np.abs(s.ravel().astype(np.int64)) >> 10) % _FEAT_DIM
+                px = s.ravel().view(np.uint16).astype(np.int64)
+            else:  # opaque payload: fake tile path
+                px = np.frombuffer(payloads[r], np.uint8)
+                vals = (px >> np.uint8(3)).astype(np.int64)
+            h = np.bincount(vals, minlength=_FEAT_DIM)[:_FEAT_DIM]
+            feats[r] = h / max(h.sum(), 1)
+            checks[r] = int(px.astype(np.int64).sum())
+        off = np.arange(0, (n + 1) * _FEAT_DIM, _FEAT_DIM, dtype=np.int32)
+        flist = pa.ListArray.from_arrays(
+            pa.array(off), pa.array(feats.astype(np.float32).ravel()),
+            type=pa.list_(pa.float32()))
+        return pa.RecordBatch.from_arrays(
+            [b.column("id"), b.column("kind"),
+             pa.array(np.full(n, _FEAT_DIM, dtype=np.int32)),
+             flist, pa.array(checks, pa.int64())],
+            names=["id", "kind", "dim", "feature", "checksum"])
+
     def feature_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from orc_haskell_spark.codecs.strings import string_parts
         from orc_haskell_spark.engine import clamp_worker_threads
@@ -91,7 +281,8 @@ def extract_features(media, use_real_decoders: bool = False):
         for b in batches:
             n = b.num_rows
             if use_real_decoders:
-                decode_image(b"", {})  # raises: stub
+                yield real_feature_rows(b)
+                continue
             data, lengths = string_parts(b.column("payload"))
             # vectorized per-row byte histogram: one bincount over
             # (row_id * DIM + bucket) — no per-row Python

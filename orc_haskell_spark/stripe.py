@@ -199,6 +199,35 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
                 streams[f"{field.name}.{k}"] = v
         return {"kind": "struct", "children": children}, streams
 
+    if pa.types.is_union(typ):
+        # reference analog: Union tags + per-variant children
+        # (src/Orc/Table/Striped.hs:33; decode :387-397, encode
+        # :780-787). TAG byte stream + each child holding, in row
+        # order, the values of rows with its tag. Sparse unions are
+        # densified on encode; decode rebuilds canonical dense offsets,
+        # so only tags + children are stored. Spark has no union type,
+        # so this is an Arrow-level surface (SURVEY §1.2).
+        tags = np.asarray(arr.type_codes, dtype=np.int8)
+        streams = {"TAG": byte_rle.encode(tags.view(np.uint8))}
+        children = []
+        dense = typ.mode == "dense"
+        offsets = np.asarray(arr.offsets, dtype=np.int64) if dense else None
+        for i, field in enumerate(typ):
+            code = typ.type_codes[i]
+            sel = tags == np.int8(code)
+            if dense:
+                child = arr.field(i).take(pa.array(offsets[sel]))
+            else:
+                child = arr.field(i).filter(pa.array(sel))
+            cmeta, cstreams = encode_column(
+                f"{name}.{field.name}", child, cfg, cache)
+            children.append({"name": field.name, "code": int(code),
+                             "meta": cmeta})
+            for k, v in cstreams.items():
+                streams[f"u{i}.{k}"] = v
+        return ({"kind": "union", "mode": "dense" if dense else "sparse",
+                 "children": children}, streams)
+
     if pa.types.is_decimal(typ):
         # the limb extraction below reads 2 uint64 limbs at 16-byte
         # offsets — decimal128 layout only; decimal256 must fail at
@@ -364,6 +393,43 @@ def _decode_values(meta: dict, streams: dict[str, bytes], n: int,
             arrays.append(decode_column(ch["meta"], cstreams, field_type))
             names.append(ch["name"])
         return pa.StructArray.from_arrays(arrays, names=names)
+
+    if kind == "union":
+        tags = byte_rle.decode(_buf(streams["TAG"]))[:n].view(np.int8)
+        children = []
+        counts = {}
+        for i, ch in enumerate(meta["children"]):
+            prefix = f"u{i}."
+            cstreams = {k[len(prefix):]: v for k, v in streams.items()
+                        if k.startswith(prefix)}
+            child = decode_column(ch["meta"], cstreams, typ.field(i).type)
+            children.append(child)
+            counts[np.int8(ch["code"])] = len(child)
+        # canonical dense offsets: rank of each row within its tag
+        offsets = np.zeros(n, dtype=np.int32)
+        for i, ch in enumerate(meta["children"]):
+            sel = tags == np.int8(ch["code"])
+            offsets[sel] = np.arange(int(sel.sum()), dtype=np.int32)
+        if meta["mode"] == "dense":
+            return pa.UnionArray.from_dense(
+                pa.array(tags, pa.int8()), pa.array(offsets, pa.int32()),
+                children, [f.name for f in typ],
+                list(typ.type_codes))
+        # sparse: scatter each child back to full length (slots of
+        # other tags point at index 0 — ignored by union semantics)
+        full = []
+        for i, ch in enumerate(meta["children"]):
+            sel = tags == np.int8(ch["code"])
+            child = children[i]
+            if len(child) == 0:
+                full.append(pa.nulls(n, typ.field(i).type))
+                continue
+            ix = np.zeros(n, dtype=np.int64)
+            ix[sel] = offsets[sel]
+            full.append(child.take(pa.array(ix)))
+        return pa.UnionArray.from_sparse(
+            pa.array(tags, pa.int8()), full, [f.name for f in typ],
+            list(typ.type_codes))
 
     raise NotImplementedError(f"decode kind {kind}")
 

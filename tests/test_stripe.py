@@ -162,3 +162,32 @@ def test_compression_actually_compresses():
     footer, payload = stripe.encode_stripe(batch)
     raw = sum(c["raw_bytes"] for c in footer["columns"])
     assert len(payload) < raw * 0.7, (len(payload), raw)
+
+
+def test_union_dense_roundtrip():
+    """UNION analog (reference src/Orc/Table/Striped.hs:33): tag byte
+    stream + per-variant children."""
+    import pyarrow as pa
+
+    du = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0, 2, 1, 0], pa.int8()),
+        pa.array([0, 0, 1, 0, 1, 2], pa.int32()),
+        [pa.array([10, None, 30], pa.int64()), pa.array(["a", "b"]),
+         pa.array([1.5])],
+        ["i", "s", "f"], [0, 1, 2])
+    meta, streams = stripe.encode_column("u", du, {}, {})
+    back = stripe.decode_column(meta, streams, du.type)
+    assert back.equals(du)
+
+
+def test_union_sparse_roundtrip_values():
+    import pyarrow as pa
+
+    su = pa.UnionArray.from_sparse(
+        pa.array([0, 1, 1, 0], pa.int8()),
+        [pa.array([1, 0, 0, 4], pa.int64()),
+         pa.array(["x", "y", "z", "w"])], ["i", "s"], [0, 1])
+    meta, streams = stripe.encode_column("u", su, {}, {})
+    back = stripe.decode_column(meta, streams, su.type)
+    # sparse unions compare by logical value (unselected slots differ)
+    assert back.to_pylist() == su.to_pylist()
