@@ -29,6 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# SPARK_GRAFT_SHUFFLE=0 drops the opt-in url range-partitioning from
+# the pages encode (narrow map only). Used by the scaling harness to
+# separate ENGINE scaling from shuffle-substrate scaling: on this
+# single box all "executors" share one disk + memory bus, so the 1.6 GB
+# shuffle is a fixed-bandwidth stage that cannot speed up with cores,
+# while on a real 4x cluster shuffle bandwidth grows with nodes.
+SHUFFLE = os.environ.get("SPARK_GRAFT_SHUFFLE", "1") != "0"
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", max(2000, int(200_000 * SF / 0.1))))
 
@@ -78,8 +85,9 @@ def main() -> None:
         # blobs are already block-compressed: parquet re-compression off
         t0 = time.time()
         enc_pages_path = f"{tmp}/enc_pages"
-        engine.encode_table(pages, partition_on="url",
-                            num_partitions=CPUS * 2) \
+        part_kw = ({"partition_on": "url", "num_partitions": CPUS * 2}
+                   if SHUFFLE else {})
+        engine.encode_table(pages, **part_kw) \
             .write.option("compression", "uncompressed").parquet(enc_pages_path)
         dt = time.time() - t0
         queries["encode_pages"] = dt

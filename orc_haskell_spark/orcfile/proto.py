@@ -98,7 +98,32 @@ SCHEMAS: dict[str, dict[int, tuple[str, str]]] = {
         2: ("dictionarySize", "uint"),
     },
     "Metadata": {
-        1: ("stripeStats", "bytes*"),    # StripeStatistics, opaque here
+        1: ("stripeStats", "msg:StripeStatistics*"),
+    },
+    "StripeStatistics": {
+        1: ("colStats", "msg:ColumnStatistics*"),
+    },
+    "ColumnStatistics": {
+        1: ("numberOfValues", "uint"),
+        2: ("intStatistics", "msg:IntegerStatistics"),
+        3: ("doubleStatistics", "msg:DoubleStatistics"),
+        4: ("stringStatistics", "msg:StringStatistics"),
+        10: ("hasNull", "uint"),
+    },
+    "IntegerStatistics": {
+        1: ("minimum", "sint"),
+        2: ("maximum", "sint"),
+        3: ("sum", "sint"),
+    },
+    "DoubleStatistics": {          # wire type 1 (fixed64 doubles)
+        1: ("minimum", "double"),
+        2: ("maximum", "double"),
+        3: ("sum", "double"),
+    },
+    "StringStatistics": {
+        1: ("minimum", "string"),
+        2: ("maximum", "string"),
+        3: ("sum", "sint"),
     },
 }
 
@@ -136,6 +161,8 @@ def decode(msg_name: str, buf: bytes) -> dict:
             if spec is None:
                 continue
             name, kind = spec
+            if kind.rstrip("*") == "sint":  # zigzag varint
+                val = (val >> 1) ^ -(val & 1)
             if kind.endswith("*"):
                 out.setdefault(name, []).append(val)
             else:
@@ -169,6 +196,15 @@ def decode(msg_name: str, buf: bytes) -> dict:
             else:
                 out[name] = val
         elif wire == 1:
+            if spec is not None and spec[1].rstrip("*") == "double":
+                import struct as _struct
+
+                name = spec[0]
+                val = _struct.unpack_from("<d", buf, pos)[0]
+                if spec[1].endswith("*"):
+                    out.setdefault(name, []).append(val)
+                else:
+                    out[name] = val
             pos += 8
         elif wire == 5:
             pos += 4
@@ -190,19 +226,28 @@ def encode(msg_name: str, msg: dict) -> bytes:
         val = msg[name]
         rep = kind.endswith("*")
         base = kind[:-1] if rep else kind
-        if base == "uint":
+        if base in ("uint", "sint"):
+            enc = ((lambda v: (int(v) << 1) ^ (int(v) >> 63))
+                   if base == "sint" else int)
             if rep:
                 if not val:
                     continue
                 packed = bytearray()
                 for v in val:
-                    _write_varint(packed, int(v))
+                    _write_varint(packed, enc(v))
                 _write_varint(out, (field << 3) | 2)
                 _write_varint(out, len(packed))
                 out += packed
             else:
                 _write_varint(out, (field << 3) | 0)
-                _write_varint(out, int(val))
+                _write_varint(out, enc(val))
+            continue
+        if base == "double":
+            import struct as _struct
+
+            for item in (val if rep else [val]):
+                _write_varint(out, (field << 3) | 1)
+                out += _struct.pack("<d", float(item))
             continue
         items = val if rep else [val]
         for item in items:

@@ -303,9 +303,33 @@ def _with_validity(arr: pa.Array, valid: np.ndarray) -> pa.Array:
     return pa.compute.if_else(pa.array(valid), arr, pa.nulls(len(arr), arr.type))
 
 
+def _subtree_cols(types: list[dict], col: int, acc: set[int]) -> None:
+    acc.add(col)
+    for sub in types[col].get("subtypes", []):
+        _subtree_cols(types, sub, acc)
+
+
 def read_stripe_tables(data: bytes, info: dict, footer: dict,
-                       comp: str) -> pa.RecordBatch:
-    """Decode one stripe given its raw bytes (offset already applied)."""
+                       comp: str, columns: list[str] | None = None
+                       ) -> pa.RecordBatch:
+    """Decode one stripe given its raw bytes (offset already applied).
+
+    ``columns`` projects top-level fields: only their subtree streams
+    are decompressed and decoded (column pruning at the byte level —
+    a projected scan of a wide table touches a fraction of the IO).
+    """
+    root = footer["types"][0]
+    names = root.get("fieldNames", [])
+    subtypes = root.get("subtypes", [])
+    if columns is None:
+        picked = list(range(len(subtypes)))
+    else:
+        by_name = {n: i for i, n in enumerate(names)}
+        picked = [by_name[c] for c in columns]
+    wanted: set[int] = set()
+    for i in picked:
+        _subtree_cols(footer["types"], subtypes[i], wanted)
+
     flen = info["footerLength"]
     sfoot = proto.decode("StripeFooter",
                          decompress_stream(data[-flen:], comp))
@@ -315,7 +339,7 @@ def read_stripe_tables(data: bytes, info: dict, footer: dict,
         kind = proto.STREAM_KIND_NAME[s.get("kind", 0)]
         col = s.get("column", 0)
         ln = s.get("length", 0)
-        if kind in _DATA_KINDS:
+        if kind in _DATA_KINDS and col in wanted:
             streams[(col, kind)] = decompress_stream(
                 data[pos:pos + ln], comp)
         pos += ln
@@ -323,9 +347,9 @@ def read_stripe_tables(data: bytes, info: dict, footer: dict,
     n_rows = info["numberOfRows"]
     rd = _StripeReader(footer["types"], encodings, streams, n_rows,
                        sfoot.get("writerTimezone", ""))
-    root = footer["types"][0]
-    arrays = [rd.column(sub, n_rows) for sub in root.get("subtypes", [])]
-    schema = arrow_schema(footer)
+    arrays = [rd.column(subtypes[i], n_rows) for i in picked]
+    full = arrow_schema(footer)
+    schema = pa.schema([full.field(i) for i in picked])
     arrays = [a.cast(f.type) if a.type != f.type else a
               for a, f in zip(arrays, schema)]
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
@@ -347,25 +371,65 @@ class ORCFile:
         self.schema = arrow_schema(self.footer)
         self.stripes = self.footer.get("stripes", [])
         self.num_rows = self.footer.get("numberOfRows", 0)
+        # file Metadata (per-stripe column statistics), if present:
+        # located immediately before the footer
+        self.stripe_stats: list[list[dict]] = []
+        mlen = self.postscript.get("metadataLength", 0)
+        if mlen:
+            ps_len = tail[-1]
+            flen = self.postscript["footerLength"]
+            raw = tail[-1 - ps_len - flen - mlen:-1 - ps_len - flen]
+            meta = proto.decode("Metadata",
+                                decompress_stream(raw, self.compression))
+            self.stripe_stats = [s.get("colStats", [])
+                                 for s in meta.get("stripeStats", [])]
 
-    def read_stripe(self, i: int) -> pa.RecordBatch:
+    def prune_stripes(self, column: str, lo=None, hi=None) -> list[int]:
+        """Stripe indices that may contain values of `column` in
+        [lo, hi] per the file's stripe statistics — min/max stripe
+        skipping, the reference ORC reader's row-group elimination at
+        stripe granularity. Returns all stripes when stats are absent
+        (never wrong, only less selective)."""
+        if not self.stripe_stats:
+            return list(range(len(self.stripes)))
+        root = self.footer["types"][0]
+        col_id = root["subtypes"][root["fieldNames"].index(column)]
+        keep = []
+        for i, cs in enumerate(self.stripe_stats):
+            if col_id >= len(cs):
+                keep.append(i)
+                continue
+            st = cs[col_id]
+            s = st.get("intStatistics") or st.get("doubleStatistics") \
+                or st.get("stringStatistics") or {}
+            mn, mx = s.get("minimum"), s.get("maximum")
+            if mn is None or mx is None:
+                keep.append(i)
+                continue
+            if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+                keep.append(i)
+        return keep
+
+    def read_stripe(self, i: int,
+                    columns: list[str] | None = None) -> pa.RecordBatch:
         info = self.stripes[i]
         start = info["offset"]
         end = start + info.get("indexLength", 0) + info["dataLength"] \
             + info["footerLength"]
-        # skip the index region: data streams start after indexLength,
-        # but stream offsets in read_stripe_tables are walked from the
+        # stream offsets in read_stripe_tables are walked from the
         # start of the stream list, which includes ROW_INDEX entries —
         # pass the full stripe slice
         return read_stripe_tables(self._buf[start:end], info, self.footer,
-                                  self.compression)
+                                  self.compression, columns)
 
-    def read(self) -> pa.Table:
+    def read(self, columns: list[str] | None = None) -> pa.Table:
         if not self.stripes:
-            return self.schema.empty_table()
+            schema = self.schema if columns is None else pa.schema(
+                [self.schema.field(c) for c in columns])
+            return schema.empty_table()
         return pa.Table.from_batches(
-            [self.read_stripe(i) for i in range(len(self.stripes))])
+            [self.read_stripe(i, columns) for i in range(len(self.stripes))])
 
 
-def read_orc(source) -> pa.Table:
-    return ORCFile(source).read()
+def read_orc(source, columns: list[str] | None = None) -> pa.Table:
+    return ORCFile(source).read(columns)

@@ -50,8 +50,18 @@ def _spark_schema_for(schema: pa.Schema):
 
 
 def read_orc_distributed(spark: SparkSession, path: str,
-                         tasks_per_partition: int = 1) -> DataFrame:
-    """Read ORC file(s) into a DataFrame, one decode task per stripe."""
+                         tasks_per_partition: int = 1,
+                         columns: list[str] | None = None,
+                         prune: tuple | None = None) -> DataFrame:
+    """Read ORC file(s) into a DataFrame, one decode task per stripe.
+
+    100 TB shape: the driver touches only file tails (a few KB each);
+    ``columns`` prunes at the BYTE level (unrequested subtrees are
+    never decompressed); ``prune=(column, lo, hi)`` drops whole stripes
+    whose min/max statistics exclude [lo, hi] before any task is
+    scheduled — the reference reader's elimination, at stripe
+    granularity, driven by the file Metadata our writer also emits.
+    """
     from orc_haskell_spark.orcfile.reader import ORCFile
 
     files = _list_orc_files(path)
@@ -65,10 +75,14 @@ def read_orc_distributed(spark: SparkSession, path: str,
             schema = orc.schema
         elif not schema.equals(orc.schema):
             raise ValueError(f"schema mismatch in {f}")
-        tasks.extend((f, i) for i in range(len(orc.stripes)))
+        keep = (orc.prune_stripes(prune[0], prune[1], prune[2])
+                if prune else range(len(orc.stripes)))
+        tasks.extend((f, i) for i in keep)
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
     spark_schema, arrow_schema = _spark_schema_for(schema)
 
-    if not tasks:  # all files empty
+    if not tasks:  # all files empty or fully pruned
         return spark.createDataFrame([], spark_schema)
 
     task_df = spark.createDataFrame(tasks, "file string, stripe int") \
@@ -84,7 +98,7 @@ def read_orc_distributed(spark: SparkSession, path: str,
             for f, i in zip(b.column("file").to_pylist(),
                             b.column("stripe").to_pylist()):
                 orc = opened.get(f) or opened.setdefault(f, OF(f))
-                rb = orc.read_stripe(i)
+                rb = orc.read_stripe(i, columns)
                 cols = []
                 for field, col in zip(arrow_schema, rb.columns):
                     if col.type != field.type:

@@ -303,9 +303,34 @@ def write_orc(table: pa.Table, where, compression: str = "ZLIB",
     buf = bytearray()
     buf += MAGIC
     stripe_infos = []
+    stripe_stats: list[list[dict]] = []
     n_cols = len(types)
-    value_counts = np.zeros(n_cols, dtype=np.int64)
-    has_null = np.zeros(n_cols, dtype=bool)
+
+    def _col_stats(arr: pa.Array, col_type: pa.DataType) -> dict:
+        """Min/max ColumnStatistics for scalar columns (enables stripe
+        pruning in readers); counts only for nested types."""
+        import pyarrow.compute as pc
+
+        st: dict = {"numberOfValues": len(arr) - arr.null_count,
+                    "hasNull": 1 if arr.null_count else 0}
+        try:
+            if pa.types.is_integer(col_type) and len(arr) > arr.null_count:
+                st["intStatistics"] = {
+                    "minimum": pc.min(arr).as_py(),
+                    "maximum": pc.max(arr).as_py()}
+            elif pa.types.is_floating(col_type) and len(arr) > arr.null_count:
+                st["doubleStatistics"] = {
+                    "minimum": float(pc.min(arr).as_py()),
+                    "maximum": float(pc.max(arr).as_py())}
+            elif (pa.types.is_string(col_type) or
+                  pa.types.is_large_string(col_type)) \
+                    and len(arr) > arr.null_count:
+                st["stringStatistics"] = {
+                    "minimum": pc.min(arr).as_py(),
+                    "maximum": pc.max(arr).as_py()}
+        except Exception:
+            pass
+        return st
 
     table = table.combine_chunks()
     for start in range(0, max(table.num_rows, 1), stripe_rows):
@@ -341,15 +366,30 @@ def write_orc(table: pa.Table, where, compression: str = "ZLIB",
             "footerLength": len(sfoot_c),
             "numberOfRows": chunk.num_rows,
         })
+        cs: list[dict] = [{"numberOfValues": chunk.num_rows, "hasNull": 0}
+                          for _ in range(n_cols)]
+        for i, sub in enumerate(types[0].get("subtypes", [])):
+            arr = chunk.column(i)
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            cs[sub] = _col_stats(arr, arr.type)
+        stripe_stats.append({"colStats": cs})
     # minimal statistics: counts only (readers that serve
     # getStatistics want more; plain reads don't need it)
     stats = [_basic_stats(int(table.num_rows), False)]
     for col in range(1, n_cols):
         stats.append(_basic_stats(int(table.num_rows), True))
 
+    content_len = len(buf) - len(MAGIC)  # stripes only, pre-metadata
+    metadata_c = b""
+    if stripe_stats:
+        metadata_c = compress_stream(
+            proto.encode("Metadata", {"stripeStats": stripe_stats}),
+            compression, block_size)
+        buf += metadata_c
+
     footer = proto.encode("Footer", {
         "headerLength": len(MAGIC),
-        "contentLength": len(buf) - len(MAGIC),
+        "contentLength": content_len,
         "stripes": stripe_infos,
         "types": types,
         "numberOfRows": table.num_rows,
@@ -364,7 +404,7 @@ def write_orc(table: pa.Table, where, compression: str = "ZLIB",
         "compression": proto.COMPRESSION[compression],
         "compressionBlockSize": block_size,
         "version": [0, 12],
-        "metadataLength": 0,
+        "metadataLength": len(metadata_c),
         "writerVersion": 1,
         "magic": "ORC",
     })

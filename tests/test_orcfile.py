@@ -212,3 +212,64 @@ def test_distributed_read_of_cpp_file(spark, tmp_path):
     back = read_orc_distributed(spark, str(tmp_path))
     assert back.count() == df.count()
     assert back.exceptAll(df).count() == 0
+
+
+def test_column_projection_byte_level():
+    t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64)),
+                  "s": pa.array([f"row{i:05d}" for i in range(5000)]),
+                  "f": pa.array(np.linspace(0, 1, 5000))})
+    path = tempfile.mktemp(suffix=".orc")
+    try:
+        write_orc(t, path, compression="ZLIB", stripe_rows=1000)
+        proj = read_orc(path, columns=["s", "k"])
+        assert proj.column_names == ["s", "k"]
+        assert proj["s"].combine_chunks().equals(t["s"].combine_chunks())
+        assert proj["k"].combine_chunks().equals(t["k"].combine_chunks())
+    finally:
+        os.unlink(path)
+
+
+def test_stripe_stats_pruning_int_string_double():
+    t = pa.table({"k": pa.array(np.arange(10000, dtype=np.int64)),
+                  "s": pa.array([f"row{i:05d}" for i in range(10000)]),
+                  "f": pa.array(np.linspace(0, 1, 10000))})
+    path = tempfile.mktemp(suffix=".orc")
+    try:
+        write_orc(t, path, compression="ZLIB", stripe_rows=2000)
+        f = ORCFile(path)
+        assert len(f.stripes) == 5 and len(f.stripe_stats) == 5
+        assert f.prune_stripes("k", 4500, 4700) == [2]
+        assert f.prune_stripes("s", "row09", None) == [4]
+        assert f.prune_stripes("f", None, 0.05) == [0]
+        # pruning is never wrong: reading kept stripes covers the range
+        kept = pa.Table.from_batches(
+            [f.read_stripe(i) for i in f.prune_stripes("k", 4500, 4700)])
+        vals = kept["k"].to_pylist()
+        assert set(range(4500, 4701)) <= set(vals)
+        # the C++ reader still accepts files carrying our Metadata
+        assert po.read_table(path).equals(t)
+        # and C++-written stats parse through the same path
+        path2 = tempfile.mktemp(suffix=".orc")
+        po.write_table(t, path2, compression="zlib")
+        assert ORCFile(path2).stripe_stats  # pyarrow writes Metadata
+        os.unlink(path2)
+    finally:
+        os.unlink(path)
+
+
+def test_distributed_projection_and_pruning(spark, tmp_path):
+    from orc_haskell_spark.orcfile.spark_source import (
+        read_orc_distributed, write_orc_distributed)
+
+    df = spark.range(0, 20000).selectExpr(
+        "id as k", "concat('v', lpad(cast(id as string), 6, '0')) as s")
+    d = str(tmp_path / "orc")
+    write_orc_distributed(df.orderBy("k").coalesce(1), d,
+                          stripe_rows=4000).collect()
+    proj = read_orc_distributed(spark, d, columns=["s"])
+    assert proj.columns == ["s"]
+    assert proj.count() == 20000
+    pruned = read_orc_distributed(spark, d, prune=("k", 9000, 9100))
+    # only the one stripe containing [9000, 9100] is scheduled
+    assert pruned.count() == 4000
+    assert pruned.filter("k between 9000 and 9100").count() == 101
