@@ -208,6 +208,34 @@ def _mk_orcfile_cpp_cross(table: str):
     return q
 
 
+def _orcfile_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned, column-projected distributed ORC scan: write
+    lineitem sorted by l_orderkey (so stripe min/max are selective),
+    read back only rows with l_orderkey in [100, 2000] touching only
+    the stripes whose statistics admit the range, projecting 3 of 11
+    columns at the byte level."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from orc_haskell_spark.orcfile.spark_source import (
+        read_orc_distributed, write_orc_distributed)
+
+    df = _load(spark, sf_dir, "lineitem").orderBy("l_orderkey")
+    d = tempfile.mkdtemp(prefix="orcprune_")
+    write_orc_distributed(df.coalesce(1), d, compression="ZLIB",
+                          stripe_rows=4096).collect()
+    scan = read_orc_distributed(
+        spark, d, columns=["l_orderkey", "l_quantity", "l_returnflag"],
+        prune=("l_orderkey", 100, 2000))
+    return (scan.filter(F2.col("l_orderkey").between(100, 2000))
+            .groupBy("l_returnflag")
+            .agg(F2.count("*").alias("cnt"),
+                 F2.round(F2.sum("l_quantity"), 2).alias("sum_qty"),
+                 F2.min("l_orderkey").alias("min_ok"),
+                 F2.max("l_orderkey").alias("max_ok")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for table in ["documents", "lineitem", "orders", "events", "customer",
@@ -229,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orcfile_roundtrip_lineitem"] = _mk_orcfile_roundtrip("lineitem")
     q["orcfile_roundtrip_documents"] = _mk_orcfile_roundtrip("documents")
     q["orcfile_roundtrip_events"] = _mk_orcfile_roundtrip("events")
+    q["orcfile_pruned_scan_lineitem"] = _orcfile_pruned_scan
     q["orcfile_cpp_read_lineitem"] = _mk_orcfile_cpp_cross("lineitem")
     q["orcfile_cpp_read_documents"] = _mk_orcfile_cpp_cross("documents")
     q["decoded_agg_lineitem"] = _decoded_agg_lineitem
@@ -376,6 +405,12 @@ def oracle_sql() -> dict[str, str]:
     o["orcfile_roundtrip_lineitem"] = _select_sql("lineitem")
     o["orcfile_roundtrip_documents"] = _select_sql("documents")
     o["orcfile_roundtrip_events"] = _select_sql("events")
+    o["orcfile_pruned_scan_lineitem"] = (
+        "SELECT l_returnflag, count(*) AS cnt, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok "
+        "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 "
+        "GROUP BY l_returnflag")
     o["orcfile_cpp_read_lineitem"] = _select_sql("lineitem")
     o["orcfile_cpp_read_documents"] = _select_sql("documents")
     o["decoded_agg_lineitem"] = (
