@@ -310,7 +310,14 @@ _COMPRESS_SEG = 1 << 20  # 1 MiB, multiple of BLOCK (sweep: 1M 16.5 >
 
 
 def compress(data: np.ndarray, table: SymbolTable | None = None) -> tuple[bytes, bytes]:
-    """-> (serialized table, payload). data is a uint8 array."""
+    """-> (serialized table, payload). data is a uint8 array.
+
+    Payload framing: u32-LE piece count, then per-piece u32-LE byte
+    lengths, then the pieces. The frame lets decompress run per piece
+    with the same cache-resident working set the encoder has — without
+    it, decoding a 25 MB stripe with 32 busy cores measured NEGATIVE
+    aggregate scaling (160 -> 97 MB/s from 8 to 32 workers).
+    """
     data = np.ascontiguousarray(data, dtype=np.uint8)
     if table is None:
         table = train(data)
@@ -319,7 +326,10 @@ def compress(data: np.ndarray, table: SymbolTable | None = None) -> tuple[bytes,
     pieces = []
     for s in range(0, data.size, _COMPRESS_SEG):
         pieces.append(_compress_piece(data[s:s + _COMPRESS_SEG], table))
-    return table.serialize(), b"".join(pieces)
+    header = np.empty(1 + len(pieces), dtype="<u4")
+    header[0] = len(pieces)
+    header[1:] = [len(p) for p in pieces]
+    return table.serialize(), header.tobytes() + b"".join(pieces)
 
 
 def _compress_piece(data: np.ndarray, table: SymbolTable) -> bytes:
@@ -336,9 +346,23 @@ def _compress_piece(data: np.ndarray, table: SymbolTable) -> bytes:
 
 
 def decompress(table_buf: np.ndarray, payload: np.ndarray) -> np.ndarray:
-    """Inverse of compress -> uint8 array."""
-    table = SymbolTable.deserialize(np.ascontiguousarray(table_buf, dtype=np.uint8))
-    c = np.ascontiguousarray(payload, dtype=np.uint8)
+    """Inverse of compress -> uint8 array (per piece, see compress)."""
+    table = SymbolTable.deserialize(
+        np.ascontiguousarray(table_buf, dtype=np.uint8))
+    buf = np.ascontiguousarray(payload, dtype=np.uint8)
+    if buf.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    n_pieces = int(buf[:4].view("<u4")[0])
+    lens = buf[4:4 + 4 * n_pieces].view("<u4").astype(np.int64)
+    pos = 4 + 4 * n_pieces
+    outs = []
+    for ln in lens.tolist():
+        outs.append(_decompress_piece(buf[pos:pos + ln], table))
+        pos += ln
+    return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+
+def _decompress_piece(c: np.ndarray, table: SymbolTable) -> np.ndarray:
     n = c.size
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
