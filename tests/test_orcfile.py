@@ -273,3 +273,70 @@ def test_distributed_projection_and_pruning(spark, tmp_path):
     # only the one stripe containing [9000, 9100] is scheduled
     assert pruned.count() == 4000
     assert pruned.filter("k between 9000 and 9100").count() == 101
+
+
+# ---- property test: random tables, our writer <-> C++ reader ----
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _rand_table(draw):
+    n = draw(st.integers(1, 300))
+    cols = {}
+    ncols = draw(st.integers(1, 4))
+    for k in range(ncols):
+        kind = draw(st.sampled_from(
+            ["i64", "i32", "f64", "str", "bool", "ts", "bin"]))
+        nullable = draw(st.booleans())
+        def maybe(v):
+            return st.none() | v if nullable else v
+        if kind == "i64":
+            vals = draw(st.lists(maybe(st.integers(-2**63, 2**63 - 1)),
+                                 min_size=n, max_size=n))
+            arr = pa.array(vals, pa.int64())
+        elif kind == "i32":
+            vals = draw(st.lists(maybe(st.integers(-2**31, 2**31 - 1)),
+                                 min_size=n, max_size=n))
+            arr = pa.array(vals, pa.int32())
+        elif kind == "f64":
+            vals = draw(st.lists(
+                maybe(st.floats(allow_nan=False, width=64)),
+                min_size=n, max_size=n))
+            arr = pa.array(vals, pa.float64())
+        elif kind == "str":
+            vals = draw(st.lists(maybe(st.text(max_size=20)),
+                                 min_size=n, max_size=n))
+            arr = pa.array(vals, pa.string())
+        elif kind == "bool":
+            vals = draw(st.lists(maybe(st.booleans()),
+                                 min_size=n, max_size=n))
+            arr = pa.array(vals, pa.bool_())
+        elif kind == "bin":
+            vals = draw(st.lists(maybe(st.binary(max_size=16)),
+                                 min_size=n, max_size=n))
+            arr = pa.array(vals, pa.binary())
+        else:
+            vals = draw(st.lists(
+                maybe(st.integers(-2**50, 2**50)), min_size=n, max_size=n))
+            arr = pa.array(vals, pa.timestamp("us"))
+        cols[f"c{k}"] = arr
+    return pa.table(cols)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_rand_table())
+def test_property_our_writer_cpp_reads(t):
+    path = tempfile.mktemp(suffix=".orc")
+    try:
+        write_orc(t, path, compression="ZLIB", stripe_rows=97)
+        got = po.read_table(path).combine_chunks()
+        exp = t.combine_chunks()
+        for c in exp.column_names:
+            g = got[c].combine_chunks()
+            e = exp[c].combine_chunks()
+            if g.type != e.type:
+                g = g.cast(e.type)
+            assert g.equals(e), c
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
