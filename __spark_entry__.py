@@ -208,6 +208,24 @@ def _mk_orcfile_cpp_cross(table: str):
     return q
 
 
+def _zonemap_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level zone maps: encode lineitem sorted by l_orderkey,
+    skip stripes via the JSON-footer min/max (pure Catalyst filter, no
+    decode), then byte-level projected decode of 3 of 11 columns."""
+    df = _load(spark, sf_dir, "lineitem").orderBy("l_orderkey")
+    enc = engine.encode_table(df.coalesce(2), stripe_rows=4096)
+    pruned = engine.prune_stripes(enc, "l_orderkey", 500, 3000)
+    dec = engine.decode_table(
+        pruned, df.schema,
+        columns=["l_orderkey", "l_quantity", "l_returnflag"])
+    return (dec.filter(F.col("l_orderkey").between(500, 3000))
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.min("l_orderkey").alias("min_ok"),
+                 F.max("l_orderkey").alias("max_ok")))
+
+
 def _orcfile_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned, column-projected distributed ORC scan: write
     lineitem sorted by l_orderkey (so stripe min/max are selective),
@@ -257,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orcfile_roundtrip_lineitem"] = _mk_orcfile_roundtrip("lineitem")
     q["orcfile_roundtrip_documents"] = _mk_orcfile_roundtrip("documents")
     q["orcfile_roundtrip_events"] = _mk_orcfile_roundtrip("events")
+    q["zonemap_pruned_agg_lineitem"] = _zonemap_pruned_agg
     q["orcfile_pruned_scan_lineitem"] = _orcfile_pruned_scan
     q["orcfile_cpp_read_lineitem"] = _mk_orcfile_cpp_cross("lineitem")
     q["orcfile_cpp_read_documents"] = _mk_orcfile_cpp_cross("documents")
@@ -405,6 +424,12 @@ def oracle_sql() -> dict[str, str]:
     o["orcfile_roundtrip_lineitem"] = _select_sql("lineitem")
     o["orcfile_roundtrip_documents"] = _select_sql("documents")
     o["orcfile_roundtrip_events"] = _select_sql("events")
+    o["zonemap_pruned_agg_lineitem"] = (
+        "SELECT l_returnflag, count(*) AS cnt, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok "
+        "FROM lineitem WHERE l_orderkey BETWEEN 500 AND 3000 "
+        "GROUP BY l_returnflag")
     o["orcfile_pruned_scan_lineitem"] = (
         "SELECT l_returnflag, count(*) AS cnt, "
         "round(sum(l_quantity), 2) AS sum_qty, "

@@ -142,6 +142,20 @@ def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             yield stripe_mod.decode_stripe(footer, memoryview(payload))
 
 
+def _decode_fn_projected(columns: list[str]):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        clamp_worker_threads()
+        for b in batches:
+            footers = b.column("footer").to_pylist()
+            datas = b.column("data")
+            for i, fjson in enumerate(footers):
+                footer = json.loads(fjson)
+                payload = datas[i].as_buffer()
+                yield stripe_mod.decode_stripe(footer, memoryview(payload),
+                                               columns)
+    return fn
+
+
 def encode_table(df, stripe_rows: int = DEFAULT_STRIPE_ROWS,
                  stripe_bytes: int = DEFAULT_STRIPE_BYTES,
                  config: dict | None = None,
@@ -166,11 +180,45 @@ def encode_table(df, stripe_rows: int = DEFAULT_STRIPE_ROWS,
     )
 
 
-def decode_table(enc_df, schema):
+def decode_table(enc_df, schema, columns: list[str] | None = None):
     """Encoded-stripes DataFrame -> original rows. `schema` is the original
     DataFrame's StructType (stripes are self-describing; Spark just needs
-    the static type)."""
-    return enc_df.mapInArrow(decode_fn, schema)
+    the static type).
+
+    ``columns`` projects at the byte level: only the requested columns'
+    streams are decompressed and decoded in each stripe — the
+    column-pruning analog for encoded data (a 2-column read of a wide
+    pages table never touches the html payload bytes).
+    """
+    if columns is None:
+        return enc_df.mapInArrow(decode_fn, schema)
+    from pyspark.sql.types import StructType
+
+    sub = StructType([schema[c] for c in columns])
+    return enc_df.mapInArrow(_decode_fn_projected(columns), sub)
+
+
+def prune_stripes(enc_df, column: str, lo=None, hi=None, numeric: bool = True):
+    """Zone-map stripe skipping over the encoded DataFrame — a pure
+    Catalyst filter on the JSON footer's per-stripe [min, max] stats
+    (no Python, no decode; composes with decode_table's projection):
+    stripes whose range excludes [lo, hi] are never scheduled.
+
+    numeric=False compares as strings (string zone maps). Stripes
+    without stats for the column are kept — pruning is never wrong,
+    only less selective. Timestamps/dates: pass epoch-us / epoch-days.
+    """
+    from pyspark.sql import functions as F
+
+    typ = "double" if numeric else "string"
+    mn = F.get_json_object("footer", f"$.stats.{column}[0]").cast(typ)
+    mx = F.get_json_object("footer", f"$.stats.{column}[1]").cast(typ)
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (mx.isNull() | (mx >= F.lit(lo)))
+    if hi is not None:
+        keep = keep & (mn.isNull() | (mn <= F.lit(hi)))
+    return enc_df.filter(keep)
 
 
 def manifest_df(enc_df):

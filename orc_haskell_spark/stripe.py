@@ -498,23 +498,73 @@ def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None,
         "n_rows": batch.num_rows,
         "schema_b64": base64.b64encode(batch.schema.serialize().to_pybytes()).decode(),
         "columns": columns,
+        "stats": _stripe_stats(batch),
     }
     return footer, bytes(payload)
 
 
-def decode_stripe(footer: dict, payload: bytes | memoryview) -> pa.RecordBatch:
+_MAX_STAT_STR = 64
+
+
+def _stripe_stats(batch: pa.RecordBatch) -> dict:
+    """Zone maps: {column: [min, max]} for prunable top-level columns.
+
+    The manifest-level analog of the reference's ColumnStatistics
+    (src/Orc/Schema/Types.hs:115-128): numbers for ints/floats
+    (timestamps as epoch-us, dates as epoch-days), strings kept only
+    when short enough that full values are stored (a truncated max
+    would under-bound and prune wrongly). Readers skip whole stripes
+    whose [min, max] excludes a predicate range WITHOUT decoding —
+    via Catalyst expressions over the JSON footer (engine.prune_stripes).
+    """
+    import pyarrow.compute as pc
+
+    stats: dict = {}
+    for name, arr in zip(batch.schema.names, batch.columns):
+        t = arr.type
+        if len(arr) == arr.null_count:
+            continue
+        try:
+            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                stats[name] = [pc.min(arr).as_py(), pc.max(arr).as_py()]
+            elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+                a = arr.cast(pa.int64())
+                stats[name] = [pc.min(a).as_py(), pc.max(a).as_py()]
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                mn, mx = pc.min(arr).as_py(), pc.max(arr).as_py()
+                if len(mn) <= _MAX_STAT_STR and len(mx) <= _MAX_STAT_STR:
+                    stats[name] = [mn, mx]
+        except Exception:
+            continue
+    return stats
+
+
+def decode_stripe(footer: dict, payload: bytes | memoryview,
+                  columns: list[str] | None = None) -> pa.RecordBatch:
+    """Decode a stripe; ``columns`` projects at the byte level — only
+    the requested columns' streams are decompressed and decoded."""
     schema = pa.ipc.read_schema(
         pa.py_buffer(base64.b64decode(footer["schema_b64"]))
     )
     view = memoryview(payload)
     arrays = []
+    names = []
     for col in footer["columns"]:
+        if columns is not None and col["name"] not in columns:
+            continue
         streams: dict[str, bytes] = {}
         for e in col["streams"]:
             raw = bytes(view[e["o"]: e["o"] + e["l"]])
             streams[e["k"]] = block.decompress(raw, e["c"]) if e["c"] != "none" else raw
         field = schema.field(col["name"])
         arrays.append(decode_column(col["meta"], streams, field.type))
+        names.append(col["name"])
+    if columns is not None:
+        # emit in the caller's requested order
+        order = {n: i for i, n in enumerate(names)}
+        arrays = [arrays[order[c]] for c in columns]
+        out_schema = pa.schema([schema.field(c) for c in columns])
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 

@@ -108,3 +108,45 @@ def test_gen_deterministic_across_partitionings(spark):
     a = gen.pages_df(spark, 1000, num_partitions=1)
     b = gen.pages_df(spark, 1000, num_partitions=7)
     _assert_same_rows(a, b, "url")
+
+
+def test_zone_map_pruning_and_projected_decode(spark):
+    """Stripe skipping via footer zone maps (pure Catalyst filter) +
+    byte-level projected decode: results equal the unpruned scan."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet").orderBy("l_orderkey")
+    enc = engine.encode_table(df.coalesce(1), stripe_rows=1000).cache()
+    total = enc.count()
+    pruned = engine.prune_stripes(enc, "l_orderkey", 50, 300)
+    assert 0 < pruned.count() < total  # actually skipped stripes
+    dec = engine.decode_table(pruned, df.schema,
+                              columns=["l_orderkey", "l_quantity"])
+    assert dec.columns == ["l_orderkey", "l_quantity"]
+    got = (dec.filter(F.col("l_orderkey").between(50, 300))
+           .agg(F.count("*").alias("c"),
+                F.round(F.sum("l_quantity"), 2).alias("s")).collect()[0])
+    exp = (df.filter(F.col("l_orderkey").between(50, 300))
+           .agg(F.count("*").alias("c"),
+                F.round(F.sum("l_quantity"), 2).alias("s")).collect()[0])
+    assert (got.c, got.s) == (exp.c, exp.s)
+    enc.unpersist()
+
+
+def test_zone_map_string_and_missing_stats(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").orderBy("lang")
+    enc = engine.encode_table(docs.coalesce(1), stripe_rows=128).cache()
+    total = enc.count()
+    kept = engine.prune_stripes(enc, "lang", "fr", "fr", numeric=False)
+    assert 0 < kept.count() < total
+    # decoded pruned stripes still contain every 'fr' row
+    dec = engine.decode_table(kept, docs.schema, columns=["lang", "doc_id"])
+    assert (dec.filter(F.col("lang") == "fr").count()
+            == docs.filter(F.col("lang") == "fr").count())
+    # pruning on a column with no stats keeps everything (never wrong)
+    assert engine.prune_stripes(enc, "nonexistent", 0, 1).count() == total
+    enc.unpersist()
