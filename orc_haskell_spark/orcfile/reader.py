@@ -85,6 +85,14 @@ def arrow_type(types: list[dict], col: int) -> pa.DataType:
             pa.field(name, arrow_type(types, sub))
             for name, sub in zip(t.get("fieldNames", []),
                                  t.get("subtypes", []))])
+    if kind == "UNION":
+        # match the C++ adapter's convention: sparse union, children
+        # named _union_<i>, positional type codes
+        return pa.union(
+            [pa.field(f"_union_{i}", arrow_type(types, sub))
+             for i, sub in enumerate(t.get("subtypes", []))],
+            mode="sparse",
+            type_codes=list(range(len(t.get("subtypes", [])))))
     raise NotImplementedError(f"ORC type {kind} not supported")
 
 
@@ -150,6 +158,32 @@ class _StripeReader:
             return pa.StructArray.from_arrays(
                 children, names=names,
                 mask=pa.array(null_mask) if null_mask is not None else None)
+
+        if kind == "UNION":
+            # TAG byte stream + per-variant children, exactly the
+            # reference's Union layout (src/Orc/Table/Striped.hs:33,
+            # decode :387-397). Arrow unions carry no top-level nulls.
+            if valid is not None and not valid.all():
+                raise NotImplementedError("null UNION entries")
+            tags = byte_rle.decode(
+                np.frombuffer(st["DATA"], np.uint8))[:n].view(np.int8)
+            children = []
+            for i, sub in enumerate(t.get("subtypes", [])):
+                cnt = int((tags == np.int8(i)).sum())
+                child = self.column(sub, cnt)
+                # sparse layout: scatter to full length
+                sel = tags == np.int8(i)
+                if cnt == 0:
+                    children.append(pa.nulls(n, child.type if cnt else
+                                             arrow_type(self.types, sub)))
+                    continue
+                ix = np.zeros(n, dtype=np.int64)
+                ix[sel] = np.arange(cnt)
+                children.append(child.take(pa.array(ix)))
+            return pa.UnionArray.from_sparse(
+                pa.array(tags, pa.int8()), children,
+                [f"_union_{i}" for i in range(len(children))],
+                list(range(len(children))))
 
         if kind in ("LIST", "MAP"):
             lengths = _int_rle(st["LENGTH"], enc, signed=False)[:m]

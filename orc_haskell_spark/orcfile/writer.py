@@ -88,6 +88,9 @@ def _build_types(schema_or_type, types: list[dict]) -> int:
         for field in typ:
             t["fieldNames"].append(field.name)
             t["subtypes"].append(_build_types(field.type, types))
+    elif pa.types.is_union(typ):
+        t["kind"] = proto.KIND["UNION"]
+        t["subtypes"] = [_build_types(field.type, types) for field in typ]
     else:
         raise NotImplementedError(f"arrow type {typ} not writable to ORC")
     return my_id
@@ -171,6 +174,29 @@ class _ColumnWriter:
                 child = arr.field(i)
                 if has_nulls:
                     child = child.filter(pa.array(valid))
+                self.write(sub, child)
+            return
+
+        if kind == "UNION":
+            # ORC union: DIRECT encoding, DATA = positional tag bytes,
+            # children carry their rows in order (dense-ified)
+            self._set_enc(col, "DIRECT")
+            tags = np.asarray(arr.type_codes, dtype=np.int8)
+            code_to_pos = {int(c): i for i, c in enumerate(arr.type.type_codes)}
+            pos_tags = np.array([code_to_pos[int(c)] for c in tags],
+                                dtype=np.uint8) if len(tags) else \
+                np.zeros(0, np.uint8)
+            self._put(col, "DATA", byte_rle.encode(pos_tags))
+            dense_mode = arr.type.mode == "dense"
+            offsets = (np.asarray(arr.offsets, dtype=np.int64)
+                       if dense_mode else None)
+            for i, sub in enumerate(self.types[col].get("subtypes", [])):
+                code = arr.type.type_codes[i]
+                sel = tags == np.int8(code)
+                if dense_mode:
+                    child = arr.field(i).take(pa.array(offsets[sel]))
+                else:
+                    child = arr.field(i).filter(pa.array(sel))
                 self.write(sub, child)
             return
 

@@ -340,3 +340,32 @@ def test_property_our_writer_cpp_reads(t):
     finally:
         if os.path.exists(path):
             os.unlink(path)
+
+
+def test_union_orc_files_both_directions():
+    """File-level UNION (kind 13) — the reference reads union ORC files
+    (src/Orc/Table/Striped.hs:387-397); ours writes AND reads them,
+    cross-validated with the C++ implementation in both directions."""
+    du = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0, 2, 1, 0] * 50, pa.int8()),
+        pa.array(sum([[i * 3, i * 2, i * 3 + 1, i, i * 2 + 1, i * 3 + 2]
+                      for i in range(50)], []), pa.int32()),
+        [pa.array(list(range(150)), pa.int64()),
+         pa.array([f"s{i}" for i in range(100)]),
+         pa.array(np.linspace(0, 1, 50))],
+        ["i", "s", "f"], [0, 1, 2])
+    t = pa.table({"u": du, "k": pa.array(range(300))})
+    p1 = tempfile.mktemp(suffix=".orc")
+    try:
+        po.write_table(t, p1)
+        assert read_orc(p1).equals(po.read_table(p1))  # C++ writes, we read
+    finally:
+        os.unlink(p1)
+    p2 = tempfile.mktemp(suffix=".orc")
+    try:
+        write_orc(t, p2, compression="ZLIB")
+        got = po.read_table(p2)                        # we write, C++ reads
+        assert got["u"].to_pylist() == t["u"].to_pylist()
+        assert read_orc(p2)["u"].to_pylist() == t["u"].to_pylist()
+    finally:
+        os.unlink(p2)
