@@ -49,3 +49,24 @@ def test_sources_catalog_name(spark):
         .createOrReplaceTempView("nation_view")
     df = sources.read_table(spark, "nation_view")
     assert df.count() == 25
+
+
+def test_read_table_resolves_catalog_names(spark):
+    """sources.read_table: catalog/temp-view names resolve through
+    spark.read.table (the Iceberg path on a real cluster); unknown
+    names fall through to parquet; non-not-found errors re-raise."""
+    import pytest
+
+    from orc_haskell_spark import sources
+
+    df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    df.createOrReplaceTempView("region_view")
+    got = sources.read_table(spark, "region_view")
+    assert got.count() == df.count()
+    # path fallback still works
+    assert sources.read_table(
+        spark, "/root/testdata/sf0.001/region.parquet").count() == df.count()
+    # unknown bare name: falls through to parquet and fails THERE
+    with pytest.raises(Exception) as e:
+        sources.read_table(spark, "no_such_table_anywhere")
+    assert "PATH_NOT_FOUND" in str(e.value) or "Path does not exist" in str(e.value)
