@@ -160,19 +160,30 @@ def encode_table(df, stripe_rows: int = DEFAULT_STRIPE_ROWS,
                  stripe_bytes: int = DEFAULT_STRIPE_BYTES,
                  config: dict | None = None,
                  partition_on: str | list[str] | None = None,
-                 num_partitions: int | None = None):
+                 num_partitions: int | None = None,
+                 salt_buckets: int = 1):
     """DataFrame -> encoded-stripes DataFrame (1 row per stripe).
 
     partition_on: explicit range partitioning on xxhash64(cols) — the
     north rule's layout for the pages table (url hash). Leave None to
     stay shuffle-free on the scan's partitioning.
+
+    salt_buckets > 1 adds a deterministic full-row-hash salt to the
+    range key — the north rule's "salted repartition for skewed
+    lang/domain hot keys": a key holding 60% of the corpus spreads over
+    up to salt_buckets partitions instead of funnelling into one task.
+    (Use with low-cardinality keys; url-hash keys don't need it.)
     """
     from pyspark.sql import functions as F
 
     if partition_on is not None:
         cols = [partition_on] if isinstance(partition_on, str) else list(partition_on)
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-        df = df.repartitionByRange(n, F.xxhash64(*cols))
+        keys = [F.xxhash64(*cols)]
+        if salt_buckets > 1:
+            keys.append(F.pmod(F.xxhash64(*df.columns),
+                               F.lit(salt_buckets)))
+        df = df.repartitionByRange(n, *keys)
     elif num_partitions is not None:
         df = df.repartition(num_partitions)
     return df.mapInArrow(

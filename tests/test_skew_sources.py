@@ -70,3 +70,34 @@ def test_read_table_resolves_catalog_names(spark):
     with pytest.raises(Exception) as e:
         sources.read_table(spark, "no_such_table_anywhere")
     assert "PATH_NOT_FOUND" in str(e.value) or "Path does not exist" in str(e.value)
+
+
+def test_salted_repartition_spreads_hot_encode_key(spark):
+    """Encoding partitioned on a skewed key (lang, one dominant value)
+    must spread the hot key across tasks when salted — otherwise one
+    task encodes most of the corpus."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_parts = 8
+
+    def max_partition_share(salt):
+        cols = [F.xxhash64("lang")]
+        if salt > 1:
+            cols.append(F.pmod(F.xxhash64(*docs.columns), F.lit(salt)))
+        rep = docs.repartitionByRange(n_parts, *cols)
+        sizes = (rep.withColumn("p", F.spark_partition_id())
+                 .groupBy("p").count().collect())
+        total = sum(r["count"] for r in sizes)
+        return max(r["count"] for r in sizes) / total
+
+    unsalted = max_partition_share(1)
+    salted = max_partition_share(8)
+    assert salted < unsalted  # hot key actually spread
+    assert salted < 0.3       # no task holds the bulk anymore
+    # and the salted encode still roundtrips exactly
+    enc = engine.encode_table(docs, stripe_rows=256, partition_on="lang",
+                              num_partitions=n_parts, salt_buckets=8)
+    dec = engine.decode_table(enc, docs.schema)
+    assert dec.exceptAll(docs).count() == 0
+    assert docs.exceptAll(dec).count() == 0
