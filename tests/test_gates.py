@@ -90,38 +90,43 @@ def test_constant_memory_encode():
     assert int(total) > 0
 
 
+def _fsst_barrier_worker(data_bytes, barrier, out, i):
+    import time
+
+    import numpy as np
+
+    from orc_haskell_spark.codecs import fsst
+
+    data = np.frombuffer(data_bytes, np.uint8)
+    tab = fsst.train(data)
+    barrier.wait()
+    t0 = time.perf_counter()
+    fsst.compress(data, tab)
+    out[i] = time.perf_counter() - t0
+
+
 def test_concurrent_kernel_scaling():
     """More concurrent encode workers must INCREASE aggregate FSST
     throughput (regression gate for the 25 MB working-set collapse,
     where 32 workers ran slower in aggregate than 8). Barrier-started
-    plain processes, 12 MB per worker; generous floor to stay robust
-    to host noise."""
+    SPAWNED processes (never fork: the session-scoped Spark JVM makes
+    forked children abort nondeterministically), 12 MB per worker;
+    generous floor to stay robust to host noise."""
     import multiprocessing as mp
-    import time
 
     import pyarrow.parquet as pq
 
-    def worker(data_bytes, barrier, out, i):
-        import numpy as np
-
-        from orc_haskell_spark.codecs import fsst
-
-        data = np.frombuffer(data_bytes, np.uint8)
-        tab = fsst.train(data)
-        barrier.wait()
-        t0 = time.perf_counter()
-        fsst.compress(data, tab)
-        out[i] = time.perf_counter() - t0
-
+    ctx = mp.get_context("spawn")
     t = pq.read_table("/root/testdata/sf0.01/documents.parquet")
     txt = "".join(t.column("text").to_pylist())
     big = (txt * (12_000_000 // len(txt) + 1))[:12_000_000].encode()
     mb = len(big) / 1e6
     agg = {}
     for nproc in (4, 16):
-        barrier = mp.Barrier(nproc)
-        out = mp.Array("d", nproc)
-        ps = [mp.Process(target=worker, args=(big, barrier, out, i))
+        barrier = ctx.Barrier(nproc)
+        out = ctx.Array("d", nproc)
+        ps = [ctx.Process(target=_fsst_barrier_worker,
+                          args=(big, barrier, out, i))
               for i in range(nproc)]
         [p.start() for p in ps]
         [p.join() for p in ps]
