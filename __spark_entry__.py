@@ -413,6 +413,47 @@ def _select_sql(table: str) -> str:
     return f"SELECT {', '.join(cols) if cols else '*'} FROM {table}"
 
 
+def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 10,
+                        verify_jaccard: float = 0.5) -> str:
+    """SQL twin of dedup.simhash_pairs: the md5-derived 60-bit SimHash
+    is reproduced bit-for-bit, pairs are ALL-pairs filtered on
+    hamming <= max_hamming and exact token Jaccard >= verify_jaccard.
+    Value-exact vs the Spark LSH path because the banded join's recall
+    is exactly 1 by pigeonhole (n_bands > max_hamming)."""
+    bsum = ", ".join(
+        f"sum(case when (h >> {k}) & 1 = 1 then 1 else -1 end) AS b{k}"
+        for k in range(bits))
+    sh = " + ".join(
+        f"(case when b{k} > 0 then (CAST(1 AS BIGINT) << {k}) "
+        f"else 0 end)" for k in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS token
+  FROM documents
+), toksf AS (SELECT * FROM toks WHERE length(token) > 0),
+hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM toksf),
+sums AS (SELECT doc_id, {bsum} FROM hashed GROUP BY doc_id),
+sh AS (SELECT doc_id, {sh} AS simhash FROM sums),
+sets AS (
+  SELECT doc_id,
+    list_distinct(string_split_regex(text, '\\s+')) AS tk
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming,
+  round(len(list_intersect(sa.tk, sb.tk)) * 1.0 /
+    (len(sa.tk) + len(sb.tk) - len(list_intersect(sa.tk, sb.tk))), 6) AS jacc
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+JOIN sets sa ON sa.doc_id = a.doc_id
+JOIN sets sb ON sb.doc_id = b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+  AND len(list_intersect(sa.tk, sb.tk)) * 1.0 /
+    (len(sa.tk) + len(sb.tk) - len(list_intersect(sa.tk, sb.tk)))
+    >= {verify_jaccard}"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for table in ["documents", "lineitem", "orders", "events", "customer",
@@ -504,6 +545,7 @@ JOIN sets sa ON sa.doc_id = id_a
 JOIN sets sb ON sb.doc_id = id_b
 WHERE len(list_intersect(sa.tk, sb.tk)) * 1.0 /
     (len(sa.tk) + len(sb.tk) - len(list_intersect(sa.tk, sb.tk))) >= 0.8"""
+    o["dedup_simhash_documents"] = _simhash_oracle_sql()
     o["dedup_minhash_documents"] = r"""
 WITH sh AS (
   SELECT doc_id, list_distinct(list_transform(
@@ -572,8 +614,8 @@ FROM documents"""
     o["stream_windowed_events"] = (
         "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
         "event_type, count(*) AS events FROM events GROUP BY 1, 2")
-    # dedup_simhash_documents, sim_lsh_topk_embeddings, media_*: no SQL
-    # twin (xxhash64 / seeded hyperplanes / synthetic media) -> rows-only
+    # sim_lsh/ivf_topk_embeddings, media_*: no SQL twin (seeded
+    # hyperplanes/centroids, synthetic media) -> rows-only
     # pages_roundtrip intentionally has no oracle (synthetic input)
     return o
 

@@ -155,13 +155,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return verified.select("id_a", "id_b", F.round("jacc", 6).alias("jacc"))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens (weight 1): bit k is the sign of
-    the sum over tokens of (hash bit k ? +1 : -1), via xxhash64 tokens."""
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """60-bit SimHash over word tokens (weight 1): bit k is the sign of
+    the sum over tokens of (hash bit k ? +1 : -1). Token hash is the
+    first 15 hex digits of md5 — engine-independent, so a DuckDB oracle
+    reproduces every signature bit-for-bit (same rationale as
+    minhash_signatures)."""
     t = (df.select(id_col, F.array_distinct(
         F.split(F.col(text_col), TOKEN_SPLIT)).alias("toks"))
         .select(id_col, F.explode("toks").alias("token"))
-        .withColumn("h", F.xxhash64("token")))
+        .withColumn("h", F.conv(F.substring(F.md5("token"), 1, 15),
+                                16, 10).cast("long")))
     agg = [
         F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"b{k}")
@@ -185,21 +189,24 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     pair with hamming < n_bands), verified by hamming distance and true
     token Jaccard.
 
-    n_bands defaults to the smallest power-of-two divisor of 64 that
-    is > max_hamming, so recall of the banded join is exact for the
-    requested hamming radius. An explicit n_bands <= max_hamming would
-    silently drop qualifying pairs and is rejected.
+    n_bands defaults to the smallest divisor of the hash width that is
+    > max_hamming, so recall of the banded join is EXACT for the
+    requested hamming radius (pigeonhole: any pair differing in at most
+    max_hamming bits agrees on at least one band). An explicit
+    n_bands <= max_hamming would silently drop qualifying pairs and is
+    rejected.
     """
+    bits = 60
     if n_bands is None:
-        n_bands = next(b for b in (1, 2, 4, 8, 16, 32, 64)
-                       if b > max_hamming)
+        n_bands = next(b for b in range(max_hamming + 1, bits + 1)
+                       if bits % b == 0)
     if n_bands <= max_hamming:
         raise ValueError(
             f"n_bands={n_bands} cannot guarantee recall for "
             f"max_hamming={max_hamming}; need n_bands > max_hamming")
-    if 64 % n_bands:
-        raise ValueError("n_bands must divide 64")
-    band_bits = 64 // n_bands
+    if bits % n_bands:
+        raise ValueError(f"n_bands must divide {bits}")
+    band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     s = simhash(df, id_col, text_col).cache()
     bands = s.select(

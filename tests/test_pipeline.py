@@ -58,10 +58,10 @@ def test_minhash_lsh_finds_near_dups(near_dup_docs):
 
 
 def test_simhash_finds_near_dups(near_dup_docs):
-    # 16 4-bit bands guarantee catching any pair with hamming < 16
+    # 20 3-bit bands guarantee catching any pair with hamming < 20
     p = _pairs(dedup.simhash_pairs(near_dup_docs, "doc_id", "text",
                                    max_hamming=15, verify_jaccard=0.5,
-                                   n_bands=16))
+                                   n_bands=20))
     assert (0, 1) in p and (2, 3) in p
 
 
