@@ -145,8 +145,10 @@ class _ColumnWriter:
         self.encodings: dict[int, dict] = {}
 
     def _put(self, col: int, kind: str, data: bytes) -> None:
-        if data:
-            self.streams.append((col, kind, data))
+        # zero-length streams MUST still be declared: the C++ reader
+        # aborts with "DATA/LENGTH stream not found" on all-null or
+        # all-empty columns otherwise (found by subprocess fuzzing)
+        self.streams.append((col, kind, data))
 
     def _set_enc(self, col: int, name: str, dict_size: int = 0) -> None:
         e: dict = {"kind": proto.ENCODING[name]}

@@ -369,3 +369,19 @@ def test_union_orc_files_both_directions():
         assert read_orc(p2)["u"].to_pylist() == t["u"].to_pylist()
     finally:
         os.unlink(p2)
+
+
+def test_write_all_null_and_all_empty_columns_cpp_reads():
+    """Regression (subprocess fuzzing): zero-length DATA/LENGTH streams
+    must still be DECLARED or the C++ reader aborts with 'stream not
+    found' on all-null / all-empty columns."""
+    t = pa.table({
+        "f_null": pa.array([None, None, None], pa.float64()),
+        "ts_null": pa.array([None] * 3, pa.timestamp("us")),
+        "s_empty": pa.array(["", "", ""]),
+        "b_empty": pa.array([b"", b"", b""], pa.binary()),
+        "b_nullish": pa.array([None, b"", None], pa.binary()),
+        "i_null": pa.array([None] * 3, pa.int64()),
+        "bool_null": pa.array([None] * 3, pa.bool_()),
+    })
+    _roundtrip_us_to_pa(t, compression="ZLIB")
