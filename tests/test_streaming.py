@@ -96,7 +96,7 @@ def test_stateful_sessionization_stream(spark, tmp_path):
              (1, datetime.datetime(2024, 1, 1, 10, 5, 0)),
              (2, datetime.datetime(2024, 1, 1, 11, 0, 0))]
     rows2 = [(1, datetime.datetime(2024, 1, 2, 9, 0, 0))]
-    spark.createDataFrame(rows1, schema).write.parquet(f"{d}/in/f1")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{d}/in/f1")
 
     def drain():
         stream = (spark.readStream.schema(schema)
@@ -110,7 +110,7 @@ def test_stateful_sessionization_stream(spark, tmp_path):
         q.awaitTermination(120)
 
     drain()
-    spark.createDataFrame(rows2, schema).write.mode("append") \
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append") \
         .parquet(f"{d}/in/f2")
     drain()
     assert glob.glob(f"{d}/out/*.parquet")
