@@ -18,6 +18,8 @@ own parallelism unit: self-contained, ~64 MB).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -390,15 +392,36 @@ def read_stripe_tables(data: bytes, info: dict, footer: dict,
 
 
 class ORCFile:
-    """Random-access ORC reader (file path or bytes)."""
+    """Random-access ORC reader (file path or bytes).
+
+    Path mode is RANGE-BASED: only the tail (postscript + footer +
+    metadata, a few KB) is read at open, and read_stripe pulls exactly
+    its stripe's byte range — a one-stripe task against a multi-GB
+    file touches stripe_bytes of IO, not the whole file. (The
+    reference reader has the same property via its stream-offset seeks,
+    src/Orc/Serial/Binary/Base.hs:78-159.)
+    """
+
+    _TAIL_GUESS = 256 * 1024
 
     def __init__(self, source):
+        self._path = None
+        self._buf = None
         if isinstance(source, (bytes, bytearray)):
             self._buf = bytes(source)
+            tail = self._buf[-min(len(self._buf), 16 * 1024 * 1024):]
         else:
-            with open(source, "rb") as f:
-                self._buf = f.read()
-        tail = self._buf[-min(len(self._buf), 16 * 1024 * 1024):]
+            self._path = source
+            self._size = os.path.getsize(source)
+            tail = self._read_range(max(0, self._size - self._TAIL_GUESS),
+                                    min(self._size, self._TAIL_GUESS))
+            # grow if postscript+footer+metadata exceed the guess
+            ps_len = tail[-1]
+            ps = proto.decode("PostScript", tail[-1 - ps_len:-1])
+            need = (1 + ps_len + ps.get("footerLength", 0)
+                    + ps.get("metadataLength", 0))
+            if need > len(tail):
+                tail = self._read_range(self._size - need, need)
         self.postscript, self.footer = parse_tail(tail)
         self.compression = proto.COMPRESSION_NAME[
             self.postscript.get("compression", 0)]
@@ -444,17 +467,24 @@ class ORCFile:
                 keep.append(i)
         return keep
 
+    def _read_range(self, start: int, length: int) -> bytes:
+        if self._buf is not None:
+            return self._buf[start:start + length]
+        with open(self._path, "rb") as f:
+            f.seek(start)
+            return f.read(length)
+
     def read_stripe(self, i: int,
                     columns: list[str] | None = None) -> pa.RecordBatch:
         info = self.stripes[i]
         start = info["offset"]
-        end = start + info.get("indexLength", 0) + info["dataLength"] \
+        length = info.get("indexLength", 0) + info["dataLength"] \
             + info["footerLength"]
         # stream offsets in read_stripe_tables are walked from the
         # start of the stream list, which includes ROW_INDEX entries —
         # pass the full stripe slice
-        return read_stripe_tables(self._buf[start:end], info, self.footer,
-                                  self.compression, columns)
+        return read_stripe_tables(self._read_range(start, length), info,
+                                  self.footer, self.compression, columns)
 
     def read(self, columns: list[str] | None = None) -> pa.Table:
         if not self.stripes:
