@@ -23,8 +23,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from orc_haskell_spark.codecs import (bitpack, byte_rle, rle1, rle2,
-                                      timestamps)
+from orc_haskell_spark.codecs import bitpack, byte_rle, rle1, rle2
 from orc_haskell_spark.codecs.strings import (build_string_array,
                                               dictionary_decode)
 from . import proto

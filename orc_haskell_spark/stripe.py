@@ -397,14 +397,12 @@ def _decode_values(meta: dict, streams: dict[str, bytes], n: int,
     if kind == "union":
         tags = byte_rle.decode(_buf(streams["TAG"]))[:n].view(np.int8)
         children = []
-        counts = {}
         for i, ch in enumerate(meta["children"]):
             prefix = f"u{i}."
             cstreams = {k[len(prefix):]: v for k, v in streams.items()
                         if k.startswith(prefix)}
-            child = decode_column(ch["meta"], cstreams, typ.field(i).type)
-            children.append(child)
-            counts[np.int8(ch["code"])] = len(child)
+            children.append(decode_column(ch["meta"], cstreams,
+                                          typ.field(i).type))
         # canonical dense offsets: rank of each row within its tag
         offsets = np.zeros(n, dtype=np.int32)
         for i, ch in enumerate(meta["children"]):
