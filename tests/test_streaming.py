@@ -123,3 +123,47 @@ def test_stateful_sessionization_stream(spark, tmp_path):
                  spark.createDataFrame(rows1, schema), "user_id", "ts",
                  30).collect()}
     assert batch <= got | batch and got <= batch  # closed == batch(rows1)
+
+
+def test_sessionize_into_encode_sink(spark, tmp_path):
+    """Composition: the stateful sessionizer's append stream feeds the
+    exactly-once encode sink — closed sessions land as encoded stripes
+    with a ledger, then decode back exactly."""
+    import datetime
+
+    from orc_haskell_spark import engine
+    from orc_haskell_spark.pipeline import sessions
+
+    d = str(tmp_path)
+    schema = "user_id long, ts timestamp"
+    rows1 = [(1, datetime.datetime(2024, 1, 1, 10, 0, 0)),
+             (1, datetime.datetime(2024, 1, 1, 10, 5, 0)),
+             (2, datetime.datetime(2024, 1, 1, 11, 0, 0))]
+    rows2 = [(9, datetime.datetime(2024, 1, 2, 9, 0, 0))]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{d}/in/f1")
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{d}/in/*"))
+        sess = sessions.sessionize_stream(stream, gap_minutes=30,
+                                          watermark="1 minute")
+        q = streaming.stream_encode(sess, f"{d}/enc",
+                                    checkpoint=f"{d}/ckpt",
+                                    stripe_rows=100)
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append") \
+        .parquet(f"{d}/in/f2")
+    drain()
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampType)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType())])
+    dec = streaming.decode_stream(spark, f"{d}/enc", out_schema)
+    got = {(r.user_id, r.n_events) for r in dec.collect()}
+    assert (1, 2) in got and (2, 1) in got  # rows1 sessions closed+encoded
