@@ -168,11 +168,11 @@ def encode_table(df, stripe_rows: int = DEFAULT_STRIPE_ROWS,
     north rule's layout for the pages table (url hash). Leave None to
     stay shuffle-free on the scan's partitioning.
 
-    salt_buckets > 1 adds a deterministic full-row-hash salt to the
-    range key — the north rule's "salted repartition for skewed
-    lang/domain hot keys": a key holding 60% of the corpus spreads over
-    up to salt_buckets partitions instead of funnelling into one task.
-    (Use with low-cardinality keys; url-hash keys don't need it.)
+    salt_buckets > 1 adds a row-position salt to the range key — the
+    north rule's "salted repartition for skewed lang/domain hot keys":
+    a key holding 60% of the corpus spreads over up to salt_buckets
+    partitions instead of funnelling into one task. (Use with
+    low-cardinality keys; url-hash keys don't need it.)
     """
     from pyspark.sql import functions as F
 
@@ -181,8 +181,7 @@ def encode_table(df, stripe_rows: int = DEFAULT_STRIPE_ROWS,
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
         keys = [F.xxhash64(*cols)]
         if salt_buckets > 1:
-            keys.append(F.pmod(F.xxhash64(*df.columns),
-                               F.lit(salt_buckets)))
+            keys.append(_cheap_salt(salt_buckets))
         df = df.repartitionByRange(n, *keys)
     elif num_partitions is not None:
         df = df.repartition(num_partitions)
@@ -238,15 +237,29 @@ def manifest_df(enc_df):
     return enc_df.drop("data")
 
 
-def salted(df, col: str, buckets: int):
-    """Attach a deterministic salt column for skew-free grouping on a hot
-    key (north rule: skewed lang/domain keys). Salt derives from the full
-    row hash so identical keys spread over ``buckets`` reducers."""
+def _cheap_salt(buckets: int):
+    """Row-position salt: pmod(monotonically_increasing_id, buckets).
+
+    The id is (partition_id << 33) | row_offset, so within every
+    partition the salt cycles through all buckets round-robin (the
+    partition term is a constant phase) — the same uniform spread a row
+    hash gives, at zero column-read cost. (The previous full-row
+    xxhash64(*columns) salt re-hashed entire html/text bodies per row
+    just to pick a bucket: a whole extra pass over the corpus at 100 TB.)
+    Identical rows get independent salts, which for salting is exactly
+    right — the point is spreading a hot KEY, not keying by content.
+    """
     from pyspark.sql import functions as F
 
-    return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
-    )
+    return F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+
+
+def salted(df, col: str, buckets: int):
+    """Attach a salt column for skew-free grouping on a hot key (north
+    rule: skewed lang/domain keys). Salt derives from the row position
+    so identical keys spread over ``buckets`` reducers without reading
+    any data column."""
+    return df.withColumn("_salt", _cheap_salt(buckets).cast("int"))
 
 
 def salted_agg(df, key_cols, agg_exprs: dict, buckets: int = 16):

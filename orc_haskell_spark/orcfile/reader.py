@@ -40,7 +40,16 @@ def parse_tail(tail: bytes) -> tuple[dict, dict]:
     ps = proto.decode("PostScript", tail[-1 - ps_len:-1])
     if ps.get("magic") != "ORC":
         raise ValueError("not an ORC file (bad magic)")
-    comp = proto.COMPRESSION_NAME[ps.get("compression", 0)]
+    comp_id = ps.get("compression", 0)
+    comp = proto.COMPRESSION_NAME.get(comp_id)
+    # fail at OPEN time with the codec's name, like the reference's
+    # explicit unsupported-codec error (Internal/Compression.hs:95-118),
+    # instead of a KeyError deep in the first stream decode
+    if comp is None:
+        raise ValueError(f"unknown ORC compression kind {comp_id}")
+    if comp in ("LZO", "BROTLI"):
+        raise ValueError(
+            f"ORC compression {comp} is not supported by this reader")
     flen = ps["footerLength"]
     raw = tail[-1 - ps_len - flen:-1 - ps_len]
     footer = proto.decode("Footer", decompress_stream(raw, comp))

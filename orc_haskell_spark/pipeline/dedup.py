@@ -208,7 +208,12 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"n_bands must divide {bits}")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    s = simhash(df, id_col, text_col).cache()
+    # no cache: the band self-join's two shuffle subtrees are identical,
+    # so Spark's exchange reuse computes the signatures ONCE and reads
+    # the shuffle twice (asserted in tests/test_pipeline.py). The old
+    # .cache() was never unpersisted and leaked executor memory in
+    # long-lived sessions.
+    s = simhash(df, id_col, text_col)
     bands = s.select(
         id_col, "simhash",
         F.explode(F.array(*[

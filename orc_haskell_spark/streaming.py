@@ -90,9 +90,16 @@ def read_stream_encoded(spark, path: str):
     """Committed stripes only: the ledger is the source of truth, so
     stripes whose batch_id never reached the ledger (crash between the
     stripe write and the ledger append) are invisible to readers. The
-    ledger is one row per micro-batch — the semi-join broadcasts."""
+    ledger is one row per micro-batch — the semi-join broadcasts.
+
+    A missing/empty ledger (crash before the very first append, or a
+    reader racing the first micro-batch) means NOTHING is committed:
+    return an empty DataFrame with the stripes schema, not an error."""
     stripes = spark.read.parquet(os.path.join(path, "stripes"))
-    ledger = spark.read.parquet(os.path.join(path, "ledger"))
+    try:
+        ledger = spark.read.parquet(os.path.join(path, "ledger"))
+    except Exception:
+        return stripes.filter(F.lit(False))
     return stripes.join(
         F.broadcast(ledger.select("batch_id").distinct()),
         "batch_id", "left_semi")

@@ -46,6 +46,10 @@ from .codecs.strings import (
     string_parts,
 )
 
+# bump on any incompatible change to the stripe payload layout (v2 =
+# FSST piece framing); decode_stripe rejects other versions loudly
+STRIPE_FORMAT_VERSION = 2
+
 DEFAULT_CONFIG: dict[str, Any] = {
     "int_codec": "rle2",          # "rle1" for reference-writer parity
     "string_codec": "auto",       # "direct" | "dict" | "fsst" | "auto"
@@ -493,6 +497,11 @@ def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None,
             "raw_bytes": raw_col,
         })
     footer = {
+        # stripe FORMAT version: bump on any incompatible payload-layout
+        # change so resumed runs over persisted stripe dirs fail loudly
+        # instead of mis-decoding. v2 = FSST piece framing (u32 piece
+        # count + per-piece lengths). decode_stripe dispatches on it.
+        "v": STRIPE_FORMAT_VERSION,
         "n_rows": batch.num_rows,
         "schema_b64": base64.b64encode(batch.schema.serialize().to_pybytes()).decode(),
         "columns": columns,
@@ -541,6 +550,11 @@ def decode_stripe(footer: dict, payload: bytes | memoryview,
                   columns: list[str] | None = None) -> pa.RecordBatch:
     """Decode a stripe; ``columns`` projects at the byte level — only
     the requested columns' streams are decompressed and decoded."""
+    ver = footer.get("v", STRIPE_FORMAT_VERSION)
+    if ver != STRIPE_FORMAT_VERSION:
+        raise ValueError(
+            f"stripe format v{ver} not supported by this reader "
+            f"(expects v{STRIPE_FORMAT_VERSION}); re-encode the source")
     schema = pa.ipc.read_schema(
         pa.py_buffer(base64.b64decode(footer["schema_b64"]))
     )
@@ -552,6 +566,11 @@ def decode_stripe(footer: dict, payload: bytes | memoryview,
             continue
         streams: dict[str, bytes] = {}
         for e in col["streams"]:
+            if e["o"] + e["l"] > len(view):
+                raise ValueError(
+                    f"truncated stripe payload: stream {col['name']}/"
+                    f"{e['k']} needs bytes [{e['o']}, {e['o'] + e['l']}) "
+                    f"but payload has {len(view)}")
             raw = bytes(view[e["o"]: e["o"] + e["l"]])
             streams[e["k"]] = block.decompress(raw, e["c"]) if e["c"] != "none" else raw
         field = schema.field(col["name"])

@@ -385,3 +385,19 @@ def test_write_all_null_and_all_empty_columns_cpp_reads():
         "bool_null": pa.array([None] * 3, pa.bool_()),
     })
     _roundtrip_us_to_pa(t, compression="ZLIB")
+
+
+def test_lzo_rejected_at_open():
+    """Unsupported codecs fail at open time with the codec's name,
+    mirroring the reference's explicit error
+    (Internal/Compression.hs:95-118)."""
+    from orc_haskell_spark.orcfile import proto
+    from orc_haskell_spark.orcfile.reader import parse_tail
+
+    ps = proto.encode("PostScript", {
+        "footerLength": 0, "compression": proto.COMPRESSION["LZO"],
+        "compressionBlockSize": 262144, "version": [0, 12],
+        "metadataLength": 0, "writerVersion": 1, "magic": "ORC"})
+    tail = ps + bytes([len(ps)])
+    with pytest.raises(ValueError, match="LZO"):
+        parse_tail(tail)

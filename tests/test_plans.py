@@ -53,6 +53,31 @@ def test_catalyst_ops_stay_in_codegen(spark):
     assert "codegen id" in plan  # formatted mode annotates codegen stages
 
 
+def test_salt_reads_no_data_columns(spark):
+    """The skew salt must derive from row position, not row content:
+    a salt that hashes html/text bodies is a full extra pass over the
+    corpus bytes at 100 TB just to pick 1 of 16 buckets."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = engine.salted_agg(docs, "lang", {"n": ("count", "doc_id")})
+    plan = _plan(stats)
+    # only lang + doc_id may reach the scan; the body column must be pruned
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" not in read_schema and "url" not in read_schema
+    assert "xxhash64" not in plan  # old full-row-hash salt is gone
+
+
+def test_simhash_self_join_reuses_exchange(spark):
+    """simhash_pairs relies on exchange reuse instead of .cache(): the
+    band self-join's two shuffle subtrees are identical, so the md5
+    signature computation runs ONCE (no unpersisted cache leak)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text")
+    pairs.collect()  # AQE shows reuse only in the executed (final) plan
+    plan = _plan(pairs)
+    assert "ReusedExchange" in plan
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
 def test_decode_preserves_partition_count(spark):
     """decode is a narrow map: no shuffle is introduced."""
     df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \

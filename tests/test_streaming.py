@@ -167,3 +167,17 @@ def test_sessionize_into_encode_sink(spark, tmp_path):
     dec = streaming.decode_stream(spark, f"{d}/enc", out_schema)
     got = {(r.user_id, r.n_events) for r in dec.collect()}
     assert (1, 2) in got and (2, 1) in got  # rows1 sessions closed+encoded
+
+
+def test_read_stream_encoded_missing_ledger(spark, tmp_path):
+    """Stripes present but no ledger yet (crash before the first append,
+    or a reader racing the first micro-batch): committed-only semantics
+    mean EMPTY, not an error."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "enc")
+    df = spark.range(10).withColumn("batch_id", F.lit(0))
+    df.write.parquet(path + "/stripes")
+    out = streaming.read_stream_encoded(spark, path)
+    assert out.count() == 0
+    assert out.columns == df.columns

@@ -191,3 +191,23 @@ def test_union_sparse_roundtrip_values():
     back = stripe.decode_column(meta, streams, su.type)
     # sparse unions compare by logical value (unselected slots differ)
     assert back.to_pylist() == su.to_pylist()
+
+
+def test_stripe_format_version_rejected():
+    """A footer from a different format version must fail loudly, not
+    mis-decode (resumable stripe dirs persist across engine versions)."""
+    batch = pa.RecordBatch.from_pydict({"x": [1, 2, 3]})
+    footer, payload = stripe.encode_stripe(batch)
+    assert footer["v"] == stripe.STRIPE_FORMAT_VERSION
+    footer["v"] = stripe.STRIPE_FORMAT_VERSION + 1
+    with pytest.raises(ValueError, match="stripe format"):
+        stripe.decode_stripe(footer, payload)
+
+
+def test_truncated_payload_raises():
+    """Garbage/short payload bytes must raise, never silently decode
+    (resume paths can hand a partially-written blob to the decoder)."""
+    batch = pa.RecordBatch.from_pydict({"x": [1, 2, 3], "s": ["a", "b", "c"]})
+    footer, payload = stripe.encode_stripe(batch)
+    with pytest.raises(ValueError, match="truncated"):
+        stripe.decode_stripe(footer, payload[:4])
