@@ -64,7 +64,7 @@ SCHEMAS: dict[str, dict[int, tuple[str, str]]] = {
         4: ("types", "msg:Type*"),
         5: ("metadata", "bytes*"),       # UserMetadataItem, opaque here
         6: ("numberOfRows", "uint"),
-        7: ("statistics", "bytes*"),     # ColumnStatistics, opaque here
+        7: ("statistics", "msg:ColumnStatistics*"),
         8: ("rowIndexStride", "uint"),
         9: ("writer", "uint"),
     },

@@ -120,14 +120,21 @@ def write_orc_distributed(df: DataFrame, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(batches):
+        import itertools
+
         import pyarrow as pa
 
         from orc_haskell_spark.engine import clamp_worker_threads
         from orc_haskell_spark.orcfile.writer import write_orc
 
         clamp_worker_threads()
-        got = list(batches)
-        if not got:
+        # peek one batch to skip empty partitions, then hand the ITERATOR
+        # to write_orc: the writer streams stripe-at-a-time, so task
+        # memory is one stripe, not the whole partition (multi-GB
+        # partitions at 100 TB would otherwise buffer 2x in RAM)
+        it = iter(batches)
+        first = next(it, None)
+        if first is None:
             return
         ctx = None
         try:
@@ -137,10 +144,9 @@ def write_orc_distributed(df: DataFrame, out_dir: str,
         except Exception:
             pass
         pid = ctx.partitionId() if ctx else os.getpid()
-        table = pa.Table.from_batches(got)
         path = os.path.join(out_dir, f"part-{pid:05d}.orc")
-        info = write_orc(table, path, compression=compression,
-                         stripe_rows=stripe_rows)
+        info = write_orc(itertools.chain([first], it), path,
+                         compression=compression, stripe_rows=stripe_rows)
         yield pa.RecordBatch.from_arrays(
             [pa.array([path]), pa.array([info["rows"]], pa.int64()),
              pa.array([info["bytes"]], pa.int64()),

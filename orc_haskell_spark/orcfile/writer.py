@@ -143,6 +143,7 @@ class _ColumnWriter:
         self.dict_ratio = dict_ratio
         self.streams: list[tuple[int, str, bytes]] = []  # (col, kind, raw)
         self.encodings: dict[int, dict] = {}
+        self.stats: dict[int, dict] = {}  # per-column ColumnStatistics
 
     def _put(self, col: int, kind: str, data: bytes) -> None:
         # zero-length streams MUST still be declared: the C++ reader
@@ -159,6 +160,11 @@ class _ColumnWriter:
     def write(self, col: int, arr: pa.Array) -> None:
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         kind = proto.KIND_NAME[self.types[col].get("kind", 0)]
+        # stats are recorded on the array AS WRITTEN at this node (struct
+        # children arrive already filtered by parent validity), so nested
+        # columns get true value counts and hasNull — third-party readers
+        # (e.g. Trino) prune stripes on these
+        self.stats[col] = _col_stats(arr, arr.type)
         has_nulls = arr.null_count > 0
         valid = None
         if has_nulls:
@@ -300,149 +306,185 @@ class _ColumnWriter:
         raise NotImplementedError(f"ORC writer kind {kind}")
 
 
-def _basic_stats(n_values: int, has_null: bool) -> bytes:
-    """Minimal ColumnStatistics: numberOfValues + hasNull."""
-    out = bytearray()
-    out.append((1 << 3) | 0)  # field 1 numberOfValues, varint
-    v = n_values
-    while True:
-        b = v & 0x7F
-        v >>= 7
-        out.append(b | 0x80 if v else b)
-        if not v:
-            break
-    out.append((10 << 3) | 0)  # field 10 hasNull, varint bool
-    out.append(1 if has_null else 0)
-    return bytes(out)
+def _col_stats(arr: pa.Array, col_type: pa.DataType) -> dict:
+    """Min/max ColumnStatistics for scalar columns (enables stripe
+    pruning in readers); counts only for nested types."""
+    import pyarrow.compute as pc
+
+    st: dict = {"numberOfValues": len(arr) - arr.null_count,
+                "hasNull": 1 if arr.null_count else 0}
+    try:
+        if pa.types.is_integer(col_type) and len(arr) > arr.null_count:
+            st["intStatistics"] = {
+                "minimum": pc.min(arr).as_py(),
+                "maximum": pc.max(arr).as_py()}
+        elif pa.types.is_floating(col_type) and len(arr) > arr.null_count:
+            st["doubleStatistics"] = {
+                "minimum": float(pc.min(arr).as_py()),
+                "maximum": float(pc.max(arr).as_py())}
+        elif (pa.types.is_string(col_type) or
+              pa.types.is_large_string(col_type)) \
+                and len(arr) > arr.null_count:
+            st["stringStatistics"] = {
+                "minimum": pc.min(arr).as_py(),
+                "maximum": pc.max(arr).as_py()}
+    except Exception:
+        pass
+    return st
 
 
-def write_orc(table: pa.Table, where, compression: str = "ZLIB",
+def _merge_stats(agg: list, cs: list[dict]) -> None:
+    """Fold one stripe's colStats into the running file-footer stats."""
+    for i, s in enumerate(cs):
+        a = agg[i]
+        if a is None:
+            agg[i] = {k: (dict(v) if isinstance(v, dict) else v)
+                      for k, v in s.items()}
+            continue
+        a["numberOfValues"] = (a.get("numberOfValues", 0)
+                               + s.get("numberOfValues", 0))
+        a["hasNull"] = 1 if (a.get("hasNull") or s.get("hasNull")) else 0
+        for key in ("intStatistics", "doubleStatistics", "stringStatistics"):
+            if key in a and key in s:
+                a[key]["minimum"] = min(a[key]["minimum"], s[key]["minimum"])
+                a[key]["maximum"] = max(a[key]["maximum"], s[key]["maximum"])
+            elif key in a:  # a later stripe had no values: drop min/max
+                del a[key]
+
+
+def write_orc(data, where, compression: str = "ZLIB",
               stripe_rows: int = 64 * 1024,
               block_size: int = 256 * 1024,
-              dict_ratio: float = 0.5) -> dict:
-    """Write a pyarrow Table as a real ORC file. Returns a summary dict
-    {stripes, bytes, rows}."""
+              dict_ratio: float = 0.5,
+              stripe_bytes: int = 64 << 20,
+              schema: pa.Schema | None = None) -> dict:
+    """Write a Table / RecordBatch / ITERATOR of RecordBatches as a real
+    ORC file. Returns a summary dict {stripes, bytes, rows}.
+
+    Streams stripe-at-a-time with constant memory: peak footprint is one
+    stripe's rows plus its encoded streams, independent of total input
+    size — the reference writer's proven property (putOrcStream hylo,
+    src/Orc/Serial/Binary/Striped.hs:560-602; leak property
+    test/Test/Orc/Memory/Leaks.hs:41-131). ORC needs no backpatching:
+    stripes land first, Metadata/Footer/PostScript follow at the end.
+
+    Stripes are bounded by rows AND bytes (html-like bodies are
+    log-normal; a row count alone would make stripe memory unbounded).
+    ``schema`` is only needed when ``data`` is an empty iterator.
+    """
+    import itertools
+
+    from orc_haskell_spark.engine import _rechunk
+
     compression = compression.upper()
     if compression not in ("NONE", "ZLIB", "SNAPPY", "ZSTD", "LZ4"):
         raise ValueError(f"unsupported compression {compression}")
-    types: list[dict] = []
-    _build_types(table.schema, types)
 
-    buf = bytearray()
-    buf += MAGIC
-    stripe_infos = []
-    stripe_stats: list[list[dict]] = []
+    if isinstance(data, pa.Table):
+        schema = data.schema
+        batches = iter(data.to_batches())
+    elif isinstance(data, pa.RecordBatch):
+        schema = data.schema
+        batches = iter([data])
+    else:
+        batches = iter(data)
+        first = next(batches, None)
+        if first is not None:
+            schema = first.schema
+            batches = itertools.chain([first], batches)
+        elif schema is None:
+            raise ValueError("empty batch iterator requires schema=")
+
+    types: list[dict] = []
+    _build_types(schema, types)
     n_cols = len(types)
 
-    def _col_stats(arr: pa.Array, col_type: pa.DataType) -> dict:
-        """Min/max ColumnStatistics for scalar columns (enables stripe
-        pruning in readers); counts only for nested types."""
-        import pyarrow.compute as pc
+    out = open(where, "wb") if isinstance(where, str) else where
+    pos = 0
 
-        st: dict = {"numberOfValues": len(arr) - arr.null_count,
-                    "hasNull": 1 if arr.null_count else 0}
-        try:
-            if pa.types.is_integer(col_type) and len(arr) > arr.null_count:
-                st["intStatistics"] = {
-                    "minimum": pc.min(arr).as_py(),
-                    "maximum": pc.max(arr).as_py()}
-            elif pa.types.is_floating(col_type) and len(arr) > arr.null_count:
-                st["doubleStatistics"] = {
-                    "minimum": float(pc.min(arr).as_py()),
-                    "maximum": float(pc.max(arr).as_py())}
-            elif (pa.types.is_string(col_type) or
-                  pa.types.is_large_string(col_type)) \
-                    and len(arr) > arr.null_count:
-                st["stringStatistics"] = {
-                    "minimum": pc.min(arr).as_py(),
-                    "maximum": pc.max(arr).as_py()}
-        except Exception:
-            pass
-        return st
+    def w(b: bytes) -> None:
+        nonlocal pos
+        out.write(b)
+        pos += len(b)
 
-    table = table.combine_chunks()
-    for start in range(0, max(table.num_rows, 1), stripe_rows):
-        chunk = table.slice(start, stripe_rows)
-        if chunk.num_rows == 0:
-            break
-        cw = _ColumnWriter(types, dict_ratio)
-        cw.encodings[0] = {"kind": proto.ENCODING["DIRECT"]}
-        for i, sub in enumerate(types[0].get("subtypes", [])):
-            col_arr = chunk.column(i)
-            col_arr = (col_arr.combine_chunks()
-                       if isinstance(col_arr, pa.ChunkedArray) else col_arr)
-            cw.write(sub, col_arr)
+    try:
+        w(MAGIC)
+        stripe_infos: list[dict] = []
+        stripe_stats: list[dict] = []
+        agg_stats: list = [None] * n_cols
+        total_rows = 0
+        for chunk in _rechunk(batches, stripe_rows, stripe_bytes):
+            if chunk is None or chunk.num_rows == 0:
+                continue
+            cw = _ColumnWriter(types, dict_ratio)
+            cw.encodings[0] = {"kind": proto.ENCODING["DIRECT"]}
+            for i, sub in enumerate(types[0].get("subtypes", [])):
+                cw.write(sub, chunk.column(i))
 
-        offset = len(buf)
-        stream_protos = []
-        for col, kind, raw in cw.streams:
-            comp = compress_stream(raw, compression, block_size)
-            stream_protos.append({"kind": proto.STREAM_KIND[kind],
-                                  "column": col, "length": len(comp)})
-            buf += comp
-        data_len = len(buf) - offset
-        sfoot = proto.encode("StripeFooter", {
-            "streams": stream_protos,
-            "columns": [cw.encodings.get(c, {"kind": 0})
-                        for c in range(n_cols)],
-            "writerTimezone": "UTC",
+            offset = pos
+            stream_protos = []
+            for col, kind, raw in cw.streams:
+                comp = compress_stream(raw, compression, block_size)
+                stream_protos.append({"kind": proto.STREAM_KIND[kind],
+                                      "column": col, "length": len(comp)})
+                w(comp)
+            data_len = pos - offset
+            sfoot = proto.encode("StripeFooter", {
+                "streams": stream_protos,
+                "columns": [cw.encodings.get(c, {"kind": 0})
+                            for c in range(n_cols)],
+                "writerTimezone": "UTC",
+            })
+            sfoot_c = compress_stream(sfoot, compression, block_size)
+            w(sfoot_c)
+            stripe_infos.append({
+                "offset": offset, "indexLength": 0, "dataLength": data_len,
+                "footerLength": len(sfoot_c),
+                "numberOfRows": chunk.num_rows,
+            })
+            cs: list[dict] = [
+                cw.stats.get(c, {"numberOfValues": 0, "hasNull": 1})
+                for c in range(n_cols)]
+            cs[0] = {"numberOfValues": chunk.num_rows, "hasNull": 0}
+            stripe_stats.append({"colStats": cs})
+            _merge_stats(agg_stats, cs)
+            total_rows += chunk.num_rows
+
+        stats = [a if a is not None else {"numberOfValues": 0, "hasNull": 0}
+                 for a in agg_stats]
+
+        content_len = pos - len(MAGIC)  # stripes only, pre-metadata
+        metadata_c = b""
+        if stripe_stats:
+            metadata_c = compress_stream(
+                proto.encode("Metadata", {"stripeStats": stripe_stats}),
+                compression, block_size)
+            w(metadata_c)
+
+        footer = proto.encode("Footer", {
+            "headerLength": len(MAGIC),
+            "contentLength": content_len,
+            "stripes": stripe_infos,
+            "types": types,
+            "numberOfRows": total_rows,
+            "statistics": stats,
+            "rowIndexStride": 0,
+            "writer": 1,
         })
-        sfoot_c = compress_stream(sfoot, compression, block_size)
-        buf += sfoot_c
-        stripe_infos.append({
-            "offset": offset, "indexLength": 0, "dataLength": data_len,
-            "footerLength": len(sfoot_c),
-            "numberOfRows": chunk.num_rows,
+        footer_c = compress_stream(footer, compression, block_size)
+        w(footer_c)
+        ps = proto.encode("PostScript", {
+            "footerLength": len(footer_c),
+            "compression": proto.COMPRESSION[compression],
+            "compressionBlockSize": block_size,
+            "version": [0, 12],
+            "metadataLength": len(metadata_c),
+            "writerVersion": 1,
+            "magic": "ORC",
         })
-        cs: list[dict] = [{"numberOfValues": chunk.num_rows, "hasNull": 0}
-                          for _ in range(n_cols)]
-        for i, sub in enumerate(types[0].get("subtypes", [])):
-            arr = chunk.column(i)
-            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-            cs[sub] = _col_stats(arr, arr.type)
-        stripe_stats.append({"colStats": cs})
-    # minimal statistics: counts only (readers that serve
-    # getStatistics want more; plain reads don't need it)
-    stats = [_basic_stats(int(table.num_rows), False)]
-    for col in range(1, n_cols):
-        stats.append(_basic_stats(int(table.num_rows), True))
-
-    content_len = len(buf) - len(MAGIC)  # stripes only, pre-metadata
-    metadata_c = b""
-    if stripe_stats:
-        metadata_c = compress_stream(
-            proto.encode("Metadata", {"stripeStats": stripe_stats}),
-            compression, block_size)
-        buf += metadata_c
-
-    footer = proto.encode("Footer", {
-        "headerLength": len(MAGIC),
-        "contentLength": content_len,
-        "stripes": stripe_infos,
-        "types": types,
-        "numberOfRows": table.num_rows,
-        "statistics": stats,
-        "rowIndexStride": 0,
-        "writer": 1,
-    })
-    footer_c = compress_stream(footer, compression, block_size)
-    buf += footer_c
-    ps = proto.encode("PostScript", {
-        "footerLength": len(footer_c),
-        "compression": proto.COMPRESSION[compression],
-        "compressionBlockSize": block_size,
-        "version": [0, 12],
-        "metadataLength": len(metadata_c),
-        "writerVersion": 1,
-        "magic": "ORC",
-    })
-    buf += ps
-    buf.append(len(ps))
-
-    if isinstance(where, (str, bytes)) and isinstance(where, str):
-        with open(where, "wb") as f:
-            f.write(buf)
-    else:
-        where.write(bytes(buf))
-    return {"stripes": len(stripe_infos), "bytes": len(buf),
-            "rows": table.num_rows}
+        w(ps)
+        w(bytes([len(ps)]))
+    finally:
+        if isinstance(where, str):
+            out.close()
+    return {"stripes": len(stripe_infos), "bytes": pos, "rows": total_rows}

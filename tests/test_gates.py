@@ -133,3 +133,47 @@ def test_concurrent_kernel_scaling():
         agg[nproc] = sum(mb / x for x in out)
     # 4x workers must buy at least 1.5x aggregate (collapse gave <1x)
     assert agg[16] > 1.5 * agg[4], agg
+
+
+def test_constant_memory_orc_write():
+    """The whole-file ORC writer must stream stripe-at-a-time: peak RSS
+    while writing a file much larger than one stripe stays bounded by
+    the stripe size, not the file size (reference putOrcStream property,
+    test/Test/Orc/Memory/Leaks.hs:41-131). Runs in a subprocess so other
+    tests' RSS high-water marks can't mask a regression."""
+    import subprocess
+    import sys
+
+    code = r"""
+import resource, sys
+import numpy as np, pyarrow as pa
+from orc_haskell_spark.orcfile.writer import write_orc
+from orc_haskell_spark.orcfile.reader import ORCFile
+
+ROWS, NBATCH = 1 << 20, 48   # 48 x 8 MB float64 = 384 MB of input
+
+def gen():
+    for i in range(NBATCH):
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(np.arange(i * ROWS, (i + 1) * ROWS, dtype=np.float64))],
+            names=["x"])
+
+base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+info = write_orc(gen(), sys.argv[1], compression="NONE",
+                 stripe_rows=ROWS, stripe_bytes=32 << 20)
+peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+assert info["rows"] == ROWS * NBATCH, info
+f = ORCFile(sys.argv[1])
+assert sum(s["numberOfRows"] for s in f.stripes) == ROWS * NBATCH
+grew_mb = (peak - base) / 1024
+assert grew_mb < 150, f"writer RSS grew {grew_mb:.0f} MB for a 384 MB file"
+print(f"rss_growth_mb={grew_mb:.0f} stripes={info['stripes']}")
+"""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        r = subprocess.run(
+            [sys.executable, "-c", code, f"{d}/big.orc"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rss_growth_mb=" in r.stdout
