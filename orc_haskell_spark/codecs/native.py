@@ -1,0 +1,96 @@
+"""Compile-on-first-use loader for the C hot-path kernels.
+
+The container ships a system C compiler but no build frontend, so the
+kernel source lives in the package (fsst_kernel.c) and is compiled once
+per machine into a content-addressed .so under a cache directory
+(ORC_HS_NATIVE_DIR, default /tmp/orc_haskell_spark_native-$UID). Every
+Spark Python worker loads the same cached artifact; concurrent first
+compiles race benignly (each builds to a temp name, os.replace is
+atomic, last one wins with identical bytes).
+
+If anything fails — no compiler, sandboxed exec, exotic platform — the
+numpy implementations in fsst.py take over unchanged; correctness never
+depends on this module (ORC_HS_NO_NATIVE=1 forces the fallback, used by
+tests to cover both paths).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import tempfile
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "fsst_kernel.c")
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("ORC_HS_NATIVE_DIR") or os.path.join(
+        tempfile.gettempdir(),
+        f"orc_haskell_spark_native-{os.getuid()}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _compile(src_path: str, out_path: str) -> None:
+    tmp = tempfile.NamedTemporaryFile(
+        suffix=".so", dir=os.path.dirname(out_path), delete=False)
+    tmp.close()
+    base = ["cc", "-O3", "-shared", "-fPIC", "-o", tmp.name, src_path]
+    try:
+        try:
+            subprocess.run(base[:2] + ["-march=native"] + base[2:],
+                           check=True, capture_output=True, timeout=120)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            subprocess.run(base, check=True, capture_output=True,
+                           timeout=120)
+        os.replace(tmp.name, out_path)
+    finally:
+        if os.path.exists(tmp.name):
+            os.unlink(tmp.name)
+
+
+def load() -> ctypes.CDLL | None:
+    """The kernels library, or None (-> numpy fallback). Cached."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("ORC_HS_NO_NATIVE") == "1":
+        return None
+    if sys.byteorder != "little":  # kernels assume LE loads
+        return None
+    try:
+        with open(_SRC, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(_cache_dir(), f"fsst_{tag}.so")
+        if not os.path.exists(so):
+            _compile(_SRC, so)
+        lib = ctypes.CDLL(so)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.fsst_compress.restype = ctypes.c_long
+        lib.fsst_compress.argtypes = [
+            u8p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            u8p]
+        lib.fsst_decompress.restype = ctypes.c_long
+        lib.fsst_decompress.argtypes = [
+            u8p, ctypes.c_long, u8p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long, u8p]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def ptr(arr, ctype):
+    """numpy array -> ctypes pointer (no copy; caller keeps arr alive)."""
+    return ctypes.cast(ctypes.c_void_p(arr.ctypes.data),
+                       ctypes.POINTER(ctype))

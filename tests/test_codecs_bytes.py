@@ -165,3 +165,43 @@ def test_block_incompressible_escape():
 def test_block_unsupported_codec():
     with pytest.raises(ValueError, match="unsupported"):
         block.compress(b"x", "lzo")  # reference also errors on LZO
+
+
+def test_fsst_native_and_numpy_interchangeable():
+    """The C kernel and the numpy lockstep parse are alternative encoders
+    over the same symbol-table format: each decoder must decode the other
+    encoder's payload bit-identically (payload BYTES may differ — any
+    greedy segmentation expands to the same input)."""
+    from orc_haskell_spark.codecs import native
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(7)
+    doc = (b"<div class=hero><a href=http://example.com/a>home</a></div>"
+           * 300 + bytes(rng.integers(0, 256, 4096, dtype=np.uint8)))
+    data = np.frombuffer(doc, np.uint8)
+    table = fsst.train(data)
+    pay_c = fsst._compress_piece_c(data, table, native.load())
+    pay_np = fsst._compress_piece_np(data, table)
+    for pay in (pay_c, pay_np):
+        buf = np.frombuffer(pay, np.uint8)
+        assert np.array_equal(fsst._decompress_piece(buf, table), data)
+        assert np.array_equal(fsst._decompress_piece_np(buf, table), data)
+    # C greedy has no block-edge guards: never worse than numpy
+    assert len(pay_c) <= len(pay_np)
+
+
+def test_fsst_fallback_roundtrip_no_native(monkeypatch):
+    """Full roundtrip with the native kernel disabled: the numpy path
+    must remain a complete, correct implementation."""
+    from orc_haskell_spark.codecs import native
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    text = (b"the quick brown fox jumps over the lazy dog " * 2000)
+    data = np.frombuffer(text, np.uint8)
+    t, p = fsst.compress(data)
+    back = fsst.decompress(np.frombuffer(t, np.uint8),
+                           np.frombuffer(p, np.uint8))
+    assert np.array_equal(back, data)
