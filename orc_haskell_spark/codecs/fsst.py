@@ -238,6 +238,32 @@ def _parse_tokens(data: np.ndarray, table: SymbolTable):
     return out_pos, mcode[out_pos], mlen[out_pos]
 
 
+def _parse_for_train(sample: np.ndarray, table: SymbolTable):
+    """Token stream for a training generation. Uses the C greedy parse
+    when available (same tables; no 4 KiB block-edge guards, so counts
+    differ slightly from the numpy lockstep parse — training remains
+    deterministic WITHIN each path, and decode always uses the
+    serialized table, so tables from either path interoperate)."""
+    lib = native.load()
+    if lib is None:
+        return _parse_tokens(sample, table)
+    sample = np.ascontiguousarray(sample, dtype=np.uint8)
+    n = sample.size
+    pos = np.empty(n, dtype=np.int32)
+    codes = np.empty(n, dtype=np.int16)
+    lens = np.empty(n, dtype=np.uint8)
+    t = lib.fsst_parse(
+        native.ptr(sample, ctypes.c_uint8), n,
+        native.ptr(table.slot_key, ctypes.c_uint64),
+        native.ptr(table.slot_combo, ctypes.c_uint16),
+        native.ptr(table.pair_code, ctypes.c_int16),
+        native.ptr(table.single_code, ctypes.c_int16),
+        native.ptr(pos, ctypes.c_int32),
+        native.ptr(codes, ctypes.c_int16),
+        native.ptr(lens, ctypes.c_uint8))
+    return pos[:t], codes[:t], lens[:t]
+
+
 def train(data: np.ndarray) -> SymbolTable:
     """Deterministically train a symbol table on (a sample of) the data."""
     n = data.size
@@ -257,7 +283,7 @@ def train(data: np.ndarray) -> SymbolTable:
     table = SymbolTable(singles)
     u = np.ascontiguousarray(_windows_u64(sample))
     for _ in range(GENERATIONS):
-        p, codes, lens = _parse_tokens(sample, table)
+        p, codes, lens = _parse_for_train(sample, table)
         if p.size < 2:
             break
         # adjacent-token concatenations ≤ 8 bytes, within the same block

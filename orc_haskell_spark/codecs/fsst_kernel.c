@@ -107,6 +107,54 @@ long fsst_compress(const uint8_t *data, long n,
     return o;
 }
 
+/* Greedy parse recording tokens instead of emitting codes (training
+ * needs positions/codes/lengths to count adjacent concatenations).
+ * pos/codes/lens must each hold n entries. code -1 = escape (1 byte).
+ * Returns the token count. */
+long fsst_parse(const uint8_t *data, long n,
+                const uint64_t *slot_key, const uint16_t *slot_combo,
+                const int16_t *pair_code, const int16_t *single_code,
+                int32_t *pos, int16_t *codes, uint8_t *lens) {
+    long i = 0, t = 0;
+    while (i < n) {
+        long left = n - i;
+        uint64_t w;
+        if (left >= 8) {
+            w = load8(data + i);
+        } else {
+            uint8_t tail[8] = {0};
+            memcpy(tail, data + i, (size_t)left);
+            w = load8(tail);
+        }
+        uint64_t h = ((w & 0xFFFFFFULL) * HASH_P) >> 48;
+        uint32_t combo = slot_combo[h];
+        uint32_t cl = combo & 0xFFu;
+        if ((long)cl <= left && (w & MASKS[cl]) == slot_key[h]) {
+            pos[t] = (int32_t)i;
+            codes[t] = (int16_t)(combo >> 8);
+            lens[t++] = (uint8_t)cl;
+            i += cl;
+            continue;
+        }
+        if (left >= 2) {
+            int16_t c2 = pair_code[w & 0xFFFFULL];
+            if (c2 >= 0) {
+                pos[t] = (int32_t)i;
+                codes[t] = c2;
+                lens[t++] = 2;
+                i += 2;
+                continue;
+            }
+        }
+        int16_t c1 = single_code[data[i]];
+        pos[t] = (int32_t)i;
+        codes[t] = c1; /* -1 when the byte has no code: escape */
+        lens[t++] = 1;
+        i += 1;
+    }
+    return t;
+}
+
 /* FSST decode. flat/offsets/lens describe the symbol table (offsets has
  * n_syms+1 entries). out must hold >= 8*n + 8 bytes (caller sizes it by
  * the exact expanded length when known; the +8 slack lets the symbol

@@ -79,6 +79,13 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
             u8p]
+        lib.fsst_parse.restype = ctypes.c_long
+        lib.fsst_parse.argtypes = [
+            u8p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+            u8p]
         lib.fsst_decompress.restype = ctypes.c_long
         lib.fsst_decompress.argtypes = [
             u8p, ctypes.c_long, u8p,
