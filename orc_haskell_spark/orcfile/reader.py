@@ -283,16 +283,19 @@ class _StripeReader:
 
         if kind == "DECIMAL":
             scale = t.get("scale", 0)
-            mantissa = _decode_decimal_mantissas(st["DATA"], m)
             # SECONDARY carries per-value scales; with a fixed column
             # scale they all equal t.scale, but honor them anyway
             scales = _int_rle(st["SECONDARY"], enc, signed=True)[:m]
-            import decimal as _d
+            vals = _decode_decimal_fast(
+                st["DATA"], m, scales, scale, t.get("precision", 38), typ)
+            if vals is None:  # >64-bit mantissas or scale-down rounding
+                mantissa = _decode_decimal_mantissas(st["DATA"], m)
+                import decimal as _d
 
-            py = [_d.Decimal(int(v)).scaleb(int(-s)).quantize(
-                      _d.Decimal(1).scaleb(-scale))
-                  for v, s in zip(mantissa, scales)]
-            vals = pa.array(py, type=typ)
+                py = [_d.Decimal(int(v)).scaleb(int(-s)).quantize(
+                          _d.Decimal(1).scaleb(-scale))
+                      for v, s in zip(mantissa, scales)]
+                vals = pa.array(py, type=typ)
             if valid is not None:
                 vals = _expand_array(vals, valid)
                 return _with_validity(vals, ~null_mask)
@@ -316,6 +319,42 @@ def _decode_nanos_signed(raw: np.ndarray) -> np.ndarray:
     # (golden: 0x0a -> base 1, code 2 -> 1000)
     mul = np.array([1] + [10 ** (k + 2) for k in range(7)], dtype=np.int64)
     return base * mul[zeros]
+
+
+def _decode_decimal_fast(buf: bytes, m: int, scales: np.ndarray,
+                         scale: int, precision: int, typ) -> "pa.Array | None":
+    """Vectorized DECIMAL decode for the int64-mantissa case
+    (precision <= 18 — the overwhelming majority of real columns).
+
+    Varints are decoded with the codecs.varint kernel, unzigzagged and
+    scale-adjusted in numpy, and the decimal128 storage is built
+    directly (lo limb = value, hi limb = sign extension). Returns None
+    when the per-row fallback is required: mantissas wider than 64 bits
+    (varint > 10 bytes), scale-DOWN adjustments (need rounding), or a
+    multiply that would overflow int64.
+    """
+    from orc_haskell_spark.codecs import varint
+
+    if precision > 18 or m == 0:
+        return None if m else pa.array([], type=typ)
+    try:
+        u, consumed = varint.decode_unsigned(
+            np.frombuffer(buf, np.uint8), 0, m)
+    except ValueError:
+        return None  # a varint exceeded 10 bytes: wide mantissas
+    v = (u >> np.uint64(1)).astype(np.int64) ^ -(
+        (u & np.uint64(1)).astype(np.int64))
+    diff = np.int64(scale) - scales.astype(np.int64)
+    if (diff < 0).any() or int(diff.max(initial=0)) > 18:
+        return None
+    p10 = np.power(np.int64(10), diff)
+    if (np.abs(v) > np.int64(10 ** 18) // p10).any():
+        return None  # scaling up would overflow the int64 mantissa
+    v = v * p10
+    pair = np.empty((m, 2), dtype="<i8")
+    pair[:, 0] = v
+    pair[:, 1] = v >> np.int64(63)
+    return pa.Array.from_buffers(typ, m, [None, pa.py_buffer(pair.tobytes())])
 
 
 def _decode_decimal_mantissas(buf: bytes, m: int) -> list[int]:

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from orc_haskell_spark.codecs import byte_rle, rle2
+from orc_haskell_spark.codecs import byte_rle, rle2, varint
 from orc_haskell_spark.codecs.bitpack import pack_bools
 from orc_haskell_spark.codecs.strings import (dictionary_encode_sorted,
                                               string_parts)
@@ -295,9 +295,25 @@ class _ColumnWriter:
         if kind == "DECIMAL":
             self._set_enc(col, "DIRECT_V2")
             scale = self.types[col].get("scale", 0)
-            mantissas = [None if v is None else int(v.scaleb(scale))
-                         for v in dense.to_pylist()]
-            self._put(col, "DATA", _zigzag_varint_bytes(mantissas))
+            precision = self.types[col].get("precision", 38)
+            n = len(dense)
+            if precision <= 18 and n:
+                # mantissas fit int64: read them straight out of the
+                # decimal128 storage (lo limb IS the value in two's
+                # complement when |v| < 2^63) and emit zigzag varints
+                # with the vectorized kernel — no per-row Python
+                storage = np.frombuffer(
+                    dense.buffers()[1], dtype="<i8",
+                    count=2 * (dense.offset + n)).reshape(-1, 2)
+                lo = storage[dense.offset:dense.offset + n, 0]
+                z = (lo.astype(np.uint64) << np.uint64(1)) \
+                    ^ (lo >> np.int64(63)).astype(np.uint64)
+                data, _ = varint.encode_unsigned(z)
+                self._put(col, "DATA", data)
+            else:
+                mantissas = [int(v.scaleb(scale))
+                             for v in dense.to_pylist()]
+                self._put(col, "DATA", _zigzag_varint_bytes(mantissas))
             self._put(col, "SECONDARY",
                       rle2.encode(np.full(len(dense), scale, np.int64),
                                   True))
