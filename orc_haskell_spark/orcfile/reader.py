@@ -246,14 +246,19 @@ class _StripeReader:
             return pa.array(expand(vals), type=typ, mask=null_mask)
 
         if kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
-            if kind == "TIMESTAMP" and self.tz not in ("UTC", "GMT", ""):
-                raise NotImplementedError(
-                    f"writer timezone {self.tz!r}: only UTC/GMT wall "
-                    f"timestamps supported")
             secs = _int_rle(st["DATA"], enc, signed=True)[:m]
             nanos = _decode_nanos_signed(
                 _int_rle(st["SECONDARY"], enc, signed=False)[:m])
-            secs = secs + ORC_EPOCH_SECONDS
+            if kind == "TIMESTAMP" and self.tz not in ("UTC", "GMT", "") \
+                    and m:
+                # non-UTC writer: values are relative to 2015-01-01
+                # 00:00:00 IN THE WRITER ZONE, and the wall reading
+                # shifts by that zone's UTC offset AT each instant
+                # (DST-aware). Formula matched against the C++ reader:
+                # wall = stored + epoch(tz) + gmtOffset(tz, stored+epoch).
+                secs = _writer_zone_wall(self.tz, secs)
+            else:
+                secs = secs + ORC_EPOCH_SECONDS
             # Java-writer convention: non-negative nanos with
             # truncated-toward-zero seconds, so pre-1970 values with
             # sub-second digits need one second subtracted. (C++ files
@@ -319,6 +324,63 @@ def _decode_nanos_signed(raw: np.ndarray) -> np.ndarray:
     # (golden: 0x0a -> base 1, code 2 -> 1000)
     mul = np.array([1] + [10 ** (k + 2) for k in range(7)], dtype=np.int64)
     return base * mul[zeros]
+
+
+def _zone_offset_segments(zone, lo: int, hi: int):
+    """Piecewise-constant UTC offsets of ``zone`` over [lo, hi] seconds.
+
+    Probes the zone every <=20 days (no tz database zone transitions
+    twice within 20 days) and binary-searches each detected transition
+    to the exact second, so applying offsets to a whole column is a
+    searchsorted + gather instead of per-row datetime math.
+    """
+    import datetime as dt
+
+    def off(s: int) -> int:
+        s = min(max(s, -62135500000), 253402200000)  # datetime year 1..9999
+        return int(dt.datetime.fromtimestamp(
+            s, zone).utcoffset().total_seconds())
+
+    seg = 86400 * 20
+    starts, offs = [lo], [off(lo)]
+    a = lo
+    while a < hi:
+        b = min(a + seg, hi)
+        if off(a) == off(b):
+            a = b
+            continue
+        oa = off(a)
+        x, y = a, b  # first change point in (a, b]
+        while y - x > 1:
+            mid = (x + y) // 2
+            if off(mid) == oa:
+                x = mid
+            else:
+                y = mid
+        starts.append(y)
+        offs.append(off(y))
+        a = y
+    return np.array(starts, dtype=np.int64), np.array(offs, dtype=np.int64)
+
+
+def _writer_zone_wall(tzname: str, stored: np.ndarray) -> np.ndarray:
+    """UTC-naive wall seconds for TIMESTAMP values written in ``tzname``
+    (see kind == TIMESTAMP above for the rule, derived from and verified
+    bit-identical against the C++ ORC reader)."""
+    import datetime as dt
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(tzname)
+    except Exception as e:  # unknown zone name: fail loudly, like C++
+        raise ValueError(f"unknown ORC writer timezone {tzname!r}") from e
+    epoch = int(dt.datetime(2015, 1, 1, tzinfo=zone).timestamp())
+    inst = stored.astype(np.int64) + epoch
+    starts, offs = _zone_offset_segments(
+        zone, int(inst.min()) - 86400, int(inst.max()) + 86400)
+    idx = np.searchsorted(starts, inst, side="right") - 1
+    return inst + offs[idx]
 
 
 def _decode_decimal_fast(buf: bytes, m: int, scales: np.ndarray,

@@ -443,3 +443,76 @@ def test_decimal_vectorized_1m_rows_fast_and_cpp_identical(tmp_path):
     got2 = ORCFile(p2).read_stripe(0).column(0)
     assert got2.equals(wide)
     assert po.ORCFile(p2).read()["d"].combine_chunks().equals(got2)
+
+
+@pytest.mark.parametrize("zone", [
+    "America/Los_Angeles",   # DST, negative offset
+    "Asia/Kolkata",          # +05:30, no DST
+    "Australia/Sydney",      # southern-hemisphere DST
+    "Asia/Tokyo",            # fixed +09:00
+])
+def test_non_utc_writer_timezone_matches_cpp(tmp_path, zone):
+    """TIMESTAMP values from files stamped with a non-UTC writerTimezone
+    must decode bit-identical to the C++ reader (the rule is DST-aware:
+    wall = stored + epoch(tz) + gmtOffset(tz, stored + epoch))."""
+    import datetime as dt
+
+    import pyarrow.orc as po
+
+    import orc_haskell_spark.orcfile.writer as W
+
+    vals = [dt.datetime(2015, 1, 1), dt.datetime(2015, 7, 1, 12, 30),
+            dt.datetime(2020, 3, 8, 2, 30), dt.datetime(2020, 3, 8, 1, 59, 59),
+            dt.datetime(2020, 11, 1, 1, 30), dt.datetime(2023, 10, 1, 2, 30),
+            dt.datetime(1969, 12, 31, 23, 59, 59, 500000),
+            dt.datetime(1900, 1, 1), dt.datetime(2038, 6, 1, 6, 0, 0),
+            None]
+    rng = np.random.default_rng(11)
+    vals += [dt.datetime(1970, 1, 1)
+             + dt.timedelta(seconds=int(s), microseconds=int(us))
+             for s, us in zip(rng.integers(-2 * 10**9, 3 * 10**9, 300),
+                              rng.integers(0, 10**6, 300))]
+    t = pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))})
+    p = str(tmp_path / f"{zone.replace('/', '_')}.orc")
+    orig = W.proto.encode
+
+    def stamped(name, msg):
+        if name == "StripeFooter":
+            msg = dict(msg)
+            msg["writerTimezone"] = zone
+        return orig(name, msg)
+
+    W.proto.encode = stamped
+    try:
+        write_orc(t, p, compression="ZLIB")
+    finally:
+        W.proto.encode = orig
+    us = pa.timestamp("us")
+    cpp = po.ORCFile(p).read()["ts"].combine_chunks().cast(us)
+    ours = ORCFile(p).read_stripe(0).column(0).cast(us)
+    assert ours.equals(cpp)
+
+
+def test_unknown_writer_timezone_raises(tmp_path):
+    import datetime as dt
+
+    import orc_haskell_spark.orcfile.writer as W
+
+    t = pa.table({"ts": pa.array([dt.datetime(2020, 1, 1)],
+                                 type=pa.timestamp("us"))})
+    p = str(tmp_path / "bad.orc")
+    orig = W.proto.encode
+
+    def stamped(name, msg):
+        if name == "StripeFooter":
+            msg = dict(msg)
+            msg["writerTimezone"] = "Not/AZone"
+        return orig(name, msg)
+
+    W.proto.encode = stamped
+    try:
+        write_orc(t, p, compression="NONE")
+    finally:
+        W.proto.encode = orig
+    with pytest.raises(ValueError, match="writer timezone"):
+        ORCFile(p).read_stripe(0)
