@@ -172,24 +172,33 @@ class _StripeReader:
         if kind == "UNION":
             # TAG byte stream + per-variant children, exactly the
             # reference's Union layout (src/Orc/Table/Striped.hs:33,
-            # decode :387-397). Arrow unions carry no top-level nulls.
-            if valid is not None and not valid.all():
-                raise NotImplementedError("null UNION entries")
-            tags = byte_rle.decode(
-                np.frombuffer(st["DATA"], np.uint8))[:n].view(np.int8)
+            # decode :387-397). Arrow unions carry no top-level nulls,
+            # so null rows follow the C++ reader's convention (verified
+            # against a crafted null-union file): tag 0 with a null
+            # child-0 value. The tag stream holds PRESENT rows only.
+            tags_p = byte_rle.decode(
+                np.frombuffer(st["DATA"], np.uint8))[:m].view(np.int8)
+            if valid is None:
+                tags = tags_p
+            else:
+                tags = np.zeros(n, dtype=np.int8)
+                tags[valid] = tags_p
             children = []
             for i, sub in enumerate(t.get("subtypes", [])):
-                cnt = int((tags == np.int8(i)).sum())
-                child = self.column(sub, cnt)
-                # sparse layout: scatter to full length
                 sel = tags == np.int8(i)
+                if valid is not None:
+                    sel &= valid
+                cnt = int(sel.sum())
+                child = self.column(sub, cnt)
                 if cnt == 0:
-                    children.append(pa.nulls(n, child.type if cnt else
-                                             arrow_type(self.types, sub)))
+                    children.append(pa.nulls(n, arrow_type(self.types, sub)))
                     continue
-                ix = np.zeros(n, dtype=np.int64)
+                # scatter to full length; unselected (and null) slots
+                # take a NULL index -> null, matching the C++ output
+                ix = np.full(n, -1, dtype=np.int64)
                 ix[sel] = np.arange(cnt)
-                children.append(child.take(pa.array(ix)))
+                take = pa.array(ix, pa.int64(), mask=ix < 0)
+                children.append(child.take(take))
             return pa.UnionArray.from_sparse(
                 pa.array(tags, pa.int8()), children,
                 [f"_union_{i}" for i in range(len(children))],
@@ -215,7 +224,13 @@ class _StripeReader:
             keys = self.column(t["subtypes"][0], n_child)
             items = self.column(t["subtypes"][1], n_child)
             if null_mask is not None and null_mask.any():
-                raise NotImplementedError("null MAP entries not supported")
+                # a null START offset marks entry i null (null entries
+                # contribute 0 length, so values stay aligned)
+                omask = np.zeros(n + 1, dtype=bool)
+                omask[:n] = null_mask
+                off = pa.array(offsets.astype(np.int32), pa.int32(),
+                               mask=omask)
+                return pa.MapArray.from_arrays(off, keys, items)
             return pa.MapArray.from_arrays(
                 pa.array(offsets.astype(np.int32)), keys, items)
 

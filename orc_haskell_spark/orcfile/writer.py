@@ -368,6 +368,60 @@ def _merge_stats(agg: list, cs: list[dict]) -> None:
                 del a[key]
 
 
+def write_raw_stripe(where, types: list[dict],
+                     streams: list[tuple[int, str, bytes]],
+                     encodings: dict[int, dict], n_rows: int,
+                     compression: str = "NONE",
+                     block_size: int = 256 * 1024) -> None:
+    """Low-level escape hatch: write one stripe from hand-built streams.
+
+    Exists for crafting spec-edge files Arrow cannot represent (e.g.
+    UNION columns with null rows — Arrow unions carry no top-level
+    validity) to cross-validate reader behavior against the C++
+    implementation, and for fuzzing. ``types`` is the ORC Type list
+    (pre-order), ``streams`` [(col, kind, raw_bytes)], ``encodings``
+    {col: encoding dict}.
+    """
+    n_cols = len(types)
+    out = open(where, "wb") if isinstance(where, str) else where
+    try:
+        buf = bytearray(MAGIC)
+        offset = len(buf)
+        stream_protos = []
+        for col, kind, raw in streams:
+            comp = compress_stream(raw, compression, block_size)
+            stream_protos.append({"kind": proto.STREAM_KIND[kind],
+                                  "column": col, "length": len(comp)})
+            buf += comp
+        data_len = len(buf) - offset
+        sfoot_c = compress_stream(proto.encode("StripeFooter", {
+            "streams": stream_protos,
+            "columns": [encodings.get(c, {"kind": 0}) for c in range(n_cols)],
+            "writerTimezone": "UTC"}), compression, block_size)
+        buf += sfoot_c
+        info = {"offset": offset, "indexLength": 0, "dataLength": data_len,
+                "footerLength": len(sfoot_c), "numberOfRows": n_rows}
+        content_len = len(buf) - len(MAGIC)
+        footer_c = compress_stream(proto.encode("Footer", {
+            "headerLength": len(MAGIC), "contentLength": content_len,
+            "stripes": [info], "types": types, "numberOfRows": n_rows,
+            "statistics": [{"numberOfValues": n_rows, "hasNull": 1}
+                           for _ in range(n_cols)],
+            "rowIndexStride": 0, "writer": 1}), compression, block_size)
+        buf += footer_c
+        ps = proto.encode("PostScript", {
+            "footerLength": len(footer_c),
+            "compression": proto.COMPRESSION[compression],
+            "compressionBlockSize": block_size, "version": [0, 12],
+            "metadataLength": 0, "writerVersion": 1, "magic": "ORC"})
+        buf += ps
+        buf.append(len(ps))
+        out.write(bytes(buf))
+    finally:
+        if isinstance(where, str):
+            out.close()
+
+
 def write_orc(data, where, compression: str = "ZLIB",
               stripe_rows: int = 64 * 1024,
               block_size: int = 256 * 1024,

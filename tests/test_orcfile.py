@@ -516,3 +516,67 @@ def test_unknown_writer_timezone_raises(tmp_path):
         W.proto.encode = orig
     with pytest.raises(ValueError, match="writer timezone"):
         ORCFile(p).read_stripe(0)
+
+
+def test_null_union_rows_match_cpp(tmp_path):
+    """UNION columns with null ROWS (Hive can write them; Arrow cannot
+    represent them at the top level): our reader must produce exactly
+    what the C++ reader produces — tag 0 with a null child-0 value."""
+    from orc_haskell_spark.codecs import bitpack, byte_rle, rle2
+    from orc_haskell_spark.orcfile import proto
+    from orc_haskell_spark.orcfile.writer import write_raw_stripe
+
+    types = [
+        {"kind": proto.KIND["STRUCT"], "subtypes": [1], "fieldNames": ["u"]},
+        {"kind": proto.KIND["UNION"], "subtypes": [2, 3]},
+        {"kind": proto.KIND["LONG"]},
+        {"kind": proto.KIND["STRING"]},
+    ]
+    present = np.array([1, 0, 1, 1, 0, 1], bool)
+    streams = [
+        (1, "PRESENT", byte_rle.encode(
+            np.frombuffer(bitpack.pack_bools(present), np.uint8))),
+        (1, "DATA", byte_rle.encode(np.array([0, 1, 0, 1], np.uint8))),
+        (2, "DATA", rle2.encode(np.array([42, 7], np.int64), True)),
+        (3, "DATA", b"hiyo"),
+        (3, "LENGTH", rle2.encode(np.array([2, 2], np.int64), False)),
+    ]
+    enc = {0: {"kind": proto.ENCODING["DIRECT"]},
+           1: {"kind": proto.ENCODING["DIRECT"]},
+           2: {"kind": proto.ENCODING["DIRECT_V2"]},
+           3: {"kind": proto.ENCODING["DIRECT_V2"]}}
+    p = str(tmp_path / "nullunion.orc")
+    write_raw_stripe(p, types, streams, enc, 6)
+
+    import pyarrow.orc as po
+
+    cpp = po.ORCFile(p).read()["u"].combine_chunks()
+    ours = ORCFile(p).read_stripe(0).column(0)
+    assert cpp.to_pylist() == [42, None, "hi", 7, None, "yo"]
+    assert ours.to_pylist() == cpp.to_pylist()
+    assert ours.type_codes.to_pylist() == cpp.type_codes.to_pylist()
+    # selected slots of each child must agree (unselected are don't-care)
+    for f in (0, 1):
+        sel = [i for i, tc in enumerate(cpp.type_codes.to_pylist())
+               if tc == f]
+        assert [ours.field(f)[i].as_py() for i in sel] == \
+               [cpp.field(f)[i].as_py() for i in sel]
+
+
+def test_null_map_rows_cross_engine(tmp_path):
+    """MAP columns with null rows: read a C++-written file identically,
+    and roundtrip our own writer's output through the C++ reader."""
+    import pyarrow.orc as po
+
+    m = pa.array([[("a", 1), ("b", 2)], None, [], [("c", None)], None],
+                 type=pa.map_(pa.string(), pa.int64()))
+    t = pa.table({"m": m})
+    p_cpp = str(tmp_path / "cpp.orc")
+    po.write_table(t, p_cpp)
+    ours = ORCFile(p_cpp).read_stripe(0).column(0)
+    assert ours.to_pylist() == m.to_pylist()
+
+    p_own = str(tmp_path / "own.orc")
+    write_orc(t, p_own, compression="ZLIB")
+    assert po.ORCFile(p_own).read()["m"].to_pylist() == m.to_pylist()
+    assert ORCFile(p_own).read_stripe(0).column(0).to_pylist() == m.to_pylist()
