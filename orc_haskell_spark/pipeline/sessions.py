@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 SESSION_DDL = ("user_id bigint, session_start timestamp, "
                "session_end timestamp, n_events bigint")
-_STATE_DDL = "first_ts long, last_ts long, n long"
+# per-key state: ALL sessions not yet finalized by the watermark,
+# as parallel arrays sorted by start (see sessionize_stream)
+_STATE_DDL = "firsts array<long>, lasts array<long>, ns array<long>"
 
 
 def sessionize(df: DataFrame, user_col: str = "user_id",
@@ -47,10 +49,21 @@ def sessionize_stream(stream_df: DataFrame, user_col: str = "user_id",
                       watermark: str = "10 minutes") -> DataFrame:
     """Streaming sessionization via applyInPandasWithState.
 
-    Per-key state = (first_ts, last_ts, n). New events extend or roll
-    the session; the event-time timeout (watermark > last_ts + gap)
-    closes and emits it. Emitted rows are append-mode final — the
-    exactly-once encode sink can consume them directly.
+    Per-key state = EVERY session the watermark hasn't finalized yet
+    (parallel first/last/count arrays), not just the live one: a session
+    closed by a gap WITHIN a batch stays buffered until the watermark
+    passes its close time, because an out-of-order event in a later
+    micro-batch (still above the watermark) may fall inside its window
+    and must merge instead of spawning a spurious split session — the
+    exact batch-sessionize semantics. Spark drops input rows older than
+    the watermark before a stateful operator, so a session whose
+    last+gap <= watermark can never change again: emitted rows are
+    append-mode FINAL and the exactly-once encode sink can consume them
+    directly.
+
+    Merge rule per batch: existing sessions + one singleton per event,
+    sorted by start, swept left-to-right joining neighbours whose gap
+    is <= gap_minutes (identical to the batch lag/cumsum formulation).
     """
     import pandas as pd
 
@@ -60,41 +73,37 @@ def sessionize_stream(stream_df: DataFrame, user_col: str = "user_id",
     gap_s = gap_minutes * 60
 
     def fn(key, pdf_iter, state: GroupState):
-        if state.hasTimedOut:
-            first_ts, last_ts, n = state.get
-            state.remove()
-            yield pd.DataFrame({
-                "user_id": [key[0]],
-                "session_start": [pd.Timestamp(first_ts, unit="s")],
-                "session_end": [pd.Timestamp(last_ts, unit="s")],
-                "n_events": [n]})
-            return
-        first_ts, last_ts, n = state.get if state.exists else (None, None, 0)
-        out = []
-        # gather ALL timestamps before sorting: a group may arrive as
-        # several Arrow chunks with no global order
-        all_ts: list = []
-        for pdf in pdf_iter:
-            all_ts.extend((pdf[ts_col].astype("int64") // 10**9).tolist())
-        for t in sorted(all_ts):
-            if last_ts is not None and t - last_ts > gap_s:
-                out.append((first_ts, last_ts, n))
-                first_ts, last_ts, n = t, t, 1
+        sessions: list[list[int]] = []
+        if state.exists:
+            firsts, lasts, ns = state.get
+            sessions = [[a, b, c] for a, b, c in zip(firsts, lasts, ns)]
+        if not state.hasTimedOut:
+            # gather ALL timestamps before sorting: a group may arrive
+            # as several Arrow chunks with no global order
+            for pdf in pdf_iter:
+                sessions.extend(
+                    [int(t), int(t), 1]
+                    for t in (pdf[ts_col].astype("int64") // 10**9))
+        sessions.sort()
+        merged: list[list[int]] = []
+        for s in sessions:
+            if merged and s[0] - merged[-1][1] <= gap_s:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
             else:
-                # t may still precede state carried from a prior batch
-                first_ts = t if first_ts is None else min(first_ts, t)
-                last_ts = t if last_ts is None else max(last_ts, t)
-                n += 1
-        close_ms = (last_ts + gap_s) * 1000
-        if close_ms <= state.getCurrentWatermarkMs():
-            # the watermark already passed this session's close time
-            # (late-batch catch-up): emit now, keep no state
-            out.append((first_ts, last_ts, n))
-            if state.exists:
-                state.remove()
-        else:
-            state.update((first_ts, last_ts, n))
-            state.setTimeoutTimestamp(close_ms)
+                merged.append(s)
+        wm_ms = state.getCurrentWatermarkMs()
+        out = [s for s in merged if (s[1] + gap_s) * 1000 <= wm_ms]
+        keep = [s for s in merged if (s[1] + gap_s) * 1000 > wm_ms]
+        if keep:
+            state.update(([s[0] for s in keep], [s[1] for s in keep],
+                          [s[2] for s in keep]))
+            # wake when the earliest buffered session becomes final;
+            # must be strictly beyond the current watermark
+            close_ms = min((s[1] + gap_s) * 1000 for s in keep)
+            state.setTimeoutTimestamp(max(close_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
         if out:
             yield pd.DataFrame({
                 "user_id": [key[0]] * len(out),

@@ -181,3 +181,56 @@ def test_read_stream_encoded_missing_ledger(spark, tmp_path):
     out = streaming.read_stream_encoded(spark, path)
     assert out.count() == 0
     assert out.columns == df.columns
+
+
+def test_sessionize_stream_buffers_until_watermark(spark, tmp_path):
+    """A session closed by a gap WITHIN a batch must stay buffered until
+    the watermark passes its close time: an out-of-order event arriving
+    in a LATER micro-batch (above the watermark) that falls inside the
+    buffered session's gap window merges into it instead of spawning a
+    spurious split session. Emitted set == batch sessionizer over all
+    events whose sessions the final watermark closed."""
+    import datetime as dt
+    import glob
+
+    from orc_haskell_spark.pipeline import sessions
+
+    d = str(tmp_path)
+    schema = "user_id long, ts timestamp"
+    T = dt.datetime
+    f1 = [(1, T(2024, 1, 1, 10, 0)), (1, T(2024, 1, 1, 11, 0)),
+          (9, T(2024, 1, 1, 11, 5))]
+    # 10:58 is above the watermark (10:55) and inside the 11:00
+    # session's 30-min gap window: MUST merge, not split
+    f2 = [(1, T(2024, 1, 1, 10, 58)), (9, T(2024, 1, 1, 12, 0))]
+    f3 = [(9, T(2024, 1, 2, 9, 0))]
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{d}/in/*"))
+        q = (sessions.sessionize_stream(stream, gap_minutes=30,
+                                        watermark="10 minutes")
+             .writeStream.format("parquet").option("path", f"{d}/out")
+             .outputMode("append")
+             .option("checkpointLocation", f"{d}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    for i, rows in enumerate([f1, f2, f3]):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(f"{d}/in/f{i}")
+        drain()
+    assert glob.glob(f"{d}/out/*.parquet")
+    got = {(r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+           for r in spark.read.parquet(f"{d}/out").collect()}
+    all_events = f1 + f2 + f3
+    final_wm = max(t for _, t in all_events) - dt.timedelta(minutes=10)
+    batch = {(r.user_id, str(r.session_start), str(r.session_end),
+              r.n_events)
+             for r in sessions.sessionize(
+                 spark.createDataFrame(all_events, schema), "user_id",
+                 "ts", 30).collect()
+             if r.session_end + dt.timedelta(minutes=30) <= final_wm}
+    assert got == batch
+    # the merged session is present as ONE row (the bug produced a split)
+    assert (1, "2024-01-01 10:58:00", "2024-01-01 11:00:00", 2) in got
