@@ -376,7 +376,8 @@ def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, "vec_id", "embedding",
-                               _query_vec(spark, sf_dir), 10)
+                               _query_vec(spark, sf_dir), 10,
+                               centroid_mode="first_rows")
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,8 +615,68 @@ FROM documents"""
     o["stream_windowed_events"] = (
         "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
         "event_type, count(*) AS events FROM events GROUP BY 1, 2")
-    # sim_lsh/ivf_topk_embeddings, media_*: no SQL twin (seeded
-    # hyperplanes/centroids, synthetic media) -> rows-only
+    # LSH hyperplanes are md5-derived Rademacher signs (similarity.
+    # hyperplanes), so DuckDB reproduces every signature bit: sig_j
+    # flips on list_inner_product(emb, plane_j) > 0, planes built from
+    # md5('lsh|42|j|i') first-hex-digit parity. Candidates = hamming<=1
+    # multiprobe, then exact cosine top-k — the same plan as the query.
+    o["sim_lsh_topk_embeddings"] = """
+WITH planes AS (
+  SELECT j, list(CASE WHEN substr(md5('lsh|42|' || j || '|' || i), 1, 1)
+                      IN ('1','3','5','7','9','b','d','f')
+                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS p
+  FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(64)) AS i)
+  GROUP BY j),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_inner_product(
+             CAST(e.embedding AS DOUBLE[]), pl.p) > 0
+             THEN (1 << pl.j) ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e, planes pl GROUP BY e.vec_id),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+             (SELECT sig FROM sigs WHERE vec_id = 0) AS qsig
+      FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 5)
+         AS cos
+FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id, q
+WHERE bit_count(xor(s.sig, q.qsig)) <= 1
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         e.vec_id ASC LIMIT 10"""
+    # IVF with the 'first_rows' quantizer (similarity.ivf_topk
+    # centroid_mode): centroids = first 16 rows by id, L2-normalized;
+    # every float op mirrors the Spark plan left-to-right, so list
+    # assignment, probe choice and the final top-k are all exact.
+    o["sim_ivf_topk_embeddings"] = """
+WITH cents AS (
+  SELECT vec_id AS c,
+         list_transform(CAST(embedding AS DOUBLE[]),
+             x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])))) AS cv
+  FROM embeddings WHERE vec_id < 16),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv,
+         list_transform(CAST(embedding AS DOUBLE[]),
+             x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])))) AS qn
+  FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT c FROM cents, q
+  ORDER BY list_inner_product(cv, q.qn) DESC, c ASC LIMIT 4),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c FROM cents
+          ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]), cv)
+            DESC, c ASC LIMIT 1) AS lst
+  FROM embeddings e)
+SELECT a.vec_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 5)
+         AS cos
+FROM assigned a, q
+WHERE a.lst IN (SELECT c FROM probes)
+ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv) DESC,
+         a.vec_id ASC LIMIT 10"""
+    # media_*: no SQL twin (synthetic media payloads) -> rows-only
     # pages_roundtrip intentionally has no oracle (synthetic input)
     return o
 

@@ -16,6 +16,16 @@ from pyspark.sql import DataFrame, functions as F
 SEED = 42
 
 
+def sum_l2r(p, q) -> float:
+    """Left-to-right dot-product fold, matching Spark's F.aggregate and
+    DuckDB's list_inner_product bit-for-bit (np.dot's pairwise summation
+    can differ in the last ulp and flip a near-zero comparison)."""
+    acc = 0.0
+    for a, b in zip(p, q):
+        acc += float(a) * float(b)
+    return acc
+
+
 def _cosine(vec_col: str, qlit) -> "F.Column":
     dot = F.aggregate(
         F.zip_with(F.col(vec_col).cast("array<double>"), qlit,
@@ -40,9 +50,21 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
 
 
 def hyperplanes(dim: int, bits: int = 8, seed: int = SEED) -> np.ndarray:
-    """Deterministic Gaussian hyperplanes (bits x dim)."""
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((bits, dim))
+    """Deterministic Rademacher (±1) hyperplanes derived from md5.
+
+    Sign-projection LSH only needs symmetric random components, and
+    md5-derived ±1 entries make every signature reproducible in an
+    independent SQL engine (sign(j,i) = +1 iff the first hex digit of
+    md5('lsh|seed|j|i') is odd — same rationale as the simhash oracle),
+    so the ANN query gets an exact DuckDB twin instead of rows-only."""
+    import hashlib
+
+    out = np.empty((bits, dim), dtype=np.float64)
+    for j in range(bits):
+        for i in range(dim):
+            h = hashlib.md5(f"lsh|{seed}|{j}|{i}".encode()).hexdigest()
+            out[j, i] = 1.0 if int(h[0], 16) & 1 else -1.0
+    return out
 
 
 def _signature(vec_col: str, planes: np.ndarray) -> "F.Column":
@@ -85,17 +107,50 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
     return cent
 
 
+def ivf_first_rows_centroids(df: DataFrame, id_col: str, vec_col: str,
+                             n_lists: int = 16) -> np.ndarray:
+    """Coarse quantizer from the first n_lists rows by id, L2-normalized
+    with left-to-right float folds (see _dot_l2r in lsh_topk) so an
+    independent SQL engine reproduces every centroid coordinate, making
+    the IVF query exactly oracle-checkable. Quantizer QUALITY only
+    shifts which lists hold which vectors — correctness of the probe
+    scan is independent of it."""
+    rows = (df.filter(F.col(id_col) < n_lists).orderBy(id_col)
+            .select(vec_col).collect())
+    cent = []
+    for r in rows:
+        v = [float(x) for x in r[0]]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        nrm = acc ** 0.5 or 1.0
+        cent.append([x / nrm for x in v])
+    return np.array(cent, dtype=np.float64)
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
              k: int = 10, n_lists: int = 16, n_probe: int = 4,
-             seed: int = SEED) -> DataFrame:
+             seed: int = SEED, centroid_mode: str = "kmeans") -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest coarse
     centroid (Catalyst argmax over dot products), scan only the n_probe
     lists closest to the query. The inverted-file scale path: work per
-    query drops to ~n_probe/n_lists of the corpus."""
-    cent = ivf_centroids(df, id_col, vec_col, n_lists=n_lists, seed=seed)
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(cent @ qn))[:n_probe].tolist()
+    query drops to ~n_probe/n_lists of the corpus.
+
+    centroid_mode='kmeans' (driver-sample Lloyd, better lists) or
+    'first_rows' (deterministic SQL-reproducible quantizer — the
+    oracle-checkable configuration)."""
+    if centroid_mode == "first_rows":
+        cent = ivf_first_rows_centroids(df, id_col, vec_col, n_lists)
+    else:
+        cent = ivf_centroids(df, id_col, vec_col, n_lists=n_lists,
+                             seed=seed)
+    qd = [float(x) for x in query]
+    acc = 0.0
+    for x in qd:
+        acc += x * x
+    qn = np.array([x / (acc ** 0.5 or 1.0) for x in qd])
+    dots = np.array([sum_l2r(c, qn) for c in cent])
+    probe = np.argsort(-dots, kind="stable")[:n_probe].tolist()
 
     # distributed assignment in ONE expression: transform over the
     # centroid-matrix literal computes all dots, array_position of the
@@ -124,7 +179,7 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
     by hamming distance on the signature until >= k candidates."""
     planes = hyperplanes(len(query), bits, seed)
     qsig = int(sum((1 << i) for i, p in enumerate(planes)
-                   if float(np.dot(p, np.asarray(query, dtype=np.float64))) > 0))
+                   if sum_l2r(p, query) > 0))
     qlit = F.array(*[F.lit(float(x)) for x in query])
     with_sig = df.withColumn("_sig", _signature(vec_col, planes))
     # multi-probe: accept buckets within hamming radius 1 of the query's
