@@ -75,3 +75,23 @@ def test_rle2_monotone_delta(deltas, start):
     v = (start + np.cumsum(np.array(deltas, dtype=np.int64))).astype(np.int64)
     got = rle2.decode(u8(rle2.encode(v, True)), True)
     assert got.tolist() == v.tolist()
+
+
+@given(st.binary(min_size=0, max_size=6000))
+@settings(max_examples=120, deadline=None)
+def test_fsst_native_numpy_equivalence(raw):
+    """Property: for ANY byte string, the C and numpy FSST encoders both
+    roundtrip through BOTH decoders (payloads may differ; expansion must
+    not)."""
+    from orc_haskell_spark.codecs import fsst, native
+
+    if native.load() is None:
+        return  # no compiler: numpy-only environment
+    data = np.frombuffer(raw, np.uint8)
+    table = fsst.train(data)
+    pays = [fsst._compress_piece_np(data, table)]
+    pays.append(fsst._compress_piece_c(data, table, native.load()))
+    for pay in pays:
+        buf = np.frombuffer(pay, np.uint8)
+        assert np.array_equal(fsst._decompress_piece(buf, table), data)
+        assert np.array_equal(fsst._decompress_piece_np(buf, table), data)
