@@ -136,6 +136,9 @@ def main() -> None:
             .agg(F.sum("enc_bytes")).collect()[0][0])
         extras["vs_pyarrow_orc"] = buf.tell() / ours_sample  # >1 means we win
 
+        from orc_haskell_spark.codecs import native
+
+        extras["native_kernels"] = native.load() is not None
         total = sum(queries.values())
         print(json.dumps({
             "metric": "pages+lineitem encode/decode wall time",

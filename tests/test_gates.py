@@ -177,3 +177,33 @@ print(f"rss_growth_mb={grew_mb:.0f} stripes={info['stripes']}")
             capture_output=True, text=True, cwd="/root/repo", timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "rss_growth_mb=" in r.stdout
+
+
+def test_native_fsst_floor():
+    """With the C kernel available, single-core FSST encode of real text
+    must stay well above the round-2 bound (20 MB/s) — a regression to
+    the numpy path inside the dispatcher would show up here. Generous
+    floor (100 MB/s vs ~550 measured) to survive host noise."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from orc_haskell_spark.codecs import fsst, native
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no C compiler")
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    txt = "".join(t.column("text").to_pylist())
+    data = np.frombuffer((txt * (12_000_000 // len(txt) + 1))
+                         .encode()[:12_000_000], np.uint8)
+    tab = fsst.train(data)
+    fsst.compress(data[:1 << 16], tab)  # warm
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fsst.compress(data, tab)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    mbps = data.size / best / 1e6
+    assert mbps > 100, f"native FSST encode {mbps:.0f} MB/s"
