@@ -57,13 +57,32 @@ def unpack_bools(buf: np.ndarray, n: int) -> np.ndarray:
 
 
 def pack_width(u: np.ndarray, width: int) -> bytes:
-    """Pack uint64 values into ``width``-bit big-endian slots."""
-    if width == 64:
-        return np.ascontiguousarray(u, dtype=np.uint64).byteswap().tobytes()
+    """Pack uint64 values into ``width``-bit big-endian slots.
+
+    C kernel when available (bitpack_kernel.c, byte-identical layout),
+    numpy unpackbits/packbits otherwise.
+    """
     u = np.ascontiguousarray(u, dtype=np.uint64)
     n = u.size
     if n == 0 or width == 0:
         return b""
+    import ctypes
+
+    from . import native
+
+    lib = native.load()
+    if lib is not None:
+        out = np.empty((n * width + 7) // 8, dtype=np.uint8)
+        lib.orc_pack_width(native.ptr(u, ctypes.c_uint64), n, width,
+                           native.ptr(out, ctypes.c_uint8))
+        return out.tobytes()
+    return _pack_width_np(u, width)
+
+
+def _pack_width_np(u: np.ndarray, width: int) -> bytes:
+    if width == 64:
+        return np.ascontiguousarray(u, dtype=np.uint64).byteswap().tobytes()
+    n = u.size
     be = u.byteswap().view(np.uint8).reshape(n, 8)
     bits = np.unpackbits(be, axis=1)[:, 64 - width:]
     return np.packbits(bits.ravel()).tobytes()
@@ -75,15 +94,30 @@ def unpack_width(buf: np.ndarray, n: int, width: int) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
+    need = (n * width + 7) // 8
+    if buf.size < need:
+        raise ValueError(f"bit-packed stream truncated: need {need} bytes, have {buf.size}")
+    import ctypes
+
+    from . import native
+
+    lib = native.load()
+    if lib is not None:
+        buf = np.ascontiguousarray(buf[:need])
+        out = np.empty(n, dtype=np.uint64)
+        lib.orc_unpack_width(native.ptr(buf, ctypes.c_uint8), n, width,
+                             native.ptr(out, ctypes.c_uint64))
+        return out
+    return _unpack_width_np(buf, n, width)
+
+
+def _unpack_width_np(buf: np.ndarray, n: int, width: int) -> np.ndarray:
     if width == 64:
         return (
             np.frombuffer(buf[: n * 8].tobytes(), dtype=">u8")
             .astype(np.uint64)
         )
-    need = (n * width + 7) // 8
-    if buf.size < need:
-        raise ValueError(f"bit-packed stream truncated: need {need} bytes, have {buf.size}")
-    bits = np.unpackbits(buf[:need], count=n * width).reshape(n, width)
+    bits = np.unpackbits(buf[: (n * width + 7) // 8], count=n * width).reshape(n, width)
     full = np.zeros((n, 64), dtype=np.uint8)
     full[:, 64 - width:] = bits
     packed = np.packbits(full, axis=1)

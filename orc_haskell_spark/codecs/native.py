@@ -23,8 +23,10 @@ import subprocess
 import sys
 import tempfile
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    "fsst_kernel.c")
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRCS = [os.path.join(_DIR, "fsst_kernel.c"),
+         os.path.join(_DIR, "bitpack_kernel.c"),
+         os.path.join(_DIR, "rle2_kernel.c")]
 _lib: ctypes.CDLL | None = None
 _tried = False
 
@@ -37,11 +39,11 @@ def _cache_dir() -> str:
     return d
 
 
-def _compile(src_path: str, out_path: str) -> None:
+def _compile(src_paths: list[str], out_path: str) -> None:
     tmp = tempfile.NamedTemporaryFile(
         suffix=".so", dir=os.path.dirname(out_path), delete=False)
     tmp.close()
-    base = ["cc", "-O3", "-shared", "-fPIC", "-o", tmp.name, src_path]
+    base = ["cc", "-O3", "-shared", "-fPIC", "-o", tmp.name] + src_paths
     try:
         try:
             subprocess.run(base[:2] + ["-march=native"] + base[2:],
@@ -66,11 +68,13 @@ def load() -> ctypes.CDLL | None:
     if sys.byteorder != "little":  # kernels assume LE loads
         return None
     try:
-        with open(_SRC, "rb") as f:
-            tag = hashlib.sha256(f.read()).hexdigest()[:16]
-        so = os.path.join(_cache_dir(), f"fsst_{tag}.so")
+        h = hashlib.sha256()
+        for s in _SRCS:
+            with open(s, "rb") as f:
+                h.update(f.read())
+        so = os.path.join(_cache_dir(), f"kernels_{h.hexdigest()[:16]}.so")
         if not os.path.exists(so):
-            _compile(_SRC, so)
+            _compile(_SRCS, so)
         lib = ctypes.CDLL(so)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.fsst_compress.restype = ctypes.c_long
@@ -91,6 +95,18 @@ def load() -> ctypes.CDLL | None:
             u8p, ctypes.c_long, u8p,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_long, u8p]
+        lib.orc_pack_width.restype = None
+        lib.orc_pack_width.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long, ctypes.c_int,
+            u8p]
+        lib.orc_unpack_width.restype = None
+        lib.orc_unpack_width.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64)]
+        lib.rle2_decode.restype = ctypes.c_long
+        lib.rle2_decode.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long]
         _lib = lib
     except Exception:
         _lib = None

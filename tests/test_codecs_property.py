@@ -95,3 +95,50 @@ def test_fsst_native_numpy_equivalence(raw):
         buf = np.frombuffer(pay, np.uint8)
         assert np.array_equal(fsst._decompress_piece(buf, table), data)
         assert np.array_equal(fsst._decompress_piece_np(buf, table), data)
+
+
+@given(st.integers(1, 64), st.data())
+@settings(max_examples=150, deadline=None)
+def test_bitpack_native_numpy_byte_identical(width, data):
+    """pack/unpack C kernels must be BYTE-IDENTICAL to the numpy
+    formulation for every width 1..64 (unlike FSST, the packed layout is
+    part of the ORC wire format)."""
+    from orc_haskell_spark.codecs import bitpack, native
+
+    if native.load() is None:
+        return
+    n = data.draw(st.integers(0, 200))
+    hi = (1 << width) - 1 if width < 64 else (1 << 64) - 1
+    vals = np.array(
+        data.draw(st.lists(st.integers(0, hi), min_size=n, max_size=n)),
+        dtype=np.uint64)
+    pc = bitpack.pack_width(vals, width)
+    pn = bitpack._pack_width_np(vals, width) if n else b""
+    assert pc == pn
+    if n:
+        buf = np.frombuffer(pc, np.uint8)
+        assert np.array_equal(bitpack.unpack_width(buf, n, width), vals)
+        assert np.array_equal(bitpack._unpack_width_np(buf, n, width), vals)
+
+
+@given(st.lists(st.integers(-2**63, 2**63 - 1), min_size=0, max_size=1400))
+@settings(max_examples=150, deadline=None)
+def test_rle2_c_decoder_matches_numpy(vals):
+    """Property: the C RLEv2 decoder and the numpy decoder produce
+    identical values on arbitrary encoder output (both signed and, when
+    possible, unsigned)."""
+    from orc_haskell_spark.codecs import native, rle2
+
+    if native.load() is None:
+        return
+    v = np.array(vals, dtype=np.int64)
+    enc = rle2.encode(v, True)
+    buf = np.frombuffer(enc, np.uint8)
+    assert np.array_equal(rle2.decode(buf, True), v)
+    assert np.array_equal(rle2._decode_np(buf, True), v)
+    if len(vals) and min(vals) >= 0:
+        u = v.view(np.uint64)
+        encu = rle2.encode(u, False)
+        bufu = np.frombuffer(encu, np.uint8)
+        assert np.array_equal(rle2.decode(bufu, False), u)
+        assert np.array_equal(rle2._decode_np(bufu, False), u)
