@@ -26,7 +26,8 @@ import tempfile
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "fsst_kernel.c"),
          os.path.join(_DIR, "bitpack_kernel.c"),
-         os.path.join(_DIR, "rle2_kernel.c")]
+         os.path.join(_DIR, "rle2_kernel.c"),
+         os.path.join(_DIR, "rle2_encode_kernel.c")]
 _lib: ctypes.CDLL | None = None
 _tried = False
 
@@ -107,6 +108,10 @@ def load() -> ctypes.CDLL | None:
         lib.rle2_decode.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_long]
+        lib.rle2_encode.restype = ctypes.c_long
+        lib.rle2_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long, ctypes.c_int,
+            u8p]
         _lib = lib
     except Exception:
         _lib = None

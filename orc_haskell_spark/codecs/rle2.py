@@ -224,11 +224,34 @@ def _dec_delta(buf, pos, signed):
 
 
 def encode(values: np.ndarray, signed: bool) -> bytes:
-    """Encode int64/uint64 values -> RLEv2 stream, per ≤512-value window."""
+    """Encode int64/uint64 values -> RLEv2 stream, per ≤512-value window.
+
+    The C kernel (rle2_encode_kernel.c) is a BYTE-IDENTICAL port of the
+    numpy window encoder below (same exact-cost argmin, same tie order),
+    asserted by a hypothesis property test — so goldens, cross-engine
+    suites and resumable stripe dirs see one format regardless of path.
+    """
     if signed:
         v = np.ascontiguousarray(values, dtype=np.int64)
     else:
         v = np.ascontiguousarray(values, dtype=np.uint64)
+    from . import native
+
+    lib = native.load()
+    if lib is not None and v.size:
+        import ctypes
+
+        n_windows = (v.size + MAX_WINDOW - 1) // MAX_WINDOW
+        out = np.empty(n_windows * (16 + MAX_WINDOW * 8 + 64),
+                       dtype=np.uint8)
+        n = lib.rle2_encode(
+            native.ptr(v.view(np.uint64), ctypes.c_uint64), v.size,
+            1 if signed else 0, native.ptr(out, ctypes.c_uint8))
+        return out[:n].tobytes()
+    return _encode_np(v, signed)
+
+
+def _encode_np(v: np.ndarray, signed: bool) -> bytes:
     out = bytearray()
     for start in range(0, v.size, MAX_WINDOW):
         _encode_window(out, v[start: start + MAX_WINDOW], signed)
@@ -381,7 +404,9 @@ def _plan_patched(w: np.ndarray, wu: np.ndarray, signed: bool):
     p90 = int(np.partition(bl, k)[k]) if bl.size else 1
     w90 = closest_width(p90 or 1)
     best = None
-    for width in {w90, w100}:
+    # ordered candidates (w90 first, ties keep the earlier) so the C
+    # encoder can mirror the choice byte-for-byte
+    for width in ([w90] + ([w100] if w100 != w90 else [])):
         plan = _plan_patched_at(reduced, bl, width, base, base_width, n)
         if plan is not None and (best is None or plan["cost"] < best["cost"]):
             best = plan

@@ -142,3 +142,20 @@ def test_rle2_c_decoder_matches_numpy(vals):
         bufu = np.frombuffer(encu, np.uint8)
         assert np.array_equal(rle2.decode(bufu, False), u)
         assert np.array_equal(rle2._decode_np(bufu, False), u)
+
+
+@given(st.lists(st.integers(-2**63, 2**63 - 1), min_size=0, max_size=1200))
+@settings(max_examples=200, deadline=None)
+def test_rle2_c_encoder_byte_identical(vals):
+    """Property: the C RLEv2 encoder is a BYTE-IDENTICAL port of the
+    numpy encoder (same exact-cost argmin, same tie order) — one wire
+    format regardless of which path a worker takes."""
+    from orc_haskell_spark.codecs import native, rle2
+
+    if native.load() is None:
+        return
+    v = np.array(vals, dtype=np.int64)
+    assert rle2.encode(v, True) == rle2._encode_np(v, True)
+    if len(vals) and min(vals) >= 0:
+        u = v.view(np.uint64)
+        assert rle2.encode(u, False) == rle2._encode_np(u, False)
