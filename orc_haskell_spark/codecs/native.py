@@ -23,11 +23,22 @@ import subprocess
 import sys
 import tempfile
 
-_DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, "fsst_kernel.c"),
-         os.path.join(_DIR, "bitpack_kernel.c"),
-         os.path.join(_DIR, "rle2_kernel.c"),
-         os.path.join(_DIR, "rle2_encode_kernel.c")]
+_SRC_NAMES = ["fsst_kernel.c", "bitpack_kernel.c", "rle2_kernel.c",
+              "rle2_encode_kernel.c"]
+
+
+def _read_sources() -> list[bytes]:
+    """Kernel sources via pkgutil so a spark-submit --py-files ZIP
+    deployment works too (plain open() can't read from inside a zip)."""
+    import pkgutil
+
+    out = []
+    for name in _SRC_NAMES:
+        data = pkgutil.get_data(__package__, name)
+        if data is None:
+            raise FileNotFoundError(name)
+        out.append(data)
+    return out
 _lib: ctypes.CDLL | None = None
 _tried = False
 
@@ -40,9 +51,17 @@ def _cache_dir() -> str:
     return d
 
 
-def _compile(src_paths: list[str], out_path: str) -> None:
+def _compile(sources: list[bytes], out_path: str) -> None:
+    cache = os.path.dirname(out_path)
+    src_paths = []
+    for name, data in zip(_SRC_NAMES, sources):
+        p = os.path.join(cache, name)
+        with open(p + ".tmp", "wb") as f:
+            f.write(data)
+        os.replace(p + ".tmp", p)
+        src_paths.append(p)
     tmp = tempfile.NamedTemporaryFile(
-        suffix=".so", dir=os.path.dirname(out_path), delete=False)
+        suffix=".so", dir=cache, delete=False)
     tmp.close()
     base = ["cc", "-O3", "-shared", "-fPIC", "-o", tmp.name] + src_paths
     try:
@@ -69,13 +88,13 @@ def load() -> ctypes.CDLL | None:
     if sys.byteorder != "little":  # kernels assume LE loads
         return None
     try:
+        sources = _read_sources()
         h = hashlib.sha256()
-        for s in _SRCS:
-            with open(s, "rb") as f:
-                h.update(f.read())
+        for s in sources:
+            h.update(s)
         so = os.path.join(_cache_dir(), f"kernels_{h.hexdigest()[:16]}.so")
         if not os.path.exists(so):
-            _compile(_SRCS, so)
+            _compile(sources, so)
         lib = ctypes.CDLL(so)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.fsst_compress.restype = ctypes.c_long

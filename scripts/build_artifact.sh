@@ -14,7 +14,9 @@ with zipfile.ZipFile("dist/orc_haskell_spark.zip", "w",
         if "__pycache__" in root:
             continue
         for f in files:
-            if f.endswith(".py"):
+            # .c kernel sources ship too: executors compile them on
+            # first use (numpy fallback if the cluster has no cc)
+            if f.endswith((".py", ".c")):
                 p = os.path.join(root, f)
                 z.write(p, p)
 print("wrote dist/orc_haskell_spark.zip")

@@ -207,3 +207,31 @@ def test_native_fsst_floor():
         best = dt if best is None else min(best, dt)
     mbps = data.size / best / 1e6
     assert mbps > 100, f"native FSST encode {mbps:.0f} MB/s"
+
+
+def test_native_kernels_build_from_zip_artifact(tmp_path):
+    """spark-submit --py-files ships the package as a ZIP: the .c kernel
+    sources must be readable through pkgutil from inside the zip and
+    compile on first use in that deployment shape too."""
+    import subprocess
+    import sys
+
+    subprocess.run(["bash", "scripts/build_artifact.sh"], check=True,
+                   cwd="/root/repo", capture_output=True)
+    code = r"""
+import sys, os
+os.environ["ORC_HS_NATIVE_DIR"] = sys.argv[1]
+sys.path.insert(0, "/root/repo/dist/orc_haskell_spark.zip")
+import numpy as np
+from orc_haskell_spark.codecs import native, rle2
+assert "orc_haskell_spark.zip" in native.__file__
+assert native.load() is not None
+v = np.arange(5000, dtype=np.int64) * 3
+assert np.array_equal(
+    rle2.decode(np.frombuffer(rle2.encode(v, True), np.uint8), True), v)
+print("OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code, str(tmp_path)],
+                       capture_output=True, text=True, cwd="/tmp",
+                       timeout=240)
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-1500:]
