@@ -24,7 +24,7 @@ import sys
 import tempfile
 
 _SRC_NAMES = ["fsst_kernel.c", "bitpack_kernel.c", "rle2_kernel.c",
-              "rle2_encode_kernel.c"]
+              "rle2_encode_kernel.c", "rle1_kernel.c"]
 
 
 def _read_sources() -> list[bytes]:
@@ -131,6 +131,10 @@ def load() -> ctypes.CDLL | None:
         lib.rle2_encode.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_long, ctypes.c_int,
             u8p]
+        lib.rle1_decode.restype = ctypes.c_long
+        lib.rle1_decode.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long]
         _lib = lib
     except Exception:
         _lib = None

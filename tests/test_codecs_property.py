@@ -159,3 +159,19 @@ def test_rle2_c_encoder_byte_identical(vals):
     if len(vals) and min(vals) >= 0:
         u = v.view(np.uint64)
         assert rle2.encode(u, False) == rle2._encode_np(u, False)
+
+
+@given(st.lists(st.integers(-2**63, 2**63 - 1), min_size=0, max_size=800))
+@settings(max_examples=150, deadline=None)
+def test_rle1_c_decoder_matches_numpy(vals):
+    """Property: the C RLEv1 decoder equals the numpy decoder on
+    arbitrary encoder output."""
+    from orc_haskell_spark.codecs import native, rle1
+
+    if native.load() is None:
+        return
+    v = np.array(vals, dtype=np.int64)
+    enc = rle1.encode(v, True)
+    buf = np.frombuffer(enc, np.uint8)
+    assert np.array_equal(rle1.decode(buf, True), v)
+    assert np.array_equal(rle1._decode_np(buf, True), v)

@@ -580,3 +580,49 @@ def test_null_map_rows_cross_engine(tmp_path):
     write_orc(t, p_own, compression="ZLIB")
     assert po.ORCFile(p_own).read()["m"].to_pylist() == m.to_pylist()
     assert ORCFile(p_own).read_stripe(0).column(0).to_pylist() == m.to_pylist()
+
+
+def test_corrupted_files_never_crash(tmp_path):
+    """300 seeded single/multi-byte corruptions of a valid ORC file:
+    every read must either succeed (flip hit dead/ignorable bytes) or
+    raise a Python exception — never hang or kill the process (the C
+    kernels carry explicit bounds checks; this drives them with
+    adversarial inputs). Runs in a subprocess so a crash would surface
+    as a return-code failure, not a dead test harness."""
+    import subprocess
+    import sys
+
+    t = pa.table({
+        "i": pa.array(np.arange(4000, dtype=np.int64) * 7),
+        "s": pa.array([f"w{i % 19}" for i in range(4000)]),
+        "f": pa.array(np.linspace(0, 1, 4000)),
+    })
+    p = str(tmp_path / "base.orc")
+    write_orc(t, p, compression="ZLIB", stripe_rows=1000)
+    code = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import numpy as np
+from orc_haskell_spark.orcfile.reader import ORCFile
+raw = bytearray(open(sys.argv[1], "rb").read())
+rng = np.random.default_rng(1234)
+bad = 0
+for trial in range(300):
+    buf = bytearray(raw)
+    for _ in range(int(rng.integers(1, 4))):
+        i = int(rng.integers(0, len(buf)))
+        buf[i] ^= int(rng.integers(1, 256))
+    path = sys.argv[1] + ".fuzz"
+    open(path, "wb").write(buf)
+    try:
+        f = ORCFile(path)
+        for k in range(len(f.stripes)):
+            f.read_stripe(k)
+    except Exception:
+        bad += 1
+print(f"OK raised_or_read=300 exceptions={bad}")
+"""
+    r = subprocess.run([sys.executable, "-c", code, p],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, (r.returncode, r.stderr[-2000:])
+    assert "OK" in r.stdout
