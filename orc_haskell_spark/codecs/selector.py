@@ -26,8 +26,13 @@ SAMPLE_BYTES = 1 << 19  # 512 KiB measurement sample
 def choose_string_codec(arr: pa.Array, data: "np.ndarray",
                         allowed: tuple[str, ...],
                         compression: str = "none",
-                        compression_level: int | None = None) -> str:
+                        compression_level: int | None = None):
     """Pick 'dict' | 'fsst' | 'direct' for a no-null string/binary array.
+
+    Returns (choice, fsst_table_or_None): the FSST trial's trained
+    symbol table comes back so the caller can seed its per-task cache —
+    the trial sample is the same distribution the column encodes, and
+    training dominates a cold task's cost with the C compressor.
 
     Measured three-way argmin on a sample: every eligible candidate's
     encoded size (including the outer block codec) is estimated from
@@ -40,7 +45,7 @@ def choose_string_codec(arr: pa.Array, data: "np.ndarray",
     n = len(arr)
     data_nbytes = int(data.nbytes)
     if n == 0 or data_nbytes == 0:
-        return "direct"
+        return "direct", None
     from . import block, fsst, rle2
 
     def outer(b: bytes) -> int:
@@ -68,13 +73,15 @@ def choose_string_codec(arr: pa.Array, data: "np.ndarray",
             # the dictionary is paid once per stripe, indices per row
             est["dict"] = (outer(ddata.tobytes()) + len(dlens) * 1.2
                            + idx_bytes * row_scale)
+    fsst_table = None
     if "fsst" in allowed and data_nbytes >= FSST_MIN_BYTES:
-        table, payload = fsst.compress(sample)
+        fsst_table = fsst.train(sample)
+        table, payload = fsst.compress(sample, fsst_table)
         est["fsst"] = (outer(bytes(payload)) + len(table)) * scale
 
     # 5% hysteresis toward the simpler codec (direct < dict < fsst)
     order = {"direct": 0, "dict": 1, "fsst": 2}
     best = min(est, key=lambda c: (est[c], order[c]))
     if best != "direct" and est[best] >= 0.95 * est["direct"]:
-        return "direct"
-    return best
+        return "direct", None
+    return best, (fsst_table if best == "fsst" else None)

@@ -273,11 +273,15 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
         ckey = ("strchoice", name)
         choice = cache.get(ckey) if cache is not None else None
         if choice is None:
-            choice = selector.choose_string_codec(
+            choice, trial_table = selector.choose_string_codec(
                 arr, data, ("dict", "fsst", "direct"),
                 cfg.get("compression", "none"), cfg.get("compression_level"))
             if cache is not None:
                 cache[ckey] = choice
+                # reuse the trial's trained FSST table: training is the
+                # bulk of a cold task's cost now that compression is C
+                if trial_table is not None and ("fsst", name) not in cache:
+                    cache[("fsst", name)] = trial_table
     if choice == "dict":
         idx, dlens, ddata = dictionary_encode_sorted(arr)
         icodec, istream = _encode_uint_stream(idx, cfg)
