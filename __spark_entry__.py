@@ -209,6 +209,39 @@ def _mk_orcfile_cpp_cross(table: str):
     return q
 
 
+def _orcfile_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-idiomatic surface: spark.read.format('orcfile') via the
+    PySpark Python DataSource (stripe-granular planning; Catalyst pushes
+    the range filter down and stripe stats prune the plan to the
+    matching stripes; filters are re-applied exactly by Spark)."""
+    import tempfile
+
+    from orc_haskell_spark.orcfile.datasource import OrcFileDataSource
+    from orc_haskell_spark.orcfile.writer import write_orc
+
+    _ensure_worker_imports(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(OrcFileDataSource)
+    except Exception:
+        pass  # already registered in this session
+    import os
+
+    import pyarrow.parquet as pq2
+
+    d = tempfile.mkdtemp(prefix="orcds_")
+    t = pq2.read_table(f"{sf_dir}/lineitem.parquet").sort_by("l_orderkey")
+    write_orc(t, os.path.join(d, "part-0.orc"), compression="ZSTD",
+              stripe_rows=8192)
+    df = spark.read.format("orcfile").load(d)
+    return (df.filter(F.col("l_orderkey").between(100, 2000))
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.min("l_orderkey").alias("min_ok"),
+                 F.max("l_orderkey").alias("max_ok")))
+
+
 def _zonemap_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-level zone maps: encode lineitem sorted by l_orderkey,
     skip stripes via the JSON-footer min/max (pure Catalyst filter, no
@@ -280,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _load(s, d, "events"), "user_id", "ts", gap_minutes=30)
     q["zonemap_pruned_agg_lineitem"] = _zonemap_pruned_agg
     q["orcfile_pruned_scan_lineitem"] = _orcfile_pruned_scan
+    q["orcfile_datasource_lineitem"] = _orcfile_datasource_scan
     q["orcfile_cpp_read_lineitem"] = _mk_orcfile_cpp_cross("lineitem")
     q["orcfile_cpp_read_documents"] = _mk_orcfile_cpp_cross("documents")
     q["decoded_agg_lineitem"] = _decoded_agg_lineitem
@@ -491,6 +525,12 @@ FROM sess GROUP BY user_id, sid"""
         "FROM lineitem WHERE l_orderkey BETWEEN 500 AND 3000 "
         "GROUP BY l_returnflag")
     o["orcfile_pruned_scan_lineitem"] = (
+        "SELECT l_returnflag, count(*) AS cnt, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok "
+        "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 "
+        "GROUP BY l_returnflag")
+    o["orcfile_datasource_lineitem"] = (
         "SELECT l_returnflag, count(*) AS cnt, "
         "round(sum(l_quantity), 2) AS sum_qty, "
         "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok "

@@ -1,0 +1,139 @@
+"""PySpark Python DataSource for real ORC files: the idiomatic surface
+for the pure-Python reader —
+
+    spark.dataSource.register(OrcFileDataSource)
+    df = spark.read.format("orcfile").load("/data/dir_or_file.orc")
+
+Scale shape is identical to spark_source.read_orc_distributed: the
+driver touches only file TAILS to plan one InputPartition per stripe,
+and Catalyst's pushed filters prune whole stripes against the writer's
+min/max statistics before any task is scheduled. All comparison filters
+are reported back as unhandled (stripe pruning is conservative — it
+only skips stripes that cannot match), so Spark still applies them
+exactly; the pruning is pure IO elimination, which is the same contract
+DataSourceV2 scans use for zone maps.
+
+Tasks yield pyarrow RecordBatches straight from the stripe reader, so
+rows never pass through Python objects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+class _StripePartition(InputPartition):
+    def __init__(self, file: str, stripe: int):
+        self.file = file
+        self.stripe = stripe
+
+
+class OrcFileDataSource(DataSource):
+    """format("orcfile") — reads .orc file(s) with stripe parallelism."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "orcfile"
+
+    def _files(self) -> list[str]:
+        from .spark_source import _list_orc_files
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("orcfile source requires .load(path)")
+        files = _list_orc_files(path)
+        if not files:
+            raise ValueError(f"no .orc files under {path}")
+        return files
+
+    def schema(self):
+        from .reader import ORCFile
+        from .spark_source import _spark_schema_for
+
+        spark_schema, _ = _spark_schema_for(ORCFile(self._files()[0]).schema)
+        return spark_schema
+
+    def reader(self, schema) -> "OrcFileReader":
+        return OrcFileReader(self._files(), schema)
+
+
+class OrcFileReader(DataSourceReader):
+    def __init__(self, files: list[str], schema):
+        self._file_list = files
+        self._schema = schema
+        self._ranges: list[tuple[str, object, object]] = []  # col, lo, hi
+
+    def pushFilters(self, filters: list[Filter]):
+        """Record comparison filters for stripe-stat pruning; report
+        EVERY filter back as unhandled so Spark evaluates them exactly
+        (pruning only removes stripes that cannot match)."""
+        for f in filters:
+            try:
+                if len(f.attribute) != 1:
+                    continue  # nested paths don't map to stripe stats
+                if isinstance(f, (EqualTo,)):
+                    col, lo, hi = f.attribute[-1], f.value, f.value
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    col, lo, hi = f.attribute[-1], f.value, None
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    col, lo, hi = f.attribute[-1], None, f.value
+                else:
+                    continue
+                if isinstance(lo, bool) or isinstance(hi, bool):
+                    continue
+                if lo is None or isinstance(lo, (int, float, str)):
+                    if hi is None or isinstance(hi, (int, float, str)):
+                        self._ranges.append((col, lo, hi))
+            except Exception:
+                continue
+        return filters  # all unhandled: Spark re-applies them exactly
+
+    def partitions(self):
+        from .reader import ORCFile
+
+        parts = []
+        for f in self._file_list:
+            orc = ORCFile(f)  # tail-only metadata
+            keep = range(len(orc.stripes))
+            for col, lo, hi in self._ranges:
+                try:
+                    keep = [i for i in keep
+                            if i in set(orc.prune_stripes(col, lo, hi))]
+                except Exception:
+                    continue  # unknown column / no stats: keep all
+            parts.extend(_StripePartition(f, i) for i in keep)
+        # Spark requires >= 1 partition; an empty one yields no batches
+        return parts or [_StripePartition(self._file_list[0], -1)]
+
+    def read(self, part: _StripePartition):
+        from orc_haskell_spark.engine import clamp_worker_threads
+
+        from .reader import ORCFile
+
+        clamp_worker_threads()
+        if part.stripe < 0:
+            return
+        orc = ORCFile(part.file)
+        rb = orc.read_stripe(part.stripe)
+        # normalize arrow types to what the spark schema expects
+        import pyarrow as pa
+
+        from .spark_source import _spark_schema_for
+
+        _, arrow_schema = _spark_schema_for(orc.schema)
+        cols = []
+        for field, col in zip(arrow_schema, rb.columns):
+            if col.type != field.type:
+                col = col.cast(field.type)
+            cols.append(col)
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
