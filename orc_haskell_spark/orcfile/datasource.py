@@ -19,8 +19,11 @@ rows never pass through Python objects.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -29,6 +32,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 
@@ -65,6 +69,12 @@ class OrcFileDataSource(DataSource):
 
     def reader(self, schema) -> "OrcFileReader":
         return OrcFileReader(self._files(), schema)
+
+    def writer(self, schema, overwrite: bool) -> "OrcFileWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("orcfile sink requires .save(path)")
+        return OrcFileWriter(path, overwrite)
 
 
 class OrcFileReader(DataSourceReader):
@@ -137,3 +147,72 @@ class OrcFileReader(DataSourceReader):
                 col = col.cast(field.type)
             cols.append(col)
         yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+
+@dataclass
+class _OrcCommit(WriterCommitMessage):
+    tmp_name: str  # staged file, or "" for an empty task
+    rows: int
+
+
+class OrcFileWriter(DataSourceArrowWriter):
+    """df.write.format("orcfile").save(dir) — one ORC file per task,
+    staged under a temp name and renamed at COMMIT: a failed/ speculated
+    task leaves only an ignored *.tmp, so readers (which list *.orc)
+    never observe partial output — the same rename-on-commit protocol
+    as Hadoop output committers. mode("overwrite") drops pre-existing
+    .orc files at commit time, after the new ones are in place."""
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _OrcCommit:
+        import os
+        import uuid
+
+        from orc_haskell_spark.engine import clamp_worker_threads
+
+        from .writer import write_orc
+
+        clamp_worker_threads()
+        os.makedirs(self.path, exist_ok=True)
+        it = iter(iterator)
+        first = next(it, None)
+        if first is None:
+            return _OrcCommit("", 0)
+        import itertools
+
+        tmp = f"staged-{uuid.uuid4().hex}.orc.tmp"
+        info = write_orc(itertools.chain([first], it),
+                         os.path.join(self.path, tmp),
+                         compression="ZSTD")
+        return _OrcCommit(tmp, info["rows"])
+
+    def commit(self, messages):
+        import os
+
+        keep = set()
+        n = 0
+        for m in messages:
+            if not m or not m.tmp_name:
+                continue
+            final = m.tmp_name[:-4].replace("staged-", "part-")
+            os.replace(os.path.join(self.path, m.tmp_name),
+                       os.path.join(self.path, final))
+            keep.add(final)
+            n += m.rows
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".orc") and f not in keep:
+                    os.unlink(os.path.join(self.path, f))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m and m.tmp_name:
+                try:
+                    os.unlink(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass

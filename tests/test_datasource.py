@@ -67,3 +67,29 @@ def test_pushed_filters_prune_stripes(sorted_orc_dir):
         LessThanOrEqual(("l_orderkey",), 200)]))
     assert len(unhandled) == 2  # conservative: Spark re-applies both
     assert len(r2.partitions()) == 1
+
+
+def test_datasource_write_read_roundtrip(spark, tmp_path):
+    """df.write.format('orcfile') stages per-task files and renames at
+    commit; the files are real ORC (C++ readable) and roundtrip through
+    both the datasource read and pyarrow."""
+    import glob
+
+    import pyarrow.orc as po
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcFileDataSource)
+    d = str(tmp_path / "out")
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # Python data sources support only Append/Overwrite save modes
+    df.repartition(3).write.mode("append").format("orcfile").save(d)
+    files = sorted(glob.glob(f"{d}/*.orc"))
+    assert len(files) == 3 and not glob.glob(f"{d}/*.tmp")
+    assert sum(po.ORCFile(f).nrows for f in files) == df.count()
+    back = spark.read.format("orcfile").load(d)
+    assert back.exceptAll(df).count() == 0
+    assert df.exceptAll(back).count() == 0
+    # overwrite replaces the directory contents
+    df.limit(10).repartition(1).write.mode("overwrite") \
+        .format("orcfile").save(d)
+    assert spark.read.format("orcfile").load(d).count() == 10
