@@ -53,12 +53,15 @@ def _cache_dir() -> str:
 
 def _compile(sources: list[bytes], out_path: str) -> None:
     cache = os.path.dirname(out_path)
+    # per-process source copies: concurrent first compiles must never
+    # share writable paths (a truncate-while-cc-reads race could cache
+    # a torn artifact under the pristine content hash forever)
+    pid = os.getpid()
     src_paths = []
     for name, data in zip(_SRC_NAMES, sources):
-        p = os.path.join(cache, name)
-        with open(p + ".tmp", "wb") as f:
+        p = os.path.join(cache, f"pid{pid}-{name}")  # keep the .c suffix
+        with open(p, "wb") as f:
             f.write(data)
-        os.replace(p + ".tmp", p)
         src_paths.append(p)
     tmp = tempfile.NamedTemporaryFile(
         suffix=".so", dir=cache, delete=False)
@@ -73,8 +76,9 @@ def _compile(sources: list[bytes], out_path: str) -> None:
                            timeout=120)
         os.replace(tmp.name, out_path)
     finally:
-        if os.path.exists(tmp.name):
-            os.unlink(tmp.name)
+        for p in src_paths + [tmp.name]:
+            if os.path.exists(p):
+                os.unlink(p)
 
 
 def load() -> ctypes.CDLL | None:

@@ -90,14 +90,16 @@ static void plan_delta(const uint64_t *wu, long n, int signed_,
         else
             inc = b >= a;
         uint64_t mag = inc ? b - a : a - b;
-        if (mag >> 63)
-            return; /* |diff| >= 2^63: unencodable */
+        /* numpy accepts a DECREASING diff of exactly -2^63 (the wrapped
+         * int64 still agrees in sign); only +2^63 is unencodable */
+        if ((mag >> 63) && (inc || mag != (1ULL << 63)))
+            return;
         if (!inc && mag)
             non_dec = 0;
         if (inc && mag)
             non_inc = 0;
         if (i == 1)
-            di0 = inc ? (int64_t)mag : -(int64_t)mag;
+            di0 = (int64_t)(inc ? mag : (0 - mag));
         p->mags[i - 1] = mag;
     }
     if (!(non_dec || non_inc))

@@ -238,28 +238,40 @@ def manifest_df(enc_df):
 
 
 def _cheap_salt(buckets: int):
-    """Row-position salt: pmod(monotonically_increasing_id, buckets).
+    """Row-position salt for PARTITION ROUTING only:
+    pmod(monotonically_increasing_id, buckets).
 
     The id is (partition_id << 33) | row_offset, so within every
-    partition the salt cycles through all buckets round-robin (the
-    partition term is a constant phase) — the same uniform spread a row
-    hash gives, at zero column-read cost. (The previous full-row
-    xxhash64(*columns) salt re-hashed entire html/text bodies per row
-    just to pick a bucket: a whole extra pass over the corpus at 100 TB.)
-    Identical rows get independent salts, which for salting is exactly
-    right — the point is spreading a hot KEY, not keying by content.
+    partition the salt cycles through all buckets round-robin — the
+    same uniform spread a row hash gives, at zero column-read cost.
+    (The previous full-row xxhash64(*columns) salt re-hashed entire
+    html/text bodies per row just to pick a bucket: a whole extra pass
+    over the corpus at 100 TB.)
+
+    The id is NONDETERMINISTIC across task retries, which is safe here
+    because it only steers which partition encodes a row (any routing
+    encodes every row exactly once, and Spark re-runs INDETERMINATE
+    shuffle map stages wholesale on fetch failure). Do NOT use it to
+    key an aggregation — salted_agg uses a deterministic column hash.
     """
     from pyspark.sql import functions as F
 
     return F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
 
 
-def salted(df, col: str, buckets: int):
+def salted(df, cols, buckets: int):
     """Attach a salt column for skew-free grouping on a hot key (north
-    rule: skewed lang/domain keys). Salt derives from the row position
-    so identical keys spread over ``buckets`` reducers without reading
-    any data column."""
-    return df.withColumn("_salt", _cheap_salt(buckets).cast("int"))
+    rule: skewed lang/domain keys). Salt is a DETERMINISTIC hash of the
+    named columns — pass the grouping keys plus the aggregation input
+    columns (already read by the query, so zero extra IO; never
+    html/text bodies). Determinism matters for a shuffle KEY: a task
+    retry after a fetch failure must reproduce identical salts or
+    partial aggregates would route differently between attempts."""
+    from pyspark.sql import functions as F
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int"))
 
 
 def salted_agg(df, key_cols, agg_exprs: dict, buckets: int = 16):
@@ -273,7 +285,8 @@ def salted_agg(df, key_cols, agg_exprs: dict, buckets: int = 16):
     from pyspark.sql import functions as F
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    salted_df = salted(df, keys[0], buckets)
+    in_cols = [col for _, col in agg_exprs.values()]
+    salted_df = salted(df, keys + in_cols, buckets)
     partial_aggs, final_aggs = [], []
     for out, (fn, col) in agg_exprs.items():
         pname = f"_p_{out}"

@@ -101,6 +101,13 @@ class OrcFileReader(DataSourceReader):
                     continue
                 if isinstance(lo, bool) or isinstance(hi, bool):
                     continue
+                import math
+
+                # NaN compares above everything in Spark but is absent
+                # from min/max stats: never prune on it
+                if any(isinstance(v, float) and math.isnan(v)
+                       for v in (lo, hi) if v is not None):
+                    continue
                 if lo is None or isinstance(lo, (int, float, str)):
                     if hi is None or isinstance(hi, (int, float, str)):
                         self._ranges.append((col, lo, hi))
@@ -114,13 +121,13 @@ class OrcFileReader(DataSourceReader):
         parts = []
         for f in self._file_list:
             orc = ORCFile(f)  # tail-only metadata
-            keep = range(len(orc.stripes))
+            keep = list(range(len(orc.stripes)))
             for col, lo, hi in self._ranges:
                 try:
-                    keep = [i for i in keep
-                            if i in set(orc.prune_stripes(col, lo, hi))]
+                    allowed = set(orc.prune_stripes(col, lo, hi))
                 except Exception:
                     continue  # unknown column / no stats: keep all
+                keep = [i for i in keep if i in allowed]
             parts.extend(_StripePartition(f, i) for i in keep)
         # Spark requires >= 1 partition; an empty one yields no batches
         return parts or [_StripePartition(self._file_list[0], -1)]

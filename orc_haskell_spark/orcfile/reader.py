@@ -341,14 +341,100 @@ def _decode_nanos_signed(raw: np.ndarray) -> np.ndarray:
     return base * mul[zeros]
 
 
-def _zone_offset_segments(zone, lo: int, hi: int):
-    """Piecewise-constant UTC offsets of ``zone`` over [lo, hi] seconds.
+def _tzif_transitions(tzname: str):
+    """(transition_instants, utc_offsets) parsed from the zone's TZif
+    file — the EXACT transition list, so no probing heuristic can miss
+    closely-spaced rule changes (e.g. America/Recife 2000 enacted and
+    repealed DST 7 days apart; Africa/Freetown 1939 flips in 4 days).
 
-    Probes the zone every <=20 days (no tz database zone transitions
-    twice within 20 days) and binary-searches each detected transition
-    to the exact second, so applying offsets to a whole column is a
-    searchsorted + gather instead of per-row datetime math.
+    Reads the 64-bit (v2+) data block per RFC 8536; returns arrays such
+    that offset(t) = offs[searchsorted(starts, t, 'right') - 1], with
+    starts[0] = -inf sentinel carrying the pre-first-transition offset.
     """
+    import struct
+
+    base = os.environ.get("TZDIR", "/usr/share/zoneinfo")
+    path = os.path.join(base, *tzname.split("/"))
+    if not os.path.realpath(path).startswith(os.path.realpath(base)):
+        raise ValueError(f"bad timezone name {tzname!r}")
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"TZif":
+        raise ValueError(f"{tzname}: not a TZif file")
+
+    def parse_block(buf, pos, tsize, tfmt):
+        (isutcnt, isstdcnt, leapcnt, timecnt, typecnt, charcnt) = \
+            struct.unpack(">6I", buf[pos + 20: pos + 44])
+        p = pos + 44
+        times = np.frombuffer(buf, dtype=tfmt, count=timecnt, offset=p)
+        p += timecnt * tsize
+        idx = np.frombuffer(buf, dtype=np.uint8, count=timecnt, offset=p)
+        p += timecnt
+        ttinfo = []
+        for i in range(typecnt):
+            ut, dst, ab = struct.unpack(">iBB", buf[p + 6 * i: p + 6 * i + 6])
+            ttinfo.append((ut, dst))
+        p += 6 * typecnt + charcnt + leapcnt * (tsize + 4) \
+            + isstdcnt + isutcnt
+        return times.astype(np.int64), idx, ttinfo, p
+
+    version = data[4:5]
+    times, idx, ttinfo, end = parse_block(data, 0, 4, ">i4")
+    if version in (b"2", b"3", b"4"):
+        times, idx, ttinfo, _ = parse_block(data, end, 8, ">i8")
+    if not ttinfo:
+        raise ValueError(f"{tzname}: empty TZif")
+    offs_by_type = np.array([t[0] for t in ttinfo], dtype=np.int64)
+    # pre-first-transition offset: the C++ ORC reader applies the FIRST
+    # TRANSITION'S TARGET type to ancient times (verified empirically on
+    # LA 1850 -> PST -28800, Recife 1906 -> -03:00 — NOT the zone's LMT,
+    # which zoneinfo would give); fall back to the first standard type
+    if len(times):
+        first_off = offs_by_type[int(idx[0])]
+    else:
+        first_off = offs_by_type[
+            next((i for i, t in enumerate(ttinfo) if t[1] == 0), 0)]
+    starts = np.concatenate(([np.iinfo(np.int64).min], times))
+    offs = np.concatenate(([first_off],
+                           offs_by_type[idx.astype(np.int64)]))
+    return starts, offs
+
+
+def _writer_zone_wall(tzname: str, stored: np.ndarray) -> np.ndarray:
+    """UTC-naive wall seconds for TIMESTAMP values written in ``tzname``
+    (see kind == TIMESTAMP above for the rule, derived from and verified
+    bit-identical against the C++ ORC reader)."""
+    import datetime as dt
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(tzname)
+        starts, offs = _tzif_transitions(tzname)
+    except Exception as e:  # unknown zone name: fail loudly, like C++
+        raise ValueError(f"unknown ORC writer timezone {tzname!r}") from e
+    epoch = int(dt.datetime(2015, 1, 1, tzinfo=zone).timestamp())
+    inst = stored.astype(np.int64) + epoch
+    hi = int(inst.max())
+    if hi > int(starts[-1]):
+        # beyond the explicit transition list the POSIX TZ footer rule
+        # applies (a regular annual pattern — C++ readers evaluate it);
+        # zoneinfo implements the same rule, and in this region
+        # transitions are months apart, so 20-day probing is exact
+        ext_s, ext_o = _probe_offsets(zone, int(starts[-1]) + 1,
+                                      hi + 86400 * 400)
+        keep = ext_s > starts[-1]
+        starts = np.concatenate((starts, ext_s[keep]))
+        offs = np.concatenate((offs, ext_o[keep]))
+    idx = np.searchsorted(starts, inst, side="right") - 1
+    return inst + offs[idx]
+
+
+def _probe_offsets(zone, lo: int, hi: int):
+    """Piecewise-constant offsets over [lo, hi] by 20-day probing with
+    per-transition binary search. ONLY valid where transitions are far
+    apart (the POSIX-footer extension region); the historical list comes
+    from _tzif_transitions, which is exact."""
     import datetime as dt
 
     def off(s: int) -> int:
@@ -376,26 +462,6 @@ def _zone_offset_segments(zone, lo: int, hi: int):
         offs.append(off(y))
         a = y
     return np.array(starts, dtype=np.int64), np.array(offs, dtype=np.int64)
-
-
-def _writer_zone_wall(tzname: str, stored: np.ndarray) -> np.ndarray:
-    """UTC-naive wall seconds for TIMESTAMP values written in ``tzname``
-    (see kind == TIMESTAMP above for the rule, derived from and verified
-    bit-identical against the C++ ORC reader)."""
-    import datetime as dt
-
-    try:
-        from zoneinfo import ZoneInfo
-
-        zone = ZoneInfo(tzname)
-    except Exception as e:  # unknown zone name: fail loudly, like C++
-        raise ValueError(f"unknown ORC writer timezone {tzname!r}") from e
-    epoch = int(dt.datetime(2015, 1, 1, tzinfo=zone).timestamp())
-    inst = stored.astype(np.int64) + epoch
-    starts, offs = _zone_offset_segments(
-        zone, int(inst.min()) - 86400, int(inst.max()) + 86400)
-    idx = np.searchsorted(starts, inst, side="right") - 1
-    return inst + offs[idx]
 
 
 def _decode_decimal_fast(buf: bytes, m: int, scales: np.ndarray,

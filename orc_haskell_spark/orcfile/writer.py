@@ -335,15 +335,24 @@ def _col_stats(arr: pa.Array, col_type: pa.DataType) -> dict:
                 "minimum": pc.min(arr).as_py(),
                 "maximum": pc.max(arr).as_py()}
         elif pa.types.is_floating(col_type) and len(arr) > arr.null_count:
-            st["doubleStatistics"] = {
-                "minimum": float(pc.min(arr).as_py()),
-                "maximum": float(pc.max(arr).as_py())}
+            # pc.min/max skip NaN, and Spark orders NaN above every
+            # value: min/max stats excluding a present NaN would let a
+            # pruning reader drop stripes whose only matches are NaN.
+            # Omit the stats instead (never wrong, only less selective).
+            if not pc.any(pc.is_nan(arr)).as_py():
+                st["doubleStatistics"] = {
+                    "minimum": float(pc.min(arr).as_py()),
+                    "maximum": float(pc.max(arr).as_py())}
         elif (pa.types.is_string(col_type) or
               pa.types.is_large_string(col_type)) \
                 and len(arr) > arr.null_count:
-            st["stringStatistics"] = {
-                "minimum": pc.min(arr).as_py(),
-                "maximum": pc.max(arr).as_py()}
+            mn, mx = pc.min(arr).as_py(), pc.max(arr).as_py()
+            # cap stat payload: html/text bodies would otherwise embed
+            # two full documents per column per stripe into the file
+            # tail (truncation would need lowerBound/upperBound
+            # semantics to stay prune-correct, so omit instead)
+            if len(mn) <= 256 and len(mx) <= 256:
+                st["stringStatistics"] = {"minimum": mn, "maximum": mx}
     except Exception:
         pass
     return st

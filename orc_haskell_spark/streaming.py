@@ -96,9 +96,15 @@ def read_stream_encoded(spark, path: str):
     reader racing the first micro-batch) means NOTHING is committed:
     return an empty DataFrame with the stripes schema, not an error."""
     stripes = spark.read.parquet(os.path.join(path, "stripes"))
+    ledger_path = os.path.join(path, "ledger")
     try:
-        ledger = spark.read.parquet(os.path.join(path, "ledger"))
+        ledger = spark.read.parquet(ledger_path)
     except Exception:
+        # only the MISSING-ledger case means "nothing committed" —
+        # a ledger that exists but fails to read (permissions, corrupt
+        # footer) must surface, not silently read as empty
+        if os.path.exists(ledger_path):
+            raise
         return stripes.filter(F.lit(False))
     return stripes.join(
         F.broadcast(ledger.select("batch_id").distinct()),

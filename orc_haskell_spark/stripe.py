@@ -536,7 +536,13 @@ def _stripe_stats(batch: pa.RecordBatch) -> dict:
         if len(arr) == arr.null_count:
             continue
         try:
-            if pa.types.is_integer(t) or pa.types.is_floating(t):
+            if pa.types.is_floating(t):
+                # NaN is excluded by pc.min/max but sorts ABOVE every
+                # value in Spark: stats must be omitted or pruning
+                # could drop stripes whose only matches are NaN
+                if not pc.any(pc.is_nan(arr)).as_py():
+                    stats[name] = [pc.min(arr).as_py(), pc.max(arr).as_py()]
+            elif pa.types.is_integer(t):
                 stats[name] = [pc.min(arr).as_py(), pc.max(arr).as_py()]
             elif pa.types.is_timestamp(t) or pa.types.is_date(t):
                 a = arr.cast(pa.int64())
@@ -554,7 +560,10 @@ def decode_stripe(footer: dict, payload: bytes | memoryview,
                   columns: list[str] | None = None) -> pa.RecordBatch:
     """Decode a stripe; ``columns`` projects at the byte level — only
     the requested columns' streams are decompressed and decoded."""
-    ver = footer.get("v", STRIPE_FORMAT_VERSION)
+    # footers written before the field existed are v1 (pre-FSST-piece-
+    # framing): defaulting to the CURRENT version would wave exactly the
+    # legacy payloads this guard exists to reject loudly
+    ver = footer.get("v", 1)
     if ver != STRIPE_FORMAT_VERSION:
         raise ValueError(
             f"stripe format v{ver} not supported by this reader "

@@ -295,3 +295,18 @@ def test_nanosecond_pack_golden():
     assert encode_nanos(np.array([0], dtype=np.uint64))[0] == 0
     n = np.array([0, 1, 9, 10, 1000, 100000, 999999999, 123456789], dtype=np.uint64)
     assert np.array_equal(decode_nanos(encode_nanos(n)), n)
+
+
+def test_rle2_c_numpy_identical_at_int64_min_delta():
+    """A decreasing delta of exactly -2^63 survives numpy's wrapped
+    overflow check; the C encoder must agree byte-for-byte (review
+    finding, reproduced)."""
+    from orc_haskell_spark.codecs import native
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no C compiler")
+    v = np.array([2**62, 2**62 - 2**63, 2**62 - 2**63 - 5], dtype=np.int64)
+    assert rle2.encode(v, True) == rle2._encode_np(v, True)
+    assert np.array_equal(
+        rle2.decode(u8(rle2.encode(v, True)), True), v)

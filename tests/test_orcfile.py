@@ -450,6 +450,9 @@ def test_decimal_vectorized_1m_rows_fast_and_cpp_identical(tmp_path):
     "Asia/Kolkata",          # +05:30, no DST
     "Australia/Sydney",      # southern-hemisphere DST
     "Asia/Tokyo",            # fixed +09:00
+    "America/Recife",        # 2000: DST enacted then repealed 7d apart
+    "Africa/Casablanca",     # Ramadan DST suspensions
+    "Pacific/Chatham",       # +12:45 base offset with DST
 ])
 def test_non_utc_writer_timezone_matches_cpp(tmp_path, zone):
     """TIMESTAMP values from files stamped with a non-UTC writerTimezone
@@ -466,11 +469,17 @@ def test_non_utc_writer_timezone_matches_cpp(tmp_path, zone):
             dt.datetime(2020, 11, 1, 1, 30), dt.datetime(2023, 10, 1, 2, 30),
             dt.datetime(1969, 12, 31, 23, 59, 59, 500000),
             dt.datetime(1900, 1, 1), dt.datetime(2038, 6, 1, 6, 0, 0),
+            dt.datetime(1850, 6, 1),  # pre-first-transition (LMT era)
+            dt.datetime(2055, 7, 10, 12),  # POSIX-footer rule region
             None]
+    # Recife 2000: two transitions 7 days apart — probing heuristics
+    # that assume sparse transitions decode this window wrong
+    vals += [dt.datetime(2000, 10, 8) + dt.timedelta(hours=h)
+             for h in range(0, 24 * 14, 5)]
     rng = np.random.default_rng(11)
     vals += [dt.datetime(1970, 1, 1)
              + dt.timedelta(seconds=int(s), microseconds=int(us))
-             for s, us in zip(rng.integers(-2 * 10**9, 3 * 10**9, 300),
+             for s, us in zip(rng.integers(-3 * 10**9, 3 * 10**9, 300),
                               rng.integers(0, 10**6, 300))]
     t = pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))})
     p = str(tmp_path / f"{zone.replace('/', '_')}.orc")
@@ -626,3 +635,33 @@ print(f"OK raised_or_read=300 exceptions={bad}")
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, (r.returncode, r.stderr[-2000:])
     assert "OK" in r.stdout
+
+
+def test_nan_stripes_survive_pruning(tmp_path):
+    """Spark orders NaN above every double, but pc.min/max exclude it:
+    stats over a NaN-bearing stripe must be OMITTED so pushed-filter
+    pruning can never drop rows (review finding, reproduced)."""
+    p = str(tmp_path / "nan.orc")
+    write_orc(pa.table({"x": pa.array([1.0, 2.0, float("nan")])}), p,
+              compression="NONE")
+    f = ORCFile(p)
+    assert f.prune_stripes("x", 10.0, None) == [0]
+    got = f.read_stripe(0).column(0).to_pylist()
+    assert got[:2] == [1.0, 2.0] and got[2] != got[2]
+
+
+def test_huge_string_stats_omitted(tmp_path):
+    """html-sized string values must NOT be embedded in stripe/file
+    statistics (two full documents per column per stripe would bloat
+    the tail every reader fetches); short strings keep min/max."""
+    p = str(tmp_path / "s.orc")
+    write_orc(pa.table({"big": pa.array(["x" * 5000, "y" * 5000]),
+                        "small": pa.array(["a", "b"])}), p,
+              compression="NONE")
+    f = ORCFile(p)
+    names = f.footer["types"][0]["fieldNames"]
+    cs = f.stripe_stats[0]
+    big = cs[f.footer["types"][0]["subtypes"][names.index("big")]]
+    small = cs[f.footer["types"][0]["subtypes"][names.index("small")]]
+    assert "stringStatistics" not in big
+    assert small["stringStatistics"] == {"minimum": "a", "maximum": "b"}

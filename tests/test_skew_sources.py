@@ -33,7 +33,10 @@ def test_salted_partial_stage_fans_out(spark):
     """The partial aggregation must group on (key, salt): a hot key's
     rows land in multiple partial groups."""
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    salted = engine.salted(docs, "lang", 16)
+    # key + a distinct input column, as salted_agg passes: the salt is a
+    # deterministic hash, so the key alone would give every 'en' row the
+    # same bucket
+    salted = engine.salted(docs, ["lang", "doc_id"], 16)
     partial_groups = salted.groupBy("lang", "_salt").count()
     en_groups = partial_groups.filter(F.col("lang") == "en").count()
     assert en_groups > 4  # 218 'en' docs spread over ~16 salt buckets
