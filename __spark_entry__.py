@@ -116,6 +116,19 @@ def _mk_roundtrip(table: str, config: dict | None = None):
     return q
 
 
+def _fused_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused Python-side scan+encode (engine.encode_parquet): pyarrow
+    reads the parquet row groups inside the encoding worker, so payload
+    bytes never cross the JVM boundary — the crossing-free fast path.
+    Decode back and return all rows; oracle = plain SELECT."""
+    _ensure_worker_imports(spark)
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    enc = engine.encode_parquet(spark, path, stripe_rows=_STRIPE_ROWS,
+                                num_partitions=8)
+    return engine.decode_table(enc, schema)
+
+
 def _decoded_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = _roundtrip(spark, sf_dir, "lineitem")
     # sums rounded: Spark and DuckDB accumulate doubles in different
@@ -321,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["manifest_rows_documents"] = _manifest_rows_documents
     q["roundtrip_embeddings"] = _embeddings_checked
     q["pages_roundtrip"] = _pages_roundtrip
+    q["fused_roundtrip_documents"] = _fused_roundtrip_documents
 
     # ---- training-data pipeline operators (dedup / similarity / text / media)
     q["dedup_exact_documents"] = lambda s, d: dedup.exact_dedup(
@@ -498,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_fsst_documents"] = _select_sql("documents")
     o["roundtrip_dict_documents"] = _select_sql("documents")
     o["roundtrip_direct_documents"] = _select_sql("documents")
+    o["fused_roundtrip_documents"] = _select_sql("documents")
     o["roundtrip_nocomp_events"] = _select_sql("events")
     o["roundtrip_zlib_orders"] = _select_sql("orders")
     o["orcfile_roundtrip_lineitem"] = _select_sql("lineitem")

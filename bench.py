@@ -78,18 +78,37 @@ def main() -> None:
                   + F.octet_length("lang") + F.lit(8)).alias("b")
         ).collect()[0][0])
 
-        # JIT/worker warm-up on a slice (steady-state measurement)
+        # JIT/worker warm-up on a slice (steady-state measurement), for
+        # both the DataFrame path and the fused Python-scan path
         engine.encode_table(pages.limit(5000)).agg(F.sum("enc_bytes")).collect()
+        warm_pq = f"{tmp}/warm_pq"
+        pages.limit(5000).write.parquet(warm_pq)
+        engine.encode_parquet(spark, warm_pq, num_partitions=CPUS) \
+            .agg(F.sum("enc_bytes")).collect()
+
+        def best_of(n: int, fn) -> tuple[float, list[float]]:
+            """min + all samples: single samples on this box vary 2-3x
+            with co-tenant noise; min-of-2 is the steadier estimator."""
+            samples = []
+            for _ in range(n):
+                t0 = time.time()
+                fn()
+                samples.append(time.time() - t0)
+            return min(samples), [round(s, 3) for s in samples]
 
         # ---- encode pages (the headline metric)
         # blobs are already block-compressed: parquet re-compression off
-        t0 = time.time()
         enc_pages_path = f"{tmp}/enc_pages"
         part_kw = ({"partition_on": "url", "num_partitions": CPUS * 2}
                    if SHUFFLE else {})
-        engine.encode_table(pages, **part_kw) \
-            .write.option("compression", "uncompressed").parquet(enc_pages_path)
-        dt = time.time() - t0
+
+        def run_encode_pages():
+            shutil.rmtree(enc_pages_path, ignore_errors=True)
+            engine.encode_table(pages, **part_kw) \
+                .write.option("compression", "uncompressed") \
+                .parquet(enc_pages_path)
+
+        dt, extras["encode_pages_samples"] = best_of(2, run_encode_pages)
         queries["encode_pages"] = dt
         enc_pages = spark.read.parquet(enc_pages_path)
         enc_bytes = int(enc_pages.agg(F.sum("enc_bytes")).collect()[0][0])
@@ -99,6 +118,25 @@ def main() -> None:
         extras["pages_rows"] = PAGES_ROWS
         extras["pages_raw_bytes"] = raw_pages
         extras["pages_enc_bytes"] = enc_bytes
+
+        # ---- encode pages, fused Python-side scan (the crossing-free
+        # fast path: pyarrow reads the row groups inside the encoding
+        # worker, JVM distributes only split metadata). Same input, no
+        # row shuffle — the recommended steady-state plan when the table
+        # layout is already partitioned (done once at ingest).
+        enc_fused_path = f"{tmp}/enc_pages_fused"
+
+        def run_encode_fused():
+            shutil.rmtree(enc_fused_path, ignore_errors=True)
+            engine.encode_parquet(spark, pages_path,
+                                  num_partitions=CPUS * 2) \
+                .write.option("compression", "uncompressed") \
+                .parquet(enc_fused_path)
+
+        dtf, extras["encode_pages_fused_samples"] = best_of(2, run_encode_fused)
+        queries["encode_pages_fused"] = dtf
+        extras["encode_gbps_pages_fused"] = raw_pages / dtf / 1e9
+        extras["docs_per_sec_pages_fused"] = PAGES_ROWS / dtf
 
         # ---- decode pages
         t0 = time.time()

@@ -41,3 +41,121 @@ def read_stream(spark: SparkSession, source: str, schema) -> DataFrame:
     if source.startswith("rate"):
         return spark.readStream.format("rate").load()
     return spark.readStream.schema(schema).parquet(source)
+
+
+SPLIT_DDL = "file string, rg int, nbytes bigint, nrows bigint"
+
+
+def list_parquet_files(path: str) -> list[str]:
+    """Recursive .parquet listing under ``path`` (a file, a directory,
+    or a pyarrow-fs URI like s3://...). Listing is metadata-only and
+    cheap even for very large tables; the expensive part — reading each
+    file's footer — is distributed by ``parquet_splits_df``."""
+    import pyarrow.fs as pafs
+
+    fs, base = _resolve_fs(path)
+    info = fs.get_file_info(base)
+    if info.type == pafs.FileType.File:
+        return [path]
+    sel = pafs.FileSelector(base, recursive=True)
+    prefix = path[: len(path) - len(base)]  # scheme, e.g. "s3://"
+    return sorted(
+        prefix + i.path for i in fs.get_file_info(sel)
+        if i.type == pafs.FileType.File and i.path.endswith(".parquet"))
+
+
+def _resolve_fs(path: str):
+    """(pyarrow FileSystem, fs-local path) for a local path or URI."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def open_parquet(path: str):
+    """pyarrow ParquetFile for a local path or filesystem URI."""
+    import pyarrow.parquet as pq
+
+    fs, local = _resolve_fs(path)
+    return pq.ParquetFile(local, filesystem=fs)
+
+
+def _splits_fn(ranges):
+    """mapInArrow fn: file-name rows -> one split row per row group,
+    pruned by parquet column-chunk min/max stats against ``ranges``
+    (list of (column, lo, hi); None bound = unbounded). Footer-only IO:
+    no data pages are touched."""
+    import math
+
+    import pyarrow as pa
+
+    def keep_rg(md_rg, name_to_idx) -> bool:
+        for col, lo, hi in ranges or ():
+            i = name_to_idx.get(col)
+            if i is None:
+                continue
+            st = md_rg.column(i).statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(lo, float) and math.isnan(lo):
+                continue  # NaN predicates never prune (Spark NaN order)
+            if isinstance(hi, float) and math.isnan(hi):
+                continue
+            try:
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+            except TypeError:
+                continue  # incomparable stat type: keep
+        return True
+
+    def fn(batches):
+        schema = pa.schema([("file", pa.string()), ("rg", pa.int32()),
+                            ("nbytes", pa.int64()), ("nrows", pa.int64())])
+        for b in batches:
+            for f in b.column("file").to_pylist():
+                pf = open_parquet(f)
+                md = pf.metadata
+                names = {md.schema.column(i).name: i
+                         for i in range(md.num_columns)}
+                rows = [(f, rg, md.row_group(rg).total_byte_size,
+                         md.row_group(rg).num_rows)
+                        for rg in range(md.num_row_groups)
+                        if md.row_group(rg).num_rows
+                        and keep_rg(md.row_group(rg), names)]
+                if rows:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([r[i] for r in rows], t)
+                         for i, t in enumerate([pa.string(), pa.int32(),
+                                                pa.int64(), pa.int64()])],
+                        schema=schema)
+
+    return fn
+
+
+def parquet_splits_df(spark: SparkSession, path: str,
+                      ranges=None, num_partitions: int | None = None
+                      ) -> DataFrame:
+    """DataFrame of parquet row-group splits (file, rg, nbytes, nrows),
+    balanced across ``num_partitions`` tasks.
+
+    The scale path for Python-side scans: only FILE NAMES ever touch the
+    driver; footers are read in parallel tasks and the resulting split
+    rows are shuffled as pure metadata (bytes per split row, not data).
+    ``ranges`` prunes row groups on parquet column statistics before any
+    data IO — the Python-scan analog of Catalyst's filter pushdown.
+    """
+    files = list_parquet_files(path)
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    meta_tasks = min(len(files), n)
+    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(meta_tasks)
+    splits = fdf.mapInArrow(_splits_fn(ranges), SPLIT_DDL)
+    # round-robin rebalance: row groups of one big file must spread
+    # across tasks, not stay on the footer-reader's partition
+    return splits.repartition(n)

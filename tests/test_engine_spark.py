@@ -150,3 +150,102 @@ def test_zone_map_string_and_missing_stats(spark):
     # pruning on a column with no stats keeps everything (never wrong)
     assert engine.prune_stripes(enc, "nonexistent", 0, 1).count() == total
     enc.unpersist()
+
+
+def test_encode_parquet_fused_roundtrip(spark, tmp_path):
+    """Fused Python-side scan+encode (encode_parquet) must produce
+    stripes that decode bit-identical to the source table, with zero
+    payload bytes crossing the JVM (only split metadata in the plan's
+    input)."""
+    from pyspark.sql import functions as F
+
+    df = gen.pages_df(spark, PAGES_N, num_partitions=4)
+    p = str(tmp_path / "pages_pq")
+    df.write.parquet(p)
+    src = spark.read.parquet(p)
+    enc = engine.encode_parquet(spark, p, stripe_rows=1000,
+                                num_partitions=4)
+    enc.cache()
+    assert enc.count() >= 4
+    dec = engine.decode_table(enc, src.schema)
+    _assert_same_rows(src, dec, "url")
+    joined = (src.select("url", F.col("text").alias("t0"))
+              .join(dec.select("url", F.col("text").alias("t1")), "url"))
+    assert joined.filter(F.col("t0") != F.col("t1")).count() == 0
+    enc.unpersist()
+
+
+def test_encode_parquet_column_projection(spark, tmp_path):
+    """`columns` projects at the parquet column-chunk level: encoded
+    stripes carry only those columns and raw_bytes shrink accordingly
+    (html/text never read for a url+lang encode)."""
+    df = gen.pages_df(spark, 2000, num_partitions=2)
+    p = str(tmp_path / "pages_pq")
+    df.write.parquet(p)
+    full = engine.encode_parquet(spark, p, num_partitions=2)
+    slim = engine.encode_parquet(spark, p, columns=["url", "lang"],
+                                 num_partitions=2)
+    from pyspark.sql import functions as F
+
+    fb = full.agg(F.sum("raw_bytes")).collect()[0][0]
+    sb = slim.agg(F.sum("raw_bytes")).collect()[0][0]
+    assert sb < fb / 5
+    from pyspark.sql.types import StructType
+
+    sub = StructType([df.schema["url"], df.schema["lang"]])
+    dec = engine.decode_table(slim, sub)
+    assert dec.columns == ["url", "lang"]
+    assert dec.count() == 2000
+
+
+def test_encode_parquet_rowgroup_pruning(spark, tmp_path):
+    """`ranges` prunes row groups on parquet footer stats before any
+    data IO: a selective predicate over a sorted column must encode
+    strictly fewer rows, and every surviving source row must be there."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "sorted.parquet")
+    t = pa.table({"k": list(range(10000)),
+                  "v": [f"row{i}" for i in range(10000)]})
+    pq.write_table(t, p, row_group_size=1000)  # 10 row groups, k-sorted
+    enc = engine.encode_parquet(spark, p, ranges=[("k", 2500, 3500)],
+                                num_partitions=2)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()),
+                         StructField("v", StringType())])
+    dec = engine.decode_table(enc, schema).cache()
+    n = dec.count()
+    assert 1001 <= n <= 3000  # 2 or 3 row groups of 1000, never all 10
+    assert dec.filter((F.col("k") >= 2500) & (F.col("k") <= 3500)) \
+        .count() == 1001
+    # unknown column / no-stats ranges keep everything (never wrong)
+    enc_all = engine.encode_parquet(spark, p, ranges=[("nope", 1, 2)],
+                                    num_partitions=2)
+    assert engine.decode_table(enc_all, schema).count() == 10000
+    dec.unpersist()
+
+
+def test_parquet_splits_df_distributes_rowgroups(spark, tmp_path):
+    """Splits are row groups spread round-robin: one big file must not
+    pin all its row groups to one task."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(pa.table({"x": list(range(8000))}), p,
+                   row_group_size=1000)
+    from orc_haskell_spark import sources
+
+    splits = sources.parquet_splits_df(spark, p, num_partitions=4)
+    rows = splits.collect()
+    assert len(rows) == 8
+    assert sorted(r.rg for r in rows) == list(range(8))
+    assert all(r.nrows == 1000 for r in rows)
+    import pyspark.sql.functions as F
+
+    per_part = splits.withColumn("pid", F.spark_partition_id()) \
+        .groupBy("pid").count().collect()
+    assert max(r["count"] for r in per_part) <= 3
