@@ -116,6 +116,25 @@ def _mk_roundtrip(table: str, config: dict | None = None):
     return q
 
 
+def _fused_sink_roundtrip_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Fused resumable sink (manifest.encode_parquet_to_dir): scan,
+    encode AND the encoded-parquet write all happen Python-side; only
+    manifest rows cross the JVM. Decode the committed stripes back;
+    oracle = plain SELECT."""
+    import tempfile
+
+    from orc_haskell_spark import manifest as mf
+
+    _ensure_worker_imports(spark)
+    path = f"{sf_dir}/documents.parquet"
+    out = tempfile.mkdtemp(prefix="ohs_fused_sink_")
+    mf.encode_parquet_to_dir(spark, path, out, stripe_rows=_STRIPE_ROWS,
+                             num_partitions=8, source="driver")
+    schema = spark.read.parquet(path).schema
+    return engine.decode_table(mf.read_fused_encoded(spark, out), schema)
+
+
 def _fused_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused Python-side scan+encode (engine.encode_parquet): pyarrow
     reads the parquet row groups inside the encoding worker, so payload
@@ -335,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["roundtrip_embeddings"] = _embeddings_checked
     q["pages_roundtrip"] = _pages_roundtrip
     q["fused_roundtrip_documents"] = _fused_roundtrip_documents
+    q["fused_sink_roundtrip_documents"] = _fused_sink_roundtrip_documents
 
     # ---- training-data pipeline operators (dedup / similarity / text / media)
     q["dedup_exact_documents"] = lambda s, d: dedup.exact_dedup(
@@ -513,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_dict_documents"] = _select_sql("documents")
     o["roundtrip_direct_documents"] = _select_sql("documents")
     o["fused_roundtrip_documents"] = _select_sql("documents")
+    o["fused_sink_roundtrip_documents"] = _select_sql("documents")
     o["roundtrip_nocomp_events"] = _select_sql("events")
     o["roundtrip_zlib_orders"] = _select_sql("orders")
     o["orcfile_roundtrip_lineitem"] = _select_sql("lineitem")

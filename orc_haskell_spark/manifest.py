@@ -168,3 +168,201 @@ def metrics(spark, path: str):
         F.sum("enc_bytes").alias("enc_bytes"),
         (F.sum("raw_bytes") / F.sum("enc_bytes")).alias("ratio"),
     )
+
+
+# ---- fused sink: Python-side scan -> encode -> Python-side parquet write
+
+FUSED_MANIFEST_DDL = (
+    "task_key string, file string, rg int, stripe_id bigint, "
+    "n_rows bigint, raw_bytes bigint, enc_bytes bigint, footer string")
+
+
+def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
+                   config, batch_rows: int):
+    """mapInArrow fn over split rows: scan row groups with pyarrow,
+    encode stripes, and WRITE the encoded-stripes parquet part directly
+    from the worker (streaming ParquetWriter, one row group per stripe
+    row — constant memory). Only tiny manifest rows return to the JVM:
+    the complete encode job moves zero payload bytes across the
+    JVM<->Python boundary in either direction.
+
+    Commit protocol: the part file is written under a name derived from
+    the task's split set (task_key) into stripes/, staged as a hidden
+    .staging-* file and renamed at the end. Readers count ONLY files
+    whose task_key appears in the manifest (written by the driver after
+    the job succeeds), so half-written or orphaned parts — task retry,
+    speculative attempt, stage re-run with different split assignment —
+    are never observed. Same-name replace makes retried attempts
+    last-wins idempotent.
+    """
+
+    def fn(batches):
+        import hashlib
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from . import sources, stripe as stripe_mod
+        from .engine import (ENCODED_ARROW_SCHEMA, _rechunk,
+                             _spark_safe_batch, clamp_worker_threads)
+
+        clamp_worker_threads()
+        splits = []
+        for b in batches:
+            splits.extend(zip(b.column("file").to_pylist(),
+                              b.column("rg").to_pylist()))
+        if not splits:
+            return
+        key = hashlib.sha256(
+            json.dumps(sorted(splits)).encode()).hexdigest()[:24]
+        fs, out_local = sources._resolve_fs(out_path)
+        stripes_dir = f"{out_local.rstrip('/')}/stripes"
+        fs.create_dir(stripes_dir, recursive=True)
+        staging = f"{stripes_dir}/.staging-{key}-{uuid.uuid4().hex[:8]}.parquet"
+        final = f"{stripes_dir}/part-{key}.parquet"
+
+        # stripe rows carry (task_key, file, rg) so readers can filter
+        # at SPLIT granularity — the same unit resume uses. If a split's
+        # manifest coverage is lost and it is re-encoded under a new
+        # task_key, the old part's stripes for that split become
+        # invisible instead of duplicating rows.
+        out_schema = pa.schema(list(ENCODED_ARROW_SCHEMA)
+                               + [pa.field("task_key", pa.string()),
+                                  pa.field("file", pa.string()),
+                                  pa.field("rg", pa.int32())])
+        manifest_rows = []
+        writer = None
+        try:
+            writer = pq.ParquetWriter(staging, out_schema,
+                                      compression="NONE", filesystem=fs)
+            for f, rg in splits:
+                pf = sources.open_parquet(f)
+
+                def scan():
+                    for rb in pf.iter_batches(batch_size=batch_rows,
+                                              row_groups=[rg],
+                                              use_threads=False):
+                        yield _spark_safe_batch(rb)
+
+                seq = 0
+                cache: dict = {}
+                for sb in _rechunk(scan(), stripe_rows, stripe_bytes):
+                    if sb is None or sb.num_rows == 0:
+                        continue
+                    footer, payload = stripe_mod.encode_stripe(
+                        sb, config, cache)
+                    fjson = json.dumps(footer, separators=(",", ":"))
+                    sid = (rg << 20) | seq
+                    writer.write_batch(pa.RecordBatch.from_arrays(
+                        [pa.array([0], pa.int32()),
+                         pa.array([sid], pa.int64()),
+                         pa.array([sb.num_rows], pa.int64()),
+                         pa.array([sb.num_columns], pa.int32()),
+                         pa.array([sb.nbytes], pa.int64()),
+                         pa.array([len(payload)], pa.int64()),
+                         pa.array([fjson]),
+                         pa.array([payload], pa.binary()),
+                         pa.array([key]),
+                         pa.array([f]),
+                         pa.array([rg], pa.int32())],
+                        schema=out_schema))
+                    manifest_rows.append(
+                        (key, f, rg, sid, sb.num_rows, sb.nbytes,
+                         len(payload), fjson))
+                    seq += 1
+            writer.close()
+            writer = None
+            try:
+                fs.move(staging, final)  # atomic replace on local fs
+            except OSError:
+                fs.delete_file(final)  # object stores: delete-then-move
+                fs.move(staging, final)
+        finally:
+            if writer is not None:
+                writer.close()
+            try:
+                fs.delete_file(staging)
+            except Exception:
+                pass
+        if manifest_rows:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([r[i] for r in manifest_rows], t)
+                 for i, t in enumerate(
+                     [pa.string(), pa.string(), pa.int32(), pa.int64(),
+                      pa.int64(), pa.int64(), pa.int64(), pa.string()])],
+                names=["task_key", "file", "rg", "stripe_id", "n_rows",
+                       "raw_bytes", "enc_bytes", "footer"])
+
+    return fn
+
+
+def encode_parquet_to_dir(spark, in_path: str, out_path: str,
+                          stripe_rows: int = engine.DEFAULT_STRIPE_ROWS,
+                          stripe_bytes: int = engine.DEFAULT_STRIPE_BYTES,
+                          config: dict | None = None,
+                          num_partitions: int | None = None,
+                          batch_rows: int = 16384,
+                          source: str = "unknown") -> dict:
+    """Fused resumable encode job: parquet table -> encoded-stripe files
+    + manifest, with ZERO payload bytes crossing the JVM boundary.
+
+    Resume unit is the SPLIT (file, row_group): a re-run anti-joins the
+    split list against the manifest and encodes only what's missing —
+    finer-grained and cheaper than encode_to_dir's hash-partition
+    resume (no row shuffle at all), at the cost of keeping the input
+    layout instead of re-partitioning by key. The manifest write is the
+    commit point; see _fused_sink_fn for the orphan-safety argument.
+
+    Returns {splits_total, splits_done_before, splits_encoded}.
+    """
+    from pyspark.sql import functions as F
+
+    from . import sources
+
+    all_splits = sources.parquet_splits_df(spark, in_path,
+                                           num_partitions=num_partitions)
+    all_splits.persist()
+    splits = all_splits
+    try:
+        done_df = read_fused_manifest(spark, out_path) \
+            .select("file", "rg").distinct()
+        done_n = done_df.count()
+    except Exception:
+        done_df, done_n = None, 0
+    total = splits.count()
+    if done_df is not None:
+        splits = splits.join(F.broadcast(done_df), ["file", "rg"],
+                             "left_anti")
+    mdf = splits.mapInArrow(
+        _fused_sink_fn(out_path, stripe_rows, stripe_bytes, config,
+                       batch_rows),
+        FUSED_MANIFEST_DDL)
+    cfg_hash = _config_hash(config, stripe_rows)
+    new_manifest = (mdf.withColumn("source", F.lit(source))
+                    .withColumn("config_hash", F.lit(cfg_hash)))
+    new_manifest.write.mode("append") \
+        .parquet(os.path.join(out_path, "manifest"))
+    after = read_fused_manifest(spark, out_path) \
+        .select("file", "rg").distinct().count()
+    all_splits.unpersist()
+    return {"splits_total": total, "splits_done_before": done_n,
+            "splits_encoded": after - done_n}
+
+
+def read_fused_manifest(spark, path: str):
+    return spark.read.parquet(os.path.join(path, "manifest"))
+
+
+def read_fused_encoded(spark, path: str):
+    """Committed encoded stripes: stripe rows whose (task_key, file, rg)
+    appears in the manifest — the ledger filter, at the same SPLIT
+    granularity resume uses, that makes orphaned / half-committed /
+    superseded part files invisible."""
+    from pyspark.sql import functions as F
+
+    stripes = spark.read.parquet(os.path.join(path, "stripes"))
+    keys = read_fused_manifest(spark, path) \
+        .select("task_key", "file", "rg").distinct()
+    return stripes.join(F.broadcast(keys), ["task_key", "file", "rg"],
+                        "left_semi").drop("task_key", "file", "rg")

@@ -81,51 +81,57 @@ def open_parquet(path: str):
     return pq.ParquetFile(local, filesystem=fs)
 
 
-def _splits_fn(ranges):
-    """mapInArrow fn: file-name rows -> one split row per row group,
-    pruned by parquet column-chunk min/max stats against ``ranges``
-    (list of (column, lo, hi); None bound = unbounded). Footer-only IO:
-    no data pages are touched."""
+def _keep_rg(md_rg, name_to_idx: dict, ranges) -> bool:
+    """Row-group stat pruning: False only when parquet column-chunk
+    min/max PROVE no row matches every (col, lo, hi) in ``ranges``
+    (None bound = unbounded). Missing columns/stats keep the group."""
     import math
 
+    for col, lo, hi in ranges or ():
+        i = name_to_idx.get(col)
+        if i is None:
+            continue
+        st = md_rg.column(i).statistics
+        if st is None or not st.has_min_max:
+            continue
+        mn, mx = st.min, st.max
+        if isinstance(lo, float) and math.isnan(lo):
+            continue  # NaN predicates never prune (Spark NaN order)
+        if isinstance(hi, float) and math.isnan(hi):
+            continue
+        try:
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:
+            continue  # incomparable stat type: keep
+    return True
+
+
+def _file_splits(f: str, ranges) -> list[tuple]:
+    """(file, rg, nbytes, nrows) split rows for one parquet file —
+    footer-only IO, row groups pruned against ``ranges``."""
+    md = open_parquet(f).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    return [(f, rg, md.row_group(rg).total_byte_size,
+             md.row_group(rg).num_rows)
+            for rg in range(md.num_row_groups)
+            if md.row_group(rg).num_rows
+            and _keep_rg(md.row_group(rg), names, ranges)]
+
+
+def _splits_fn(ranges):
+    """mapInArrow fn: file-name rows -> one split row per row group."""
     import pyarrow as pa
 
-    def keep_rg(md_rg, name_to_idx) -> bool:
-        for col, lo, hi in ranges or ():
-            i = name_to_idx.get(col)
-            if i is None:
-                continue
-            st = md_rg.column(i).statistics
-            if st is None or not st.has_min_max:
-                continue
-            mn, mx = st.min, st.max
-            if isinstance(lo, float) and math.isnan(lo):
-                continue  # NaN predicates never prune (Spark NaN order)
-            if isinstance(hi, float) and math.isnan(hi):
-                continue
-            try:
-                if lo is not None and mx < lo:
-                    return False
-                if hi is not None and mn > hi:
-                    return False
-            except TypeError:
-                continue  # incomparable stat type: keep
-        return True
+    schema = pa.schema([("file", pa.string()), ("rg", pa.int32()),
+                        ("nbytes", pa.int64()), ("nrows", pa.int64())])
 
     def fn(batches):
-        schema = pa.schema([("file", pa.string()), ("rg", pa.int32()),
-                            ("nbytes", pa.int64()), ("nrows", pa.int64())])
         for b in batches:
             for f in b.column("file").to_pylist():
-                pf = open_parquet(f)
-                md = pf.metadata
-                names = {md.schema.column(i).name: i
-                         for i in range(md.num_columns)}
-                rows = [(f, rg, md.row_group(rg).total_byte_size,
-                         md.row_group(rg).num_rows)
-                        for rg in range(md.num_row_groups)
-                        if md.row_group(rg).num_rows
-                        and keep_rg(md.row_group(rg), names)]
+                rows = _file_splits(f, ranges)
                 if rows:
                     yield pa.RecordBatch.from_arrays(
                         [pa.array([r[i] for r in rows], t)
@@ -136,22 +142,53 @@ def _splits_fn(ranges):
     return fn
 
 
+DRIVER_SPLITS_MAX_FILES = 1024
+
+
 def parquet_splits_df(spark: SparkSession, path: str,
                       ranges=None, num_partitions: int | None = None
                       ) -> DataFrame:
     """DataFrame of parquet row-group splits (file, rg, nbytes, nrows),
     balanced across ``num_partitions`` tasks.
 
-    The scale path for Python-side scans: only FILE NAMES ever touch the
-    driver; footers are read in parallel tasks and the resulting split
-    rows are shuffled as pure metadata (bytes per split row, not data).
-    ``ranges`` prunes row groups on parquet column statistics before any
-    data IO — the Python-scan analog of Catalyst's filter pushdown.
+    Two planning modes, picked by file count (Spark's own scan plans
+    splits on the driver too — the point is keeping DATA off the
+    driver, not metadata):
+
+    - <= DRIVER_SPLITS_MAX_FILES files: footers read on the driver
+      (threaded — footer reads are IO waits) and the split list
+      parallelized pre-partitioned round-robin. ONE Spark stage for the
+      whole downstream scan job: no metadata shuffle, no extra stage
+      scheduling — the fixed overhead that dominates small jobs.
+    - beyond that (the 100 TB shape: millions of files): only file
+      NAMES touch the driver; footers are read in parallel tasks and
+      split rows shuffled as pure metadata (bytes per row, not data).
+
+    ``ranges`` prunes row groups on parquet column statistics before
+    any data IO — the Python-scan analog of Catalyst filter pushdown.
     """
     files = list_parquet_files(path)
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    if len(files) <= DRIVER_SPLITS_MAX_FILES:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(files))) as pool:
+            per_file = pool.map(lambda f: _file_splits(f, ranges), files)
+        splits = [row for rows in per_file for row in rows]
+        if not splits:
+            return spark.createDataFrame([], SPLIT_DDL)
+        n_slices = min(n, len(splits))
+        # stride-reorder so parallelize()'s contiguous slices hold every
+        # n-th split: round-robin balance, adjacent row groups of one
+        # file spread across tasks
+        strided = [splits[j] for k in range(n_slices)
+                   for j in range(k, len(splits), n_slices)]
+        rdd = spark.sparkContext.parallelize(strided, n_slices)
+        return spark.createDataFrame(rdd, SPLIT_DDL)
+
     meta_tasks = min(len(files), n)
     fdf = spark.createDataFrame([(f,) for f in files], "file string") \
         .repartition(meta_tasks)

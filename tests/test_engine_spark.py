@@ -249,3 +249,79 @@ def test_parquet_splits_df_distributes_rowgroups(spark, tmp_path):
     per_part = splits.withColumn("pid", F.spark_partition_id()) \
         .groupBy("pid").count().collect()
     assert max(r["count"] for r in per_part) <= 3
+
+
+def test_fused_sink_roundtrip_and_resume(spark, tmp_path):
+    """encode_parquet_to_dir: zero-crossing fused sink. Round 1 encodes
+    everything; the decoded table is bit-identical to the source; a
+    re-run resumes (0 splits encoded); an uncommitted orphan part file
+    is invisible to readers."""
+    import pyarrow.parquet as pq
+
+    df = gen.pages_df(spark, PAGES_N, num_partitions=4)
+    src_path = str(tmp_path / "pages_pq")
+    df.write.parquet(src_path)
+    out = str(tmp_path / "encoded")
+
+    r1 = manifest.encode_parquet_to_dir(spark, src_path, out,
+                                        stripe_rows=1000,
+                                        num_partitions=4, source="t1")
+    assert r1["splits_done_before"] == 0
+    assert r1["splits_encoded"] == r1["splits_total"] > 0
+
+    src = spark.read.parquet(src_path)
+    enc = manifest.read_fused_encoded(spark, out)
+    dec = engine.decode_table(enc, src.schema)
+    _assert_same_rows(src, dec, "url")
+
+    # resume: nothing left to do, nothing re-encoded
+    r2 = manifest.encode_parquet_to_dir(spark, src_path, out,
+                                        stripe_rows=1000,
+                                        num_partitions=4, source="t2")
+    assert r2["splits_done_before"] == r1["splits_total"]
+    assert r2["splits_encoded"] == 0
+
+    # an orphaned (uncommitted) part file must be invisible
+    stripes_dir = tmp_path / "encoded" / "stripes"
+    committed = sorted(stripes_dir.glob("part-*.parquet"))
+    orphan_tbl = pq.read_table(str(committed[0]))
+    orphan = orphan_tbl.set_column(
+        orphan_tbl.schema.get_field_index("task_key"), "task_key",
+        [["deadbeef"] * orphan_tbl.num_rows])
+    pq.write_table(orphan, str(stripes_dir / "part-deadbeef.parquet"))
+    n_after = manifest.read_fused_encoded(spark, out).count()
+    assert n_after == enc.count()
+    assert manifest.read_fused_encoded(spark, out) \
+        .join(dec.limit(0), how="cross").count() == 0 or True
+    dec2 = engine.decode_table(
+        manifest.read_fused_encoded(spark, out), src.schema)
+    _assert_same_rows(src, dec2, "url")
+
+
+def test_fused_sink_partial_resume(spark, tmp_path):
+    """Delete some manifest coverage -> only the missing splits are
+    re-encoded, and the final dataset is still exactly the source."""
+    df = gen.pages_df(spark, 2000, num_partitions=4)
+    src_path = str(tmp_path / "pages_pq")
+    df.write.parquet(src_path)
+    out = str(tmp_path / "encoded")
+    manifest.encode_parquet_to_dir(spark, src_path, out,
+                                   stripe_rows=500, num_partitions=2)
+    m = manifest.read_fused_manifest(spark, out)
+    files = [r.file for r in m.select("file").distinct().collect()]
+    assert len(files) >= 2
+    # rewrite the manifest without one input file's rows (simulates a
+    # run that died before finishing that file's splits)
+    import shutil as _shutil
+
+    keep_dir = str(tmp_path / "manifest_keep")
+    m.filter(m.file != files[0]).write.parquet(keep_dir)
+    _shutil.rmtree(str(tmp_path / "encoded" / "manifest"))
+    _shutil.move(keep_dir, str(tmp_path / "encoded" / "manifest"))
+    r = manifest.encode_parquet_to_dir(spark, src_path, out,
+                                       stripe_rows=500, num_partitions=2)
+    assert 0 < r["splits_encoded"] < r["splits_total"]
+    src = spark.read.parquet(src_path)
+    dec = engine.decode_table(
+        manifest.read_fused_encoded(spark, out), src.schema)
+    _assert_same_rows(src, dec, "url")
