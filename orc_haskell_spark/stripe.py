@@ -536,19 +536,24 @@ def _stripe_stats(batch: pa.RecordBatch) -> dict:
         if len(arr) == arr.null_count:
             continue
         try:
+            # pc.min_max: ONE pass per column (separate pc.min + pc.max
+            # calls measured as ~24% of int-table encode time)
             if pa.types.is_floating(t):
-                # NaN is excluded by pc.min/max but sorts ABOVE every
+                # NaN is excluded by min/max but sorts ABOVE every
                 # value in Spark: stats must be omitted or pruning
                 # could drop stripes whose only matches are NaN
                 if not pc.any(pc.is_nan(arr)).as_py():
-                    stats[name] = [pc.min(arr).as_py(), pc.max(arr).as_py()]
+                    mm = pc.min_max(arr).as_py()
+                    stats[name] = [mm["min"], mm["max"]]
             elif pa.types.is_integer(t):
-                stats[name] = [pc.min(arr).as_py(), pc.max(arr).as_py()]
+                mm = pc.min_max(arr).as_py()
+                stats[name] = [mm["min"], mm["max"]]
             elif pa.types.is_timestamp(t) or pa.types.is_date(t):
-                a = arr.cast(pa.int64())
-                stats[name] = [pc.min(a).as_py(), pc.max(a).as_py()]
+                mm = pc.min_max(arr.cast(pa.int64())).as_py()
+                stats[name] = [mm["min"], mm["max"]]
             elif pa.types.is_string(t) or pa.types.is_large_string(t):
-                mn, mx = pc.min(arr).as_py(), pc.max(arr).as_py()
+                mm = pc.min_max(arr).as_py()
+                mn, mx = mm["min"], mm["max"]
                 if len(mn) <= _MAX_STAT_STR and len(mx) <= _MAX_STAT_STR:
                     stats[name] = [mn, mx]
         except Exception:
