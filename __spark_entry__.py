@@ -135,6 +135,23 @@ def _fused_sink_roundtrip_documents(spark: SparkSession,
     return engine.decode_table(mf.read_fused_encoded(spark, out), schema)
 
 
+def _fused_transcode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused decode export (engine.decode_parquet_to_dir): encoded
+    stripes -> plain parquet, scan/decode/write all Python-side.
+    Returns the re-read exported table; oracle = plain SELECT."""
+    import tempfile
+
+    _ensure_worker_imports(spark)
+    path = f"{sf_dir}/documents.parquet"
+    tmp = tempfile.mkdtemp(prefix="ohs_transcode_")
+    engine.encode_parquet(spark, path, stripe_rows=_STRIPE_ROWS,
+                          num_partitions=8) \
+        .write.option("compression", "uncompressed").parquet(f"{tmp}/enc")
+    engine.decode_parquet_to_dir(spark, f"{tmp}/enc", f"{tmp}/out",
+                                 num_partitions=8).collect()
+    return spark.read.parquet(f"{tmp}/out")
+
+
 def _fused_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused Python-side scan+encode (engine.encode_parquet): pyarrow
     reads the parquet row groups inside the encoding worker, so payload
@@ -355,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pages_roundtrip"] = _pages_roundtrip
     q["fused_roundtrip_documents"] = _fused_roundtrip_documents
     q["fused_sink_roundtrip_documents"] = _fused_sink_roundtrip_documents
+    q["fused_transcode_documents"] = _fused_transcode_documents
 
     # ---- training-data pipeline operators (dedup / similarity / text / media)
     q["dedup_exact_documents"] = lambda s, d: dedup.exact_dedup(
@@ -534,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_direct_documents"] = _select_sql("documents")
     o["fused_roundtrip_documents"] = _select_sql("documents")
     o["fused_sink_roundtrip_documents"] = _select_sql("documents")
+    o["fused_transcode_documents"] = _select_sql("documents")
     o["roundtrip_nocomp_events"] = _select_sql("events")
     o["roundtrip_zlib_orders"] = _select_sql("orders")
     o["orcfile_roundtrip_lineitem"] = _select_sql("lineitem")

@@ -303,6 +303,135 @@ def decode_table(enc_df, schema, columns: list[str] | None = None):
     return enc_df.mapInArrow(_decode_fn_projected(columns), sub)
 
 
+DECODE_SUMMARY_DDL = ("part string, n_stripes bigint, n_rows bigint, "
+                      "out_bytes bigint")
+
+
+def _decode_sink_fn(out_path: str, columns, compression: str,
+                    prune_ranges):
+    """mapInArrow fn over split rows of an ENCODED-stripes parquet:
+    decode each stripe and write plain parquet parts directly from the
+    worker (streaming writer, rename-on-commit) — the decode-side twin
+    of the fused encode sink; only a summary row returns to the JVM.
+
+    Part names derive from the task's split set, so a re-run with the
+    same input and parallelism overwrites the same names (idempotent
+    export). ``prune_ranges`` [(col, lo, hi), ...] skips stripes on the
+    footer zone maps before any payload decompression."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import hashlib
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from . import sources
+
+        clamp_worker_threads()
+        splits = []
+        for b in batches:
+            splits.extend(zip(b.column("file").to_pylist(),
+                              b.column("rg").to_pylist()))
+        if not splits:
+            return
+        key = hashlib.sha256(
+            json.dumps(sorted(splits)).encode()).hexdigest()[:24]
+        fs, out_local = sources._resolve_fs(out_path)
+        fs.create_dir(out_local, recursive=True)
+        staging = f"{out_local.rstrip('/')}/.staging-{key}-{uuid.uuid4().hex[:8]}.parquet"
+        final = f"{out_local.rstrip('/')}/part-{key}.parquet"
+
+        def keep(footer: dict) -> bool:
+            st = footer.get("stats") or {}
+            for col, lo, hi in prune_ranges or ():
+                rng = st.get(col)
+                if not rng:
+                    continue
+                try:
+                    if lo is not None and rng[1] < lo:
+                        return False
+                    if hi is not None and rng[0] > hi:
+                        return False
+                except TypeError:
+                    continue
+            return True
+
+        writer = None
+        n_stripes = n_rows = 0
+        try:
+            for f, rg in splits:
+                pf = sources.open_parquet(f)
+                for rb in pf.iter_batches(batch_size=1, row_groups=[rg],
+                                          columns=["footer", "data"],
+                                          use_threads=False):
+                    for i in range(rb.num_rows):
+                        footer = json.loads(rb.column("footer")[i].as_py())
+                        if not keep(footer):
+                            continue
+                        payload = rb.column("data")[i].as_buffer()
+                        dec = stripe_mod.decode_stripe(
+                            footer, memoryview(payload), columns)
+                        if writer is None:
+                            writer = pq.ParquetWriter(
+                                staging, dec.schema,
+                                compression=compression, filesystem=fs)
+                        writer.write_batch(dec)
+                        n_stripes += 1
+                        n_rows += dec.num_rows
+            if writer is not None:
+                writer.close()
+                writer = None
+                try:
+                    fs.move(staging, final)
+                except OSError:
+                    fs.delete_file(final)
+                    fs.move(staging, final)
+                out_bytes = fs.get_file_info(final).size
+            else:
+                out_bytes = 0
+        finally:
+            if writer is not None:
+                writer.close()
+            try:
+                fs.delete_file(staging)
+            except Exception:
+                pass
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([key]), pa.array([n_stripes], pa.int64()),
+             pa.array([n_rows], pa.int64()),
+             pa.array([out_bytes], pa.int64())],
+            names=["part", "n_stripes", "n_rows", "out_bytes"])
+
+    return fn
+
+
+def decode_parquet_to_dir(spark, enc_path: str, out_path: str,
+                          columns: list[str] | None = None,
+                          prune_ranges=None,
+                          compression: str = "zstd",
+                          num_partitions: int | None = None):
+    """Fused decode export: encoded-stripes parquet -> plain parquet,
+    with scan, decode AND the output write all Python-side (zero
+    payload JVM crossing — the decode twin of encode_parquet /
+    encode_parquet_to_dir). Returns the per-task summary DataFrame
+    (part, n_stripes, n_rows, out_bytes); the job runs when it is
+    acted on (.collect()/.count()).
+
+    ``columns`` projects at the byte level (only those streams are
+    decompressed); ``prune_ranges`` skips stripes on footer zone maps
+    before any payload IO. Re-runs with the same input and parallelism
+    rewrite the same part names (idempotent export); changed inputs
+    need a fresh out_path.
+    """
+    from . import sources
+
+    splits = sources.parquet_splits_df(spark, enc_path,
+                                       num_partitions=num_partitions)
+    return splits.mapInArrow(
+        _decode_sink_fn(out_path, columns, compression, prune_ranges),
+        DECODE_SUMMARY_DDL)
+
+
 def prune_stripes(enc_df, column: str, lo=None, hi=None, numeric: bool = True):
     """Zone-map stripe skipping over the encoded DataFrame — a pure
     Catalyst filter on the JSON footer's per-stripe [min, max] stats

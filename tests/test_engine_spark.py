@@ -325,3 +325,45 @@ def test_fused_sink_partial_resume(spark, tmp_path):
     dec = engine.decode_table(
         manifest.read_fused_encoded(spark, out), src.schema)
     _assert_same_rows(src, dec, "url")
+
+
+def test_decode_parquet_to_dir_transcode(spark, tmp_path):
+    """Fused decode export: encoded stripes -> plain parquet written by
+    the workers; output equals the source; column projection and
+    zone-map pruning apply before payload decode; re-run idempotent."""
+    df = gen.pages_df(spark, 2000, num_partitions=2)
+    src_path = str(tmp_path / "pages_pq")
+    df.write.parquet(src_path)
+    enc_path = str(tmp_path / "enc")
+    engine.encode_parquet(spark, src_path, stripe_rows=500,
+                          num_partitions=2) \
+        .write.option("compression", "uncompressed").parquet(enc_path)
+    out = str(tmp_path / "decoded")
+    summary = engine.decode_parquet_to_dir(spark, enc_path, out,
+                                           num_partitions=2).collect()
+    assert sum(r.n_rows for r in summary) == 2000
+    back = spark.read.parquet(out)
+    src = spark.read.parquet(src_path)
+    _assert_same_rows(src, back, "url")
+
+    # idempotent re-run: same part names, still exactly the source
+    engine.decode_parquet_to_dir(spark, enc_path, out,
+                                 num_partitions=2).collect()
+    _assert_same_rows(src, spark.read.parquet(out), "url")
+
+    # projection
+    out2 = str(tmp_path / "decoded2")
+    engine.decode_parquet_to_dir(spark, enc_path, out2,
+                                 columns=["url", "lang"],
+                                 num_partitions=2).collect()
+    slim = spark.read.parquet(out2)
+    assert sorted(slim.columns) == ["lang", "url"]
+    assert slim.count() == 2000
+
+    # zone-map pruning on warc_ts epoch-us: impossible range -> 0 rows
+    out3 = str(tmp_path / "decoded3")
+    s = engine.decode_parquet_to_dir(
+        spark, enc_path, out3,
+        prune_ranges=[("warc_ts", 2**62, None)],
+        num_partitions=2).collect()
+    assert sum(r.n_rows for r in s) == 0
