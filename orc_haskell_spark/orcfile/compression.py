@@ -167,3 +167,28 @@ def compress_stream(data: bytes, kind: str, block_size: int = 256 * 1024,
             h = (len(chunk) << 1) | 1
             out += h.to_bytes(HEADER_LEN, "little") + chunk
     return bytes(out)
+
+
+def compress_stream_offsets(data: bytes, kind: str,
+                            block_size: int = 256 * 1024,
+                            level: int | None = None
+                            ) -> tuple[bytes, list[int]]:
+    """compress_stream plus the COMPRESSED start offset of every raw
+    block — the mapping ROW_INDEX positions need: a raw offset b lives
+    in chunk b // block_size at in-chunk offset b % block_size, and the
+    chunk begins at offsets[b // block_size] in the compressed stream."""
+    if kind == "NONE":
+        return data, []
+    out = bytearray()
+    offsets = []
+    for start in range(0, len(data), block_size):
+        offsets.append(len(out))
+        chunk = data[start:start + block_size]
+        comp = compress_chunk(chunk, kind, level)
+        if len(comp) < len(chunk):
+            h = (len(comp) << 1)
+            out += h.to_bytes(HEADER_LEN, "little") + comp
+        else:
+            h = (len(chunk) << 1) | 1
+            out += h.to_bytes(HEADER_LEN, "little") + chunk
+    return bytes(out), offsets

@@ -110,6 +110,13 @@ SCHEMAS: dict[str, dict[int, tuple[str, str]]] = {
         4: ("stringStatistics", "msg:StringStatistics"),
         10: ("hasNull", "uint"),
     },
+    "RowIndex": {
+        1: ("entry", "msg:RowIndexEntry*"),
+    },
+    "RowIndexEntry": {
+        1: ("positions", "uint*"),
+        2: ("statistics", "msg:ColumnStatistics"),
+    },
     "IntegerStatistics": {
         1: ("minimum", "sint"),
         2: ("maximum", "sint"),

@@ -120,24 +120,35 @@ def _int_rle(buf: bytes, enc: str, signed: bool) -> np.ndarray:
     return rle1.decode(arr, signed)
 
 
-def _present_mask(streams: dict, n: int) -> np.ndarray | None:
-    """Validity (True = non-null) for n values, or None if no PRESENT."""
+def _present_mask(streams: dict, n: int, bit_skip: int = 0
+                  ) -> np.ndarray | None:
+    """Validity (True = non-null) for n values, or None if no PRESENT.
+    ``bit_skip`` drops leading bits (row-group seek: the positioned
+    byte-RLE suffix starts mid-run / mid-byte)."""
     buf = streams.get("PRESENT")
     if buf is None:
         return None
     bytes_ = byte_rle.decode(np.frombuffer(buf, dtype=np.uint8))
-    return bitpack.unpack_bools(bytes_, n)
+    bits = bitpack.unpack_bools(bytes_, bit_skip + n)
+    return bits[bit_skip:]
 
 
 class _StripeReader:
     def __init__(self, types: list[dict], encodings: list[dict],
                  streams: dict[tuple[int, str], bytes], n_rows: int,
-                 tz: str):
+                 tz: str, skips: dict | None = None):
         self.types = types
         self.encodings = encodings
         self.streams = streams
         self.n_rows = n_rows
         self.tz = tz
+        # (col, stream_kind) -> leading values (bits for PRESENT/BOOLEAN
+        # data) to drop; set by the row-group seek path where streams
+        # are positioned suffixes whose first run predates the boundary
+        self.skips = skips or {}
+
+    def _sk(self, col: int, kind: str) -> int:
+        return self.skips.get((col, kind), 0)
 
     def column(self, col: int, n: int) -> pa.Array:
         """Decode column `col` producing n entries (parent-present)."""
@@ -145,7 +156,7 @@ class _StripeReader:
         kind = proto.KIND_NAME[t.get("kind", 0)]
         enc = proto.ENCODING_NAME[self.encodings[col].get("kind", 0)]
         st = {k: v for (c, k), v in self.streams.items() if c == col}
-        valid = _present_mask(st, n)
+        valid = _present_mask(st, n, self._sk(col, "PRESENT"))
         m = n if valid is None else int(valid.sum())
         null_mask = None if valid is None else ~valid
 
@@ -236,22 +247,27 @@ class _StripeReader:
 
         if kind == "BOOLEAN":
             bytes_ = byte_rle.decode(np.frombuffer(st["DATA"], np.uint8))
-            vals = bitpack.unpack_bools(bytes_, m)
+            bsk = self._sk(col, "DATA")
+            vals = bitpack.unpack_bools(bytes_, bsk + m)[bsk:]
             return pa.array(expand(vals, False),
                             type=pa.bool_(), mask=null_mask)
 
         if kind == "BYTE":
-            vals = byte_rle.decode(np.frombuffer(st["DATA"], np.uint8))[:m]
+            sk = self._sk(col, "DATA")
+            vals = byte_rle.decode(
+                np.frombuffer(st["DATA"], np.uint8))[sk:sk + m]
             return pa.array(expand(vals.view(np.int8)), type=pa.int8(),
                             mask=null_mask)
 
         if kind in ("SHORT", "INT", "LONG"):
-            vals = _int_rle(st["DATA"], enc, signed=True)[:m]
+            sk = self._sk(col, "DATA")
+            vals = _int_rle(st["DATA"], enc, signed=True)[sk:sk + m]
             return pa.array(expand(vals), type=pa.int64(),
                             mask=null_mask).cast(typ)
 
         if kind == "DATE":
-            vals = _int_rle(st["DATA"], enc, signed=True)[:m]
+            sk = self._sk(col, "DATA")
+            vals = _int_rle(st["DATA"], enc, signed=True)[sk:sk + m]
             return pa.array(expand(vals.astype(np.int32)),
                             type=pa.date32(), mask=null_mask)
 
@@ -261,9 +277,11 @@ class _StripeReader:
             return pa.array(expand(vals), type=typ, mask=null_mask)
 
         if kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
-            secs = _int_rle(st["DATA"], enc, signed=True)[:m]
+            sk = self._sk(col, "DATA")
+            ssk = self._sk(col, "SECONDARY")
+            secs = _int_rle(st["DATA"], enc, signed=True)[sk:sk + m]
             nanos = _decode_nanos_signed(
-                _int_rle(st["SECONDARY"], enc, signed=False)[:m])
+                _int_rle(st["SECONDARY"], enc, signed=False)[ssk:ssk + m])
             if kind == "TIMESTAMP" and self.tz not in ("UTC", "GMT", "") \
                     and m:
                 # non-UTC writer: values are relative to 2015-01-01
@@ -286,14 +304,16 @@ class _StripeReader:
         if kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
             base = pa.binary() if kind == "BINARY" else pa.string()
             if enc in ("DICTIONARY", "DICTIONARY_V2"):
-                idx = _int_rle(st["DATA"], enc, signed=False)[:m]
+                sk = self._sk(col, "DATA")
+                idx = _int_rle(st["DATA"], enc, signed=False)[sk:sk + m]
                 dlen = _int_rle(st["LENGTH"], enc, signed=False)
                 ddata = np.frombuffer(st.get("DICTIONARY_DATA", b""),
                                       np.uint8)
                 vals = dictionary_decode(idx.astype(np.int64), dlen, ddata,
                                          base)
             else:
-                lens = _int_rle(st["LENGTH"], enc, signed=False)[:m]
+                lsk = self._sk(col, "LENGTH")
+                lens = _int_rle(st["LENGTH"], enc, signed=False)[lsk:lsk + m]
                 data = np.frombuffer(st["DATA"], np.uint8)
                 vals = build_string_array(data, lens, base)
             if valid is not None:
@@ -305,7 +325,8 @@ class _StripeReader:
             scale = t.get("scale", 0)
             # SECONDARY carries per-value scales; with a fixed column
             # scale they all equal t.scale, but honor them anyway
-            scales = _int_rle(st["SECONDARY"], enc, signed=True)[:m]
+            ssk = self._sk(col, "SECONDARY")
+            scales = _int_rle(st["SECONDARY"], enc, signed=True)[ssk:ssk + m]
             vals = _decode_decimal_fast(
                 st["DATA"], m, scales, scale, t.get("precision", 38), typ)
             if vals is None:  # >64-bit mantissas or scale-down rounding
@@ -581,6 +602,113 @@ def read_stripe_tables(data: bytes, info: dict, footer: dict,
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
+_PRIMITIVE_KINDS = ("BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT",
+                    "DOUBLE", "STRING", "VARCHAR", "CHAR", "BINARY",
+                    "TIMESTAMP", "TIMESTAMP_INSTANT", "DATE", "DECIMAL")
+
+
+def _stream_spans(sfoot: dict) -> dict[tuple[int, str], tuple[int, int]]:
+    """(col, kind) -> (start, length) byte spans inside the stripe,
+    walked from the start of the stream list (ROW_INDEX included)."""
+    spans = {}
+    pos = 0
+    for s in sfoot.get("streams", []):
+        kind = proto.STREAM_KIND_NAME[s.get("kind", 0)]
+        col = s.get("column", 0)
+        ln = s.get("length", 0)
+        spans[(col, kind)] = (pos, ln)
+        pos += ln
+    return spans
+
+
+def _positioned(data: bytes, span: tuple[int, int], comp: str,
+                spos: tuple) -> bytes:
+    """Suffix of a stream from a recorded position: with compression,
+    (compressed chunk offset, offset in decompressed chunk); without,
+    (byte offset,). Decompresses only from the positioned chunk on —
+    the prefix is never inflated."""
+    start, ln = span
+    raw = data[start:start + ln]
+    if comp == "NONE":
+        return raw[spos[0]:]
+    return decompress_stream(raw[spos[0]:], comp)[spos[1]:]
+
+
+def _seek_streams(data: bytes, comp: str, spans: dict, col: int,
+                  kind: str, enc: str, positions: list[int]
+                  ) -> tuple[dict, dict]:
+    """Positioned (streams, skips) for one FLAT column at one row-group
+    boundary. Positions are consumed in the C++ readers' order —
+    PRESENT first, then DATA, then LENGTH/SECONDARY — with per-stream
+    shapes: [chunk, offset] (or [offset] uncompressed) for the raw
+    stream cursor; +[values] for RLE byte/int skips; +[bits] after the
+    byte skip for bit-packed booleans (PRESENT and BOOLEAN data).
+    (Semantics derived from the ORC spec's index section; validated
+    against C++-written files in tests/test_orcfile.py.)"""
+    it = iter(positions)
+
+    def spos():
+        if comp != "NONE":
+            return (next(it), next(it))
+        return (next(it),)
+
+    streams: dict = {}
+    skips: dict = {}
+
+    def cut(skind: str, p) -> None:
+        streams[(col, skind)] = _positioned(data, spans[(col, skind)],
+                                            comp, p)
+
+    if (col, "PRESENT") in spans:
+        p = spos()
+        byte_sk = next(it)
+        bit_sk = next(it)
+        cut("PRESENT", p)
+        skips[(col, "PRESENT")] = byte_sk * 8 + bit_sk
+    if kind == "BOOLEAN":
+        p = spos()
+        skips[(col, "DATA")] = next(it) * 8 + next(it)
+        cut("DATA", p)
+    elif kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
+        p = spos()
+        skips[(col, "DATA")] = next(it)
+        cut("DATA", p)
+    elif kind in ("FLOAT", "DOUBLE"):
+        cut("DATA", spos())
+    elif kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+        p = spos()
+        skips[(col, "DATA")] = next(it)
+        cut("DATA", p)
+        p2 = spos()
+        skips[(col, "SECONDARY")] = next(it)
+        cut("SECONDARY", p2)
+    elif kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
+        if enc in ("DICTIONARY", "DICTIONARY_V2"):
+            p = spos()
+            skips[(col, "DATA")] = next(it)
+            cut("DATA", p)
+            # dictionary streams are whole-stripe (not positioned)
+            for skind in ("LENGTH", "DICTIONARY_DATA"):
+                if (col, skind) in spans:
+                    s0, ln0 = spans[(col, skind)]
+                    streams[(col, skind)] = decompress_stream(
+                        data[s0:s0 + ln0], comp)
+        else:
+            cut("DATA", spos())  # blob cursor: exact byte offset
+            p = spos()
+            skips[(col, "LENGTH")] = next(it)
+            cut("LENGTH", p)
+    elif kind == "DECIMAL":
+        cut("DATA", spos())  # varint cursor: exact byte offset
+        p = spos()
+        skips[(col, "SECONDARY")] = next(it)
+        cut("SECONDARY", p)
+    else:
+        raise NotImplementedError(
+            f"row-group reads of {kind} columns are not supported")
+    return streams, skips
+
+
 class ORCFile:
     """Random-access ORC reader (file path or bytes).
 
@@ -675,6 +803,146 @@ class ORCFile:
         # pass the full stripe slice
         return read_stripe_tables(self._read_range(start, length), info,
                                   self.footer, self.compression, columns)
+
+    def _stripe_parts(self, i: int):
+        """(stripe bytes, StripeFooter dict, stream spans) for stripe i."""
+        info = self.stripes[i]
+        length = info.get("indexLength", 0) + info["dataLength"] \
+            + info["footerLength"]
+        data = self._read_range(info["offset"], length)
+        sfoot = proto.decode(
+            "StripeFooter",
+            decompress_stream(data[-info["footerLength"]:],
+                              self.compression))
+        return data, sfoot, _stream_spans(sfoot)
+
+    def read_row_index(self, i: int,
+                       columns: list[str] | None = None
+                       ) -> dict[int, list[dict]]:
+        """col_id -> RowIndexEntry list (positions + statistics, one
+        entry per rowIndexStride rows) for stripe ``i``. Requires the
+        writer to have emitted ROW_INDEX streams (rowIndexStride > 0)."""
+        if not self.footer.get("rowIndexStride"):
+            raise ValueError("file has no row index (rowIndexStride=0)")
+        data, sfoot, spans = self._stripe_parts(i)
+        root = self.footer["types"][0]
+        if columns is None:
+            wanted = None
+        else:
+            by_name = dict(zip(root.get("fieldNames", []),
+                               root.get("subtypes", [])))
+            wanted = set()
+            for c in columns:
+                _subtree_cols(self.footer["types"], by_name[c], wanted)
+        out: dict[int, list[dict]] = {}
+        for (col, kind), (start, ln) in spans.items():
+            if kind != "ROW_INDEX" or (wanted is not None
+                                       and col not in wanted):
+                continue
+            ri = proto.decode("RowIndex", decompress_stream(
+                data[start:start + ln], self.compression))
+            out[col] = ri.get("entry", [])
+        return out
+
+    def prune_row_groups(self, i: int, column: str, lo=None, hi=None
+                         ) -> list[int]:
+        """Row-group ids (rowIndexStride granularity) of stripe ``i``
+        that may contain `column` values in [lo, hi], per the ROW_INDEX
+        entry statistics. Groups without usable stats are kept."""
+        stride = self.footer.get("rowIndexStride", 0)
+        info = self.stripes[i]
+        n_groups = -(-info["numberOfRows"] // stride) if stride else 1
+        root = self.footer["types"][0]
+        col_id = root["subtypes"][root["fieldNames"].index(column)]
+        entries = self.read_row_index(i, [column]).get(col_id, [])
+        if len(entries) < n_groups:
+            return list(range(n_groups))
+        keep = []
+        for g in range(n_groups):
+            st = entries[g].get("statistics", {})
+            s = st.get("intStatistics") or st.get("doubleStatistics") \
+                or st.get("stringStatistics") or {}
+            mn, mx = s.get("minimum"), s.get("maximum")
+            try:
+                if mn is None or mx is None or (
+                        (lo is None or mx >= lo)
+                        and (hi is None or mn <= hi)):
+                    keep.append(g)
+            except TypeError:
+                keep.append(g)
+        return keep
+
+    def read_stripe_row_groups(self, i: int, row_groups: list[int],
+                               columns: list[str] | None = None
+                               ) -> pa.RecordBatch:
+        """Decode ONLY the given row groups of stripe ``i`` — the
+        reference reader's row-level index seek (the part of S2 that
+        skips ROW_INDEX; here we use it): per-stream positions from the
+        RowIndexEntry place every cursor at the group boundary, the
+        compressed prefix is never inflated and the skipped rows are
+        never decoded. Flat (primitive) columns only."""
+        stride = self.footer.get("rowIndexStride", 0)
+        if not stride:
+            raise ValueError("file has no row index (rowIndexStride=0)")
+        info = self.stripes[i]
+        n_rows = info["numberOfRows"]
+        n_groups = -(-n_rows // stride)
+        if any(g < 0 or g >= n_groups for g in row_groups):
+            raise ValueError(f"row group out of range 0..{n_groups - 1}")
+        data, sfoot, spans = self._stripe_parts(i)
+        types = self.footer["types"]
+        root = types[0]
+        names = root.get("fieldNames", [])
+        subtypes = root.get("subtypes", [])
+        picked = (list(range(len(subtypes))) if columns is None
+                  else [names.index(c) for c in columns])
+        for pi in picked:
+            k = proto.KIND_NAME[types[subtypes[pi]].get("kind", 0)]
+            if k not in _PRIMITIVE_KINDS:
+                raise NotImplementedError(
+                    f"row-group reads of {k} columns are not supported")
+        index = {col: ents for col, ents in
+                 self.read_row_index(i, [names[pi] for pi in picked])
+                 .items()}
+        encodings = sfoot.get("columns", [])
+        tz = sfoot.get("writerTimezone", "")
+
+        # contiguous runs decode in one positioned pass each
+        runs = []
+        for g in sorted(set(row_groups)):
+            if runs and g == runs[-1][1]:
+                runs[-1][1] = g + 1
+            else:
+                runs.append([g, g + 1])
+
+        full = arrow_schema(self.footer)
+        schema = pa.schema([full.field(pi) for pi in picked])
+        batches = []
+        for g0, g1 in runs:
+            n = min(g1 * stride, n_rows) - g0 * stride
+            streams: dict = {}
+            skips: dict = {}
+            for pi in picked:
+                col = subtypes[pi]
+                kind = proto.KIND_NAME[types[col].get("kind", 0)]
+                enc = proto.ENCODING_NAME[
+                    encodings[col].get("kind", 0)]
+                pos = index[col][g0].get("positions", [])
+                s, k = _seek_streams(data, self.compression, spans,
+                                     col, kind, enc, pos)
+                streams.update(s)
+                skips.update(k)
+            rd = _StripeReader(types, encodings, streams, n, tz, skips)
+            arrays = [rd.column(subtypes[pi], n) for pi in picked]
+            arrays = [a.cast(f.type) if a.type != f.type else a
+                      for a, f in zip(arrays, schema)]
+            batches.append(
+                pa.RecordBatch.from_arrays(arrays, schema=schema))
+        if not batches:
+            return schema.empty_table().to_batches()[0] \
+                if schema.names else pa.RecordBatch.from_arrays([], [])
+        return pa.Table.from_batches(batches).combine_chunks() \
+            .to_batches()[0]
 
     def read(self, columns: list[str] | None = None) -> pa.Table:
         if not self.stripes:

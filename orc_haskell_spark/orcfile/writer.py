@@ -322,6 +322,125 @@ class _ColumnWriter:
         raise NotImplementedError(f"ORC writer kind {kind}")
 
 
+_INDEXABLE_KINDS = ("BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT",
+                    "DOUBLE", "STRING", "BINARY", "TIMESTAMP",
+                    "TIMESTAMP_INSTANT", "DATE", "DECIMAL")
+
+
+def _indexed_column(types: list[dict], col: int, arr, stride: int,
+                    dict_ratio: float):
+    """Encode one primitive top-level column with per-row-group
+    RESTARTS: every stream starts a fresh run at each stride boundary,
+    so every ROW_INDEX position has zero run-carry skips (spec-valid —
+    an RLE stream is just a run sequence — at ~2 bytes/group/stream
+    ratio cost). stride must be a multiple of 8 so PRESENT/BOOLEAN bits
+    stay byte-aligned at boundaries.
+
+    Returns (streams {kind: bytes}, encoding, column stats,
+    entries [{"offsets": {kind: raw_offset}, "stats": ...}] per group).
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    kind = proto.KIND_NAME[types[col].get("kind", 0)]
+    n = len(arr)
+    starts = list(range(0, n, stride))
+    has_nulls = arr.null_count > 0
+    bufs: dict[str, bytearray] = {}
+    entries: list[dict] = [{"offsets": {}, "stats": None} for _ in starts]
+
+    def put(stream_kind: str, g: int, data: bytes) -> None:
+        buf = bufs.setdefault(stream_kind, bytearray())
+        entries[g]["offsets"][stream_kind] = len(buf)
+        buf += data
+
+    if has_nulls:
+        valid = np.asarray(arr.is_valid())
+        for g, s in enumerate(starts):
+            bits = valid[s:s + stride]
+            put("PRESENT", g,
+                byte_rle.encode(np.frombuffer(pack_bools(bits), np.uint8)))
+
+    dict_mode = False
+    dense = None
+    if kind == "STRING":
+        dense = arr.drop_null() if has_nulls else arr
+        if dense.type != pa.string():
+            dense = dense.cast(pa.string())
+        nu = pc.count_distinct(dense).as_py() if len(dense) else 0
+        dict_mode = len(dense) > 0 and nu / len(dense) <= dict_ratio
+    if dict_mode:
+        idx, dlens, ddata = dictionary_encode_sorted(dense)
+        encoding = {"kind": proto.ENCODING["DICTIONARY_V2"],
+                    "dictionarySize": len(dlens)}
+        if has_nulls:
+            counts = [int(valid[s:s + stride].sum()) for s in starts]
+        else:
+            counts = [min(stride, n - s) for s in starts]
+        lo = 0
+        for g, c in enumerate(counts):
+            put("DATA", g, rle2.encode(idx[lo:lo + c].astype(np.int64),
+                                       False))
+            lo += c
+        # dictionary streams are whole-stripe: never positioned
+        bufs["DICTIONARY_DATA"] = bytearray(ddata.tobytes())
+        bufs["LENGTH"] = bytearray(rle2.encode(dlens.astype(np.int64),
+                                               False))
+    else:
+        encoding = None
+        for g, s in enumerate(starts):
+            group = arr.slice(s, stride)
+            sub = _ColumnWriter(types, dict_ratio=-1.0)  # force DIRECT
+            sub.write(col, group.drop_null() if group.null_count
+                      else group)
+            encoding = sub.encodings[col]
+            for _, k2, raw in sub.streams:
+                if k2 == "PRESENT":
+                    continue  # handled above with original validity
+                put(k2, g, raw)
+    for g, s in enumerate(starts):
+        entries[g]["stats"] = _col_stats(arr.slice(s, stride), arr.type)
+    return ({k: bytes(v) for k, v in bufs.items()}, encoding,
+            _col_stats(arr, arr.type), entries)
+
+
+def _entry_positions(kind: str, enc_kind: int, has_present: bool,
+                     offsets: dict, posmap) -> list[int]:
+    """RowIndexEntry.positions in the exact order C++ readers consume
+    them (mirrors reader._seek_streams): PRESENT, DATA, then LENGTH /
+    SECONDARY; RLE streams append a zero value-skip, bit-packed streams
+    a zero byte-skip + zero bit-skip (restart boundaries carry none)."""
+    out: list[int] = []
+
+    def add(stream_kind: str, skips: list[int]) -> None:
+        out.extend(posmap(stream_kind, offsets.get(stream_kind, 0)))
+        out.extend(skips)
+
+    if has_present:
+        add("PRESENT", [0, 0])
+    if kind == "BOOLEAN":
+        add("DATA", [0, 0])
+    elif kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
+        add("DATA", [0])
+    elif kind in ("FLOAT", "DOUBLE"):
+        add("DATA", [])
+    elif kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+        add("DATA", [0])
+        add("SECONDARY", [0])
+    elif kind in ("STRING", "BINARY"):
+        if enc_kind in (proto.ENCODING["DICTIONARY"],
+                        proto.ENCODING["DICTIONARY_V2"]):
+            add("DATA", [0])
+        else:
+            add("DATA", [])
+            add("LENGTH", [0])
+    elif kind == "DECIMAL":
+        add("DATA", [])
+        add("SECONDARY", [0])
+    return out
+
+
 def _col_stats(arr: pa.Array, col_type: pa.DataType) -> dict:
     """Min/max ColumnStatistics for scalar columns (enables stripe
     pruning in readers); counts only for nested types."""
@@ -436,7 +555,8 @@ def write_orc(data, where, compression: str = "ZLIB",
               block_size: int = 256 * 1024,
               dict_ratio: float = 0.5,
               stripe_bytes: int = 64 << 20,
-              schema: pa.Schema | None = None) -> dict:
+              schema: pa.Schema | None = None,
+              row_index_stride: int = 10000) -> dict:
     """Write a Table / RecordBatch / ITERATOR of RecordBatches as a real
     ORC file. Returns a summary dict {stripes, bytes, rows}.
 
@@ -478,6 +598,17 @@ def write_orc(data, where, compression: str = "ZLIB",
     _build_types(schema, types)
     n_cols = len(types)
 
+    # ROW_INDEX needs positional seek semantics per stream; emitted for
+    # all-primitive schemas (the 100 TB pages shape). Nested columns
+    # fall back to stride 0 — an unindexed file, exactly what we wrote
+    # before. stride must be a multiple of 8 (bit-packed streams
+    # restart byte-aligned at group boundaries).
+    if row_index_stride % 8:
+        raise ValueError("row_index_stride must be a multiple of 8")
+    indexed = bool(row_index_stride) and all(
+        proto.KIND_NAME[types[sub].get("kind", 0)] in _INDEXABLE_KINDS
+        for sub in types[0].get("subtypes", []))
+
     out = open(where, "wb") if isinstance(where, str) else where
     pos = 0
 
@@ -497,17 +628,90 @@ def write_orc(data, where, compression: str = "ZLIB",
                 continue
             cw = _ColumnWriter(types, dict_ratio)
             cw.encodings[0] = {"kind": proto.ENCODING["DIRECT"]}
-            for i, sub in enumerate(types[0].get("subtypes", [])):
-                cw.write(sub, chunk.column(i))
+            col_entries: dict[int, list[dict]] = {}
+            if indexed:
+                for i, sub in enumerate(types[0].get("subtypes", [])):
+                    streams, enc, stats, entries = _indexed_column(
+                        types, sub, chunk.column(i), row_index_stride,
+                        dict_ratio)
+                    for skind in ("PRESENT", "DATA", "LENGTH",
+                                  "DICTIONARY_DATA", "SECONDARY"):
+                        if skind in streams:
+                            cw._put(sub, skind, streams[skind])
+                    cw.encodings[sub] = enc
+                    cw.stats[sub] = stats
+                    col_entries[sub] = entries
+            else:
+                for i, sub in enumerate(types[0].get("subtypes", [])):
+                    cw.write(sub, chunk.column(i))
 
             offset = pos
             stream_protos = []
-            for col, kind, raw in cw.streams:
-                comp = compress_stream(raw, compression, block_size)
-                stream_protos.append({"kind": proto.STREAM_KIND[kind],
-                                      "column": col, "length": len(comp)})
-                w(comp)
-            data_len = pos - offset
+            index_len = 0
+            if indexed:
+                from .compression import compress_stream_offsets
+
+                comp_streams = []
+                chunkmaps: dict[tuple[int, str], list[int]] = {}
+                for col, kind, raw in cw.streams:
+                    comp, offs = compress_stream_offsets(
+                        raw, compression, block_size)
+                    comp_streams.append((col, kind, comp))
+                    chunkmaps[(col, kind)] = offs
+
+                n_groups = len(range(0, chunk.num_rows, row_index_stride))
+
+                def mk_posmap(col: int):
+                    def posmap(skind: str, b: int) -> tuple:
+                        if compression == "NONE":
+                            return (b,)
+                        offs = chunkmaps.get((col, skind)) or [0]
+                        ci = min(b // block_size, len(offs) - 1)
+                        return (offs[ci], b - ci * block_size)
+                    return posmap
+
+                # index streams first (they ARE the index region)
+                for sub in [0] + list(types[0].get("subtypes", [])):
+                    if sub == 0:
+                        ents = [{"positions": [],
+                                 "statistics": {
+                                     "numberOfValues": min(
+                                         row_index_stride,
+                                         chunk.num_rows
+                                         - g * row_index_stride),
+                                     "hasNull": 0}}
+                                for g in range(n_groups)]
+                    else:
+                        kind = proto.KIND_NAME[types[sub].get("kind", 0)]
+                        enck = cw.encodings[sub].get("kind", 0)
+                        has_p = any(c == sub and k == "PRESENT"
+                                    for c, k, _ in cw.streams)
+                        ents = [{"positions": _entry_positions(
+                                     kind, enck, has_p,
+                                     e["offsets"], mk_posmap(sub)),
+                                 "statistics": e["stats"]}
+                                for e in col_entries[sub]]
+                    ri = compress_stream(
+                        proto.encode("RowIndex", {"entry": ents}),
+                        compression, block_size)
+                    stream_protos.append(
+                        {"kind": proto.STREAM_KIND["ROW_INDEX"],
+                         "column": sub, "length": len(ri)})
+                    w(ri)
+                index_len = pos - offset
+                for col, kind, comp in comp_streams:
+                    stream_protos.append(
+                        {"kind": proto.STREAM_KIND[kind],
+                         "column": col, "length": len(comp)})
+                    w(comp)
+            else:
+                for col, kind, raw in cw.streams:
+                    comp = compress_stream(raw, compression, block_size)
+                    stream_protos.append(
+                        {"kind": proto.STREAM_KIND[kind],
+                         "column": col, "length": len(comp)})
+                    w(comp)
+            data_len = pos - offset - index_len
             sfoot = proto.encode("StripeFooter", {
                 "streams": stream_protos,
                 "columns": [cw.encodings.get(c, {"kind": 0})
@@ -517,7 +721,8 @@ def write_orc(data, where, compression: str = "ZLIB",
             sfoot_c = compress_stream(sfoot, compression, block_size)
             w(sfoot_c)
             stripe_infos.append({
-                "offset": offset, "indexLength": 0, "dataLength": data_len,
+                "offset": offset, "indexLength": index_len,
+                "dataLength": data_len,
                 "footerLength": len(sfoot_c),
                 "numberOfRows": chunk.num_rows,
             })
@@ -547,7 +752,7 @@ def write_orc(data, where, compression: str = "ZLIB",
             "types": types,
             "numberOfRows": total_rows,
             "statistics": stats,
-            "rowIndexStride": 0,
+            "rowIndexStride": row_index_stride if indexed else 0,
             "writer": 1,
         })
         footer_c = compress_stream(footer, compression, block_size)

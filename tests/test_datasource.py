@@ -93,3 +93,46 @@ def test_datasource_write_read_roundtrip(spark, tmp_path):
     df.limit(10).repartition(1).write.mode("overwrite") \
         .format("orcfile").save(d)
     assert spark.read.format("orcfile").load(d).count() == 10
+
+
+def test_datasource_row_group_pruning_exact(spark, tmp_path):
+    """Within a kept stripe, pushed filters now eliminate 10k-row
+    groups via ROW_INDEX positional seek; results stay exactly equal to
+    the unpruned scan (Spark re-applies filters), and the unit-level
+    reader decodes fewer rows."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "orcrg")
+    os.makedirs(d)
+    t = pa.table({"k": pa.array(range(60000)),
+                  "v": pa.array([f"r{i}" for i in range(60000)])})
+    p = os.path.join(d, "part-0.orc")
+    write_orc(t, p, compression="ZSTD", stripe_rows=65536)  # one stripe
+
+    # unit level: one selective filter -> only the covering group decoded
+    r = OrcFileReader([p], None)
+    list(r.pushFilters([GreaterThanOrEqual(("k",), 25000),
+                        LessThanOrEqual(("k",), 26000)]))
+    parts = r.partitions()
+    assert len(parts) == 1
+    batches = list(r.read(parts[0]))
+    n_read = sum(b.num_rows for b in batches)
+    assert n_read == 10000  # group 2 only, not the 60k stripe
+    ks = [k for b in batches for k in b.column(0).to_pylist()]
+    assert min(ks) <= 25000 and max(ks) >= 26000
+
+    # end-to-end: results identical to the full scan
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcFileDataSource)
+    df = spark.read.format("orcfile").load(d)
+    got = df.filter((F.col("k") >= 25000) & (F.col("k") <= 26000)) \
+        .agg(F.count("*"), F.sum("k")).collect()[0]
+    assert got[0] == 1001
+    assert got[1] == sum(range(25000, 26001))
+
+    # impossible range: zero rows, no error
+    r2 = OrcFileReader([p], None)
+    list(r2.pushFilters([GreaterThanOrEqual(("k",), 10**9)]))
+    parts2 = r2.partitions()
+    got2 = sum(b.num_rows for p2 in parts2 for b in r2.read(p2))
+    assert got2 == 0

@@ -665,3 +665,166 @@ def test_huge_string_stats_omitted(tmp_path):
     small = cs[f.footer["types"][0]["subtypes"][names.index("small")]]
     assert "stringStatistics" not in big
     assert small["stringStatistics"] == {"minimum": "a", "maximum": "b"}
+
+
+@pytest.mark.parametrize("comp", ["ZSTD", "NONE"])
+def test_row_group_reads_match_cpp_slices(tmp_path, comp):
+    """ROW_INDEX positional seek: decoding only selected row groups of
+    C++-written files must equal the corresponding table slices, for
+    every primitive type, with and without nulls, both compressions.
+    Positions exercise mid-run RLE skips, bit-level PRESENT offsets and
+    chunk-boundary seeks."""
+    import datetime as dt
+    import decimal as d
+
+    n = 25000  # 3 row groups (stride 10000)
+    rng = np.random.default_rng(7)
+    ints = rng.integers(-10**12, 10**12, n)
+    vals = {
+        "i": pa.array(ints),
+        "i_null": pa.array([None if i % 7 == 0 else int(v)
+                            for i, v in enumerate(ints)], pa.int64()),
+        "f": pa.array(rng.random(n)),
+        "b": pa.array((ints % 3 == 0).tolist()),
+        "s": pa.array([f"val-{i % 997}-{'x' * (i % 13)}"
+                       for i in range(n)]),
+        "s_null": pa.array([None if i % 11 == 3 else f"s{i}"
+                            for i in range(n)]),
+        "bin": pa.array([bytes([i % 251, (i * 7) % 256])
+                         for i in range(n)], pa.binary()),
+        "ts": pa.array([dt.datetime(2020, 1, 1)
+                        + dt.timedelta(seconds=int(s), microseconds=int(u))
+                        for s, u in zip(rng.integers(0, 10**8, n),
+                                        rng.integers(0, 10**6, n))],
+                       pa.timestamp("us")),
+        "dte": pa.array([dt.date(2000, 1, 1) + dt.timedelta(days=int(v))
+                         for v in rng.integers(0, 9000, n)]),
+        "dec": pa.array([d.Decimal(int(v)).scaleb(-2)
+                         for v in rng.integers(-10**6, 10**6, n)],
+                        pa.decimal128(12, 2)),
+        "tiny": pa.array(rng.integers(-128, 128, n), pa.int8()),
+    }
+    t = pa.table(vals)
+    p = str(tmp_path / "rg.orc")
+    import pyarrow.orc as paorc
+
+    paorc.write_table(t, p, compression=comp.lower()
+                      if comp != "NONE" else "uncompressed")
+    f = ORCFile(p)
+    stride = f.footer["rowIndexStride"]
+    assert stride == 10000
+    for sel in ([0], [1], [2], [1, 2], [0, 2]):
+        got = pa.Table.from_batches([f.read_stripe_row_groups(0, sel)])
+        exp = pa.concat_tables([t.slice(g * stride, stride)
+                                for g in sel])
+        for name in t.column_names:
+            a = got.column(name).combine_chunks()
+            b = exp.column(name).combine_chunks()
+            if a.type != b.type:
+                b = b.cast(a.type)
+            assert a.equals(b), (comp, sel, name)
+    # column projection composes with group selection
+    slim = f.read_stripe_row_groups(0, [2], columns=["s", "i_null"])
+    assert slim.schema.names == ["s", "i_null"]
+    assert pa.Table.from_batches([slim]).column("i_null").combine_chunks() \
+        .equals(t.slice(2 * stride, stride).column("i_null").combine_chunks())
+
+
+def test_prune_row_groups_statistics(tmp_path):
+    """Row-group elimination on ROW_INDEX entry statistics: a sorted
+    column prunes to exactly the covering groups; unknown stats keep."""
+    import pyarrow.orc as paorc
+
+    t = pa.table({"k": pa.array(range(30000)),
+                  "s": pa.array([f"r{i}" for i in range(30000)])})
+    p = str(tmp_path / "sorted.orc")
+    paorc.write_table(t, p, compression="zstd")
+    f = ORCFile(p)
+    assert f.prune_row_groups(0, "k", 12000, 13000) == [1]
+    assert f.prune_row_groups(0, "k", 5000, 25000) == [0, 1, 2]
+    assert f.prune_row_groups(0, "k", 10**9, None) == []
+    got = f.read_stripe_row_groups(0, f.prune_row_groups(0, "k", 12000, 13000))
+    ks = pa.Table.from_batches([got]).column("k").to_pylist()
+    assert min(ks) <= 12000 and max(ks) >= 13000
+
+
+def test_own_writer_row_index_roundtrip(tmp_path):
+    """Our writer's ROW_INDEX streams: per-group restarts give zero-skip
+    positions; our positional reader (itself validated bit-identical
+    against C++-written files above, so its position consumption
+    matches the C++ readers') must decode every group exactly, and the
+    C++ reader must still full-read the indexed file."""
+    import datetime as dt
+    import decimal as d
+
+    n = 25000
+    rng = np.random.default_rng(3)
+    ints = rng.integers(-10**9, 10**9, n)
+    t = pa.table({
+        "i": pa.array(ints),
+        "i_null": pa.array([None if i % 5 == 0 else int(v)
+                            for i, v in enumerate(ints)], pa.int64()),
+        "f": pa.array(rng.random(n)),
+        "b": pa.array((ints % 2 == 0).tolist()),
+        "s_dict": pa.array([f"k{i % 40}" for i in range(n)]),
+        "s_direct": pa.array([f"u{i}-{'y' * (i % 9)}" for i in range(n)]),
+        "bin": pa.array([bytes([i % 256])
+                         for i in range(n)], pa.binary()),
+        "ts": pa.array([dt.datetime(2021, 3, 1)
+                        + dt.timedelta(seconds=int(v))
+                        for v in rng.integers(0, 10**7, n)],
+                       pa.timestamp("us")),
+        "dte": pa.array([dt.date(2010, 1, 1) + dt.timedelta(days=int(v))
+                         for v in rng.integers(0, 5000, n)]),
+        "dec": pa.array([d.Decimal(int(v)).scaleb(-3)
+                         for v in rng.integers(-10**8, 10**8, n)],
+                        pa.decimal128(14, 3)),
+    })
+    for comp in ("ZSTD", "NONE", "ZLIB"):
+        p = str(tmp_path / f"own_{comp}.orc")
+        write_orc(t, p, compression=comp)
+        f = ORCFile(p)
+        stride = f.footer["rowIndexStride"]
+        assert stride == 10000
+        assert f.stripes[0]["indexLength"] > 0
+        for sel in ([0], [2], [1, 2]):
+            got = pa.Table.from_batches([f.read_stripe_row_groups(0, sel)])
+            exp = pa.concat_tables([t.slice(g * stride, stride)
+                                    for g in sel])
+            for name in t.column_names:
+                a = got.column(name).combine_chunks()
+                b = exp.column(name).combine_chunks()
+                if a.type != b.type:
+                    b = b.cast(a.type)
+                assert a.equals(b), (comp, sel, name)
+    # C++ cross-read of the indexed file (positions skipped, layout valid)
+    from pyarrow import orc as paorc
+
+    cpp = paorc.ORCFile(str(tmp_path / "own_ZSTD.orc")).read()
+    assert cpp.num_rows == n
+    assert cpp.column("s_dict").to_pylist() == t.column("s_dict").to_pylist()
+
+
+def test_own_writer_row_group_pruning_and_fallbacks(tmp_path):
+    """prune_row_groups works on our files; nested schemas fall back to
+    an unindexed file; stride must be byte-aligned."""
+    t = pa.table({"k": pa.array(range(30000))})
+    p = str(tmp_path / "s.orc")
+    write_orc(t, p, compression="ZSTD")
+    f = ORCFile(p)
+    assert f.prune_row_groups(0, "k", 15000, 15500) == [1]
+    got = f.read_stripe_row_groups(0, [1], columns=["k"])
+    assert got.column(0).to_pylist() == list(range(10000, 20000))
+
+    nested = pa.table({"l": pa.array([[1, 2], [3]] * 100)})
+    p2 = str(tmp_path / "n.orc")
+    write_orc(nested, p2, compression="ZSTD")
+    f2 = ORCFile(p2)
+    assert f2.footer.get("rowIndexStride", 0) == 0
+    assert f2.stripes[0].get("indexLength", 0) == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="row index"):
+        f2.read_stripe_row_groups(0, [0])
+    with _pt.raises(ValueError, match="multiple of 8"):
+        write_orc(t, str(tmp_path / "bad.orc"), row_index_stride=1234)
