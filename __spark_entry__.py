@@ -309,6 +309,38 @@ def _zonemap_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("l_orderkey").alias("max_ok")))
 
 
+def _orcfile_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group-granular reads through the orcfile DataSource: one big
+    stripe, a selective range filter — ROW_INDEX positional seek decodes
+    only the covering 10k-row groups (datasource._read_pruned), Spark
+    re-applies the filter exactly; oracle = the same WHERE in SQL."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq2
+
+    from orc_haskell_spark.orcfile.datasource import OrcFileDataSource
+    from orc_haskell_spark.orcfile.writer import write_orc
+
+    _ensure_worker_imports(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(OrcFileDataSource)
+    except Exception:
+        pass
+    d = tempfile.mkdtemp(prefix="orcrg_")
+    t = pq2.read_table(f"{sf_dir}/lineitem.parquet").sort_by("l_orderkey")
+    write_orc(t, os.path.join(d, "part-0.orc"), compression="ZSTD",
+              stripe_rows=1 << 20)  # single stripe: pruning is per-group
+    df = spark.read.format("orcfile").load(d)
+    return (df.filter(F.col("l_orderkey").between(4000, 4400))
+            .groupBy("l_linestatus")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
+                 F.min("l_orderkey").alias("min_ok"),
+                 F.max("l_orderkey").alias("max_ok")))
+
+
 def _orcfile_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned, column-projected distributed ORC scan: write
     lineitem sorted by l_orderkey (so stripe min/max are selective),
@@ -363,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zonemap_pruned_agg_lineitem"] = _zonemap_pruned_agg
     q["orcfile_pruned_scan_lineitem"] = _orcfile_pruned_scan
     q["orcfile_datasource_lineitem"] = _orcfile_datasource_scan
+    q["orcfile_rowgroup_scan_lineitem"] = _orcfile_rowgroup_scan
     q["orcfile_cpp_read_lineitem"] = _mk_orcfile_cpp_cross("lineitem")
     q["orcfile_cpp_read_documents"] = _mk_orcfile_cpp_cross("documents")
     q["decoded_agg_lineitem"] = _decoded_agg_lineitem
@@ -585,6 +618,12 @@ FROM sess GROUP BY user_id, sid"""
         "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok "
         "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 "
         "GROUP BY l_returnflag")
+    o["orcfile_rowgroup_scan_lineitem"] = (
+        "SELECT l_linestatus, COUNT(*) AS cnt, "
+        "ROUND(SUM(l_extendedprice), 1) AS sum_price, "
+        "MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok "
+        "FROM lineitem WHERE l_orderkey BETWEEN 4000 AND 4400 "
+        "GROUP BY l_linestatus")
     o["orcfile_datasource_lineitem"] = (
         "SELECT l_returnflag, count(*) AS cnt, "
         "round(sum(l_quantity), 2) AS sum_qty, "
