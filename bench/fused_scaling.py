@@ -91,13 +91,24 @@ def run_level(cpus: int, rows: int, reps: int, path: str) -> dict:
 
 def main():
     rows = int(os.environ.get("SCALE_ROWS", "200000"))
-    reps = int(os.environ.get("SCALE_REPS", "3"))
+    reps = int(os.environ.get("SCALE_REPS", "2"))
+    rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
     n_lo = int(os.environ.get("SCALE_N", "8"))
+    # INTERLEAVE the two levels (lo,hi,lo,hi,...): co-tenant load on
+    # this box drifts on minute scales, so back-to-back blocks bias
+    # whichever level runs in the quiet window; alternating spreads the
+    # drift over both and per-level best-of picks the cleanest sample
+    lo = hi = None
     with tempfile.TemporaryDirectory(prefix="fused_scale_") as tmp:
         path = os.path.join(tmp, "pages")
         _run(_GEN, [str(rows), path])
-        lo = run_level(n_lo, rows, reps, path)
-        hi = run_level(4 * n_lo, rows, reps, path)
+        for _ in range(rounds):
+            r_lo = run_level(n_lo, rows, reps, path)
+            r_hi = run_level(4 * n_lo, rows, reps, path)
+            if lo is None or r_lo["wall"] < lo["wall"]:
+                lo = r_lo
+            if hi is None or r_hi["wall"] < hi["wall"]:
+                hi = r_hi
     eff = hi["gbps"] / (4 * lo["gbps"])
     rec = {"kind": "fused", "lo": lo, "hi": hi, "eff": round(eff, 3)}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

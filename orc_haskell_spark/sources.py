@@ -166,8 +166,30 @@ def parquet_splits_df(spark: SparkSession, path: str,
 
     ``ranges`` prunes row groups on parquet column statistics before
     any data IO — the Python-scan analog of Catalyst filter pushdown.
+
+    ``path`` may also be a CATALOG TABLE NAME (e.g. an Iceberg table):
+    the file list then comes from the table's current snapshot via
+    Spark's inputFiles(), so the fused scan composes with catalog
+    tables without any engine change — the north rule's input shape.
     """
-    files = list_parquet_files(path)
+    if "/" not in path and "\\" not in path:
+        try:
+            files = sorted(f for f in spark.read.table(path).inputFiles()
+                           if f.endswith(".parquet"))
+        except Exception:
+            files = []
+        if files:
+            files = [f[len("file:"):] if f.startswith("file:") else f
+                     for f in files]
+        else:
+            try:
+                files = list_parquet_files(path)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"{path!r} is neither a catalog table with parquet "
+                    f"files nor a parquet path") from None
+    else:
+        files = list_parquet_files(path)
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
     n = num_partitions or spark.sparkContext.defaultParallelism * 2

@@ -90,3 +90,53 @@ def test_orphan_stripes_replaced_not_duplicated(spark, tmp_path):
     dec = engine.decode_table(enc.drop("part_id"), df.schema)
     assert dec.count() == 2000  # ...and replaced, not appended
     assert dec.exceptAll(df).count() == 0
+
+
+def test_sigkill_mid_fused_sink_then_resume(spark, tmp_path):
+    """SIGKILL the fused Python-side sink mid-flight: a killed run may
+    leave staging files and renamed-but-unledgered parts; the resume
+    must (a) see only manifested splits as done, (b) re-encode the
+    rest, and (c) read back exactly the source — orphans invisible."""
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "enc_fused")
+    gen.pages_df(spark, 6000, 6).write.parquet(src)
+
+    code = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from pyspark.sql import SparkSession
+        from orc_haskell_spark import manifest
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "2").getOrCreate())
+        print("READY", flush=True)
+        manifest.encode_parquet_to_dir(spark, {src!r}, {out!r},
+                                       stripe_rows=500, num_partitions=6,
+                                       source="kill-test")
+        print("DONE", flush=True)
+    """)
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                            text=True)
+    t0 = time.time()
+    while time.time() - t0 < 120:
+        line = proc.stdout.readline()
+        if "READY" in line:
+            break
+    time.sleep(7)  # mid-encode
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    r = manifest.encode_parquet_to_dir(spark, src, out, stripe_rows=500,
+                                       num_partitions=6,
+                                       source="kill-test")
+    assert r["splits_done_before"] + r["splits_encoded"] \
+        == r["splits_total"] > 0
+
+    src_df = spark.read.parquet(src)
+    dec = engine.decode_table(manifest.read_fused_encoded(spark, out),
+                              src_df.schema)
+    assert dec.count() == 6000
+    assert dec.exceptAll(src_df).count() == 0
+    assert src_df.exceptAll(dec).count() == 0

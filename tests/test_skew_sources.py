@@ -104,3 +104,27 @@ def test_salted_repartition_spreads_hot_encode_key(spark):
     dec = engine.decode_table(enc, docs.schema)
     assert dec.exceptAll(docs).count() == 0
     assert docs.exceptAll(dec).count() == 0
+
+
+def test_fused_scan_resolves_catalog_tables(spark, tmp_path):
+    """encode_parquet over a CATALOG TABLE name: the split planner pulls
+    the file list from the table's snapshot via inputFiles() (the
+    Iceberg-compatible path), so the fused scan needs no path."""
+    import pyarrow.parquet as pq
+
+    from orc_haskell_spark import engine
+
+    t = pq.read_table("/root/testdata/sf0.001/region.parquet")
+    p = str(tmp_path / "region_pq")
+    pq.write_table(t, p + ".parquet")
+    import os
+    os.makedirs(p, exist_ok=True)
+    pq.write_table(t, f"{p}/part-0.parquet")
+    spark.read.parquet(p).createOrReplaceTempView("region_fused_view")
+    enc = engine.encode_parquet(spark, "region_fused_view",
+                                num_partitions=2)
+    schema = spark.read.parquet(p).schema
+    dec = engine.decode_table(enc, schema)
+    assert dec.count() == t.num_rows
+    assert sorted(r.r_name for r in dec.collect()) == \
+        sorted(t.column("r_name").to_pylist())
