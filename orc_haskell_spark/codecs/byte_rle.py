@@ -20,7 +20,33 @@ MAX_LITERAL = 128
 
 
 def decode(buf: np.ndarray, n_hint: int | None = None) -> np.ndarray:
-    """Decode a byte-RLE stream (uint8 array) -> uint8 values array."""
+    """Decode a byte-RLE stream (uint8 array) -> uint8 values array.
+
+    C kernel when available (byte_rle_kernel.c; the per-run Python
+    loop below measures ~3 MB/s on realistic PRESENT streams), numpy
+    fallback as the semantics reference."""
+    from . import native
+
+    lib = native.load()
+    if lib is not None and buf.size:
+        import ctypes
+
+        cbuf = np.ascontiguousarray(buf, dtype=np.uint8)
+        n = lib.byte_rle_decode_size(native.ptr(cbuf, ctypes.c_uint8),
+                                     cbuf.size)
+        if n < 0:
+            raise ValueError("byte-RLE literal group truncated")
+        out = np.empty(n, dtype=np.uint8)
+        got = lib.byte_rle_decode(native.ptr(cbuf, ctypes.c_uint8),
+                                  cbuf.size,
+                                  native.ptr(out, ctypes.c_uint8), n)
+        if got != n:
+            raise ValueError("byte-RLE stream corrupt")
+        return out
+    return _decode_np(buf, n_hint)
+
+
+def _decode_np(buf: np.ndarray, n_hint: int | None = None) -> np.ndarray:
     pieces: list[np.ndarray] = []
     pos = 0
     size = buf.size
@@ -43,11 +69,27 @@ def decode(buf: np.ndarray, n_hint: int | None = None) -> np.ndarray:
 
 
 def encode(values: np.ndarray) -> bytes:
-    """Encode uint8 values -> byte-RLE stream."""
+    """Encode uint8 values -> byte-RLE stream (C kernel when
+    available, byte-identical to the numpy path below)."""
     a = np.ascontiguousarray(values, dtype=np.uint8)
     n = a.size
     if n == 0:
         return b""
+    from . import native
+
+    lib = native.load()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty(n + n // 128 + 4, dtype=np.uint8)
+        w = lib.byte_rle_encode(native.ptr(a, ctypes.c_uint8), n,
+                                native.ptr(out, ctypes.c_uint8))
+        return out[:w].tobytes()
+    return _encode_np(a)
+
+
+def _encode_np(a: np.ndarray) -> bytes:
+    n = a.size
     # maximal equal-value segments
     change = np.flatnonzero(a[1:] != a[:-1])
     seg_start = np.empty(change.size + 1, dtype=np.int64)

@@ -24,7 +24,7 @@ import sys
 import tempfile
 
 _SRC_NAMES = ["fsst_kernel.c", "bitpack_kernel.c", "rle2_kernel.c",
-              "rle2_encode_kernel.c", "rle1_kernel.c"]
+              "rle2_encode_kernel.c", "rle1_kernel.c", "byte_rle_kernel.c"]
 
 
 def _read_sources() -> list[bytes]:
@@ -139,6 +139,13 @@ def load() -> ctypes.CDLL | None:
         lib.rle1_decode.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_long]
+        lib.byte_rle_decode_size.restype = ctypes.c_long
+        lib.byte_rle_decode_size.argtypes = [u8p, ctypes.c_long]
+        lib.byte_rle_decode.restype = ctypes.c_long
+        lib.byte_rle_decode.argtypes = [u8p, ctypes.c_long, u8p,
+                                        ctypes.c_long]
+        lib.byte_rle_encode.restype = ctypes.c_long
+        lib.byte_rle_encode.argtypes = [u8p, ctypes.c_long, u8p]
         _lib = lib
     except Exception:
         _lib = None

@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from orc_haskell_spark.codecs import block, fsst
+from orc_haskell_spark.codecs import block, byte_rle, fsst
 from orc_haskell_spark.codecs.strings import (
     build_string_array,
     dictionary_decode,
@@ -205,3 +205,32 @@ def test_fsst_fallback_roundtrip_no_native(monkeypatch):
     back = fsst.decompress(np.frombuffer(t, np.uint8),
                            np.frombuffer(p, np.uint8))
     assert np.array_equal(back, data)
+
+
+def test_byte_rle_c_numpy_byte_identity():
+    """The C encoder must emit byte-identical streams to the numpy
+    encoder, and both decoders must agree, across run/literal regimes
+    (PRESENT-like, pure literals, long runs, segment-edge lengths)."""
+    from orc_haskell_spark.codecs import native
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(17)
+    cases = []
+    for n in (0, 1, 2, 3, 4, 127, 128, 129, 130, 131, 132, 133, 258, 1000):
+        cases.append(np.full(n, 9, np.uint8))
+        cases.append(rng.integers(0, 256, n).astype(np.uint8))
+    for _ in range(60):
+        n = int(rng.integers(0, 3000))
+        reps = rng.integers(1, 200, max(1, n // 30))
+        vals = rng.integers(0, 3, reps.size).astype(np.uint8)
+        cases.append(np.repeat(vals, reps)[:n])
+    for v in cases:
+        e_c = byte_rle.encode(v)
+        e_np = byte_rle._encode_np(np.ascontiguousarray(v, np.uint8)) \
+            if v.size else b""
+        assert e_c == e_np
+        arr = np.frombuffer(e_c, np.uint8)
+        assert np.array_equal(byte_rle.decode(arr), v)
+        assert np.array_equal(byte_rle._decode_np(arr), v)
