@@ -92,3 +92,22 @@ def test_decode_preserves_partition_count(spark):
     import re
     assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
     assert dec.rdd.getNumPartitions() == 5
+
+
+def test_fused_encode_single_stage_no_exchange(spark, tmp_path):
+    """Driver-planned fused encode: the whole scan+encode job is ONE
+    narrow stage — no Exchange anywhere in the plan (split metadata is
+    pre-partitioned via parallelize, payload never enters the JVM)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": list(range(20000)),
+                             "s": [f"v{i}" for i in range(20000)]}),
+                   p, row_group_size=5000)
+    enc = engine.encode_parquet(spark, p, num_partitions=4)
+    plan = _plan(enc)
+    assert "Exchange" not in plan
+    assert enc.rdd.getNumPartitions() == 4
+    # and the scan feeding it is split metadata only, not table rows
+    assert "Scan ExistingRDD" in plan or "ExistingRDD" in plan
