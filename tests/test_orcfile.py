@@ -703,6 +703,18 @@ def test_row_group_reads_match_cpp_slices(tmp_path, comp):
                          for v in rng.integers(-10**6, 10**6, n)],
                         pa.decimal128(12, 2)),
         "tiny": pa.array(rng.integers(-128, 128, n), pa.int8()),
+        "f_null": pa.array([None if i % 13 == 2 else float(v)
+                            for i, v in enumerate(rng.random(n))],
+                           pa.float64()),
+        "b_null": pa.array([None if i % 17 == 5 else bool(i % 2)
+                            for i in range(n)], pa.bool_()),
+        "ts_null": pa.array([None if i % 19 == 7 else
+                             dt.datetime(2019, 6, 1)
+                             + dt.timedelta(seconds=i * 37)
+                             for i in range(n)], pa.timestamp("us")),
+        "dec_null": pa.array([None if i % 23 == 11 else
+                              d.Decimal(i - 5000).scaleb(-2)
+                              for i in range(n)], pa.decimal128(12, 2)),
     }
     t = pa.table(vals)
     p = str(tmp_path / "rg.orc")
