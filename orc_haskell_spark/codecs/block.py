@@ -69,7 +69,8 @@ def _decompress_chunk(payload: bytes, raw_len: int, codec: str) -> bytes:
 
 
 def compress(data: bytes, codec: str, level: int | None = None) -> bytes:
-    """Compress a stream in ≤256 KiB chunks; store raw when not smaller."""
+    """Compress a stream in ≤CHUNK-byte (1 MiB) self-describing chunks;
+    store a chunk raw when compression doesn't shrink it."""
     if codec == "none":
         return data
     if codec not in AVAILABLE:

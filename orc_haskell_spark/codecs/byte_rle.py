@@ -19,12 +19,14 @@ MAX_REPEAT = 130  # header 127 + 3
 MAX_LITERAL = 128
 
 
-def decode(buf: np.ndarray, n_hint: int | None = None) -> np.ndarray:
+def decode(buf: np.ndarray, n_hint: int | None = None,
+           limit: int | None = None) -> np.ndarray:
     """Decode a byte-RLE stream (uint8 array) -> uint8 values array.
 
     C kernel when available (byte_rle_kernel.c; the per-run Python
     loop below measures ~3 MB/s on realistic PRESENT streams), numpy
-    fallback as the semantics reference."""
+    fallback as the semantics reference. ``limit`` stops decoding after
+    that many values (row-group reads never decode past their group)."""
     from . import native
 
     lib = native.load()
@@ -32,18 +34,22 @@ def decode(buf: np.ndarray, n_hint: int | None = None) -> np.ndarray:
         import ctypes
 
         cbuf = np.ascontiguousarray(buf, dtype=np.uint8)
-        n = lib.byte_rle_decode_size(native.ptr(cbuf, ctypes.c_uint8),
-                                     cbuf.size)
-        if n < 0:
-            raise ValueError("byte-RLE literal group truncated")
+        if limit is None:
+            n = lib.byte_rle_decode_size(
+                native.ptr(cbuf, ctypes.c_uint8), cbuf.size)
+            if n < 0:
+                raise ValueError("byte-RLE literal group truncated")
+        else:
+            n = limit
         out = np.empty(n, dtype=np.uint8)
         got = lib.byte_rle_decode(native.ptr(cbuf, ctypes.c_uint8),
                                   cbuf.size,
                                   native.ptr(out, ctypes.c_uint8), n)
-        if got != n:
+        if got < 0 or (limit is None and got != n):
             raise ValueError("byte-RLE stream corrupt")
-        return out
-    return _decode_np(buf, n_hint)
+        return out[:got]
+    out = _decode_np(buf, n_hint)
+    return out if limit is None else out[:limit]
 
 
 def _decode_np(buf: np.ndarray, n_hint: int | None = None) -> np.ndarray:

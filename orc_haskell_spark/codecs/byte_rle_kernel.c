@@ -7,8 +7,10 @@
  *
  * byte_rle_decode_size: first pass, returns the decoded length or -1
  * on a truncated stream (callers allocate exactly).
- * byte_rle_decode: fills out; returns values written, -1 truncated,
- * -2 capacity exceeded.
+ * byte_rle_decode: fills out; returns values written (stops cleanly
+ * at max_out — callers wanting the whole stream size it via
+ * byte_rle_decode_size; callers wanting a bounded prefix pass their
+ * limit), -1 on a truncated stream.
  * byte_rle_encode: returns bytes written; output is BYTE-IDENTICAL to
  * the numpy encoder (maximal equal segments; runs >= 3 values, max
  * 130 with no sub-minimum tail; literal groups of <= 128). Caller
@@ -48,19 +50,22 @@ long byte_rle_decode(const uint8_t *buf, long size, uint8_t *out,
             if (pos >= size)
                 return -1;
             if (w + run > max_out)
-                return -2;
+                run = max_out - w;
             memset(out + w, buf[pos++], (size_t)run);
             w += run;
         } else {
             long cnt = 256 - (long)h;
             if (pos + cnt > size)
                 return -1;
-            if (w + cnt > max_out)
-                return -2;
-            memcpy(out + w, buf + pos, (size_t)cnt);
+            long take = cnt;
+            if (w + take > max_out)
+                take = max_out - w;
+            memcpy(out + w, buf + pos, (size_t)take);
             pos += cnt;
-            w += cnt;
+            w += take;
         }
+        if (w == max_out)
+            return w;
     }
     return w;
 }

@@ -32,7 +32,8 @@ _U127 = np.uint64(127)
 _UNEG128 = np.uint64(0xFFFFFFFFFFFFFF80)  # -128 mod 2^64
 
 
-def decode(buf: np.ndarray, signed: bool) -> np.ndarray:
+def decode(buf: np.ndarray, signed: bool,
+           limit: int | None = None) -> np.ndarray:
     """Decode a full RLEv1 stream -> int64 (signed) or uint64 array.
 
     C kernel when available (rle1_kernel.c — the per-group Python loop
@@ -46,6 +47,19 @@ def decode(buf: np.ndarray, signed: bool) -> np.ndarray:
         import ctypes
 
         cbuf = np.ascontiguousarray(buf, dtype=np.uint8)
+        if limit is not None:
+            # bounded decode: the kernel stops cleanly when out fills,
+            # so a row-group read never decodes past its group
+            out = np.empty(limit, dtype=np.uint64)
+            n_out = lib.rle1_decode(
+                native.ptr(cbuf, ctypes.c_uint8), cbuf.size,
+                1 if signed else 0,
+                native.ptr(out, ctypes.c_uint64), limit)
+            if n_out < 0:
+                raise ValueError(
+                    "corrupt RLE1 stream (truncated)")
+            out = out[:n_out]
+            return out.view(np.int64) if signed else out
         cap = int(min(max(1024, cbuf.size * 8), 1 << 22))
         hard_cap = cbuf.size * 44 + 1024  # run = 130 values / 3 bytes
         while True:
@@ -62,7 +76,8 @@ def decode(buf: np.ndarray, signed: bool) -> np.ndarray:
             if cap >= hard_cap:
                 raise ValueError("RLEv1 stream expands beyond format bound")
             cap = int(min(cap * 8, hard_cap))
-    return _decode_np(buf, signed)
+    out = _decode_np(buf, signed)
+    return out if limit is None else out[:limit]
 
 
 def _decode_np(buf: np.ndarray, signed: bool) -> np.ndarray:

@@ -215,7 +215,11 @@ def _spark_safe_batch(b: pa.RecordBatch) -> pa.RecordBatch:
                                f.nullable) for f in b.schema])
     if safe == b.schema:
         return b
-    return pa.Table.from_batches([b]).cast(pa.schema(safe)) \
+    # safe=False: ns -> us TRUNCATES sub-microsecond digits, exactly
+    # what Spark's own parquet scan does with TIMESTAMP(NANOS) columns
+    # (Spark timestamps are microseconds); the default safe cast would
+    # instead crash the worker on any true-ns value
+    return pa.Table.from_batches([b]).cast(pa.schema(safe), safe=False) \
         .combine_chunks().to_batches()[0]
 
 
@@ -321,7 +325,6 @@ def _decode_sink_fn(out_path: str, columns, compression: str,
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import hashlib
-        import uuid
 
         import pyarrow.parquet as pq
 
@@ -336,10 +339,7 @@ def _decode_sink_fn(out_path: str, columns, compression: str,
             return
         key = hashlib.sha256(
             json.dumps(sorted(splits)).encode()).hexdigest()[:24]
-        fs, out_local = sources._resolve_fs(out_path)
-        fs.create_dir(out_local, recursive=True)
-        staging = f"{out_local.rstrip('/')}/.staging-{key}-{uuid.uuid4().hex[:8]}.parquet"
-        final = f"{out_local.rstrip('/')}/part-{key}.parquet"
+        fs, staging, final = sources.task_output(out_path, None, key)
 
         def keep(footer: dict) -> bool:
             st = footer.get("stats") or {}
@@ -381,21 +381,14 @@ def _decode_sink_fn(out_path: str, columns, compression: str,
             if writer is not None:
                 writer.close()
                 writer = None
-                try:
-                    fs.move(staging, final)
-                except OSError:
-                    fs.delete_file(final)
-                    fs.move(staging, final)
+                sources.commit_part(fs, staging, final)
                 out_bytes = fs.get_file_info(final).size
             else:
                 out_bytes = 0
         finally:
             if writer is not None:
                 writer.close()
-            try:
-                fs.delete_file(staging)
-            except Exception:
-                pass
+            sources.discard_part(fs, staging)
         yield pa.RecordBatch.from_arrays(
             [pa.array([key]), pa.array([n_stripes], pa.int64()),
              pa.array([n_rows], pa.int64()),
@@ -419,14 +412,46 @@ def decode_parquet_to_dir(spark, enc_path: str, out_path: str,
 
     ``columns`` projects at the byte level (only those streams are
     decompressed); ``prune_ranges`` skips stripes on footer zone maps
-    before any payload IO. Re-runs with the same input and parallelism
-    rewrite the same part names (idempotent export); changed inputs
-    need a fresh out_path.
+    before any payload IO. Re-runs with the same plan rewrite the same
+    part names (idempotent export); a re-run whose plan DIFFERS
+    (parallelism / columns / pruning / input) would add new part names
+    next to the old ones and duplicate rows, so a plan marker is
+    checked and mismatches raise — export to a fresh out_path instead.
     """
+    import hashlib
+
     from . import sources
 
     splits = sources.parquet_splits_df(spark, enc_path,
                                        num_partitions=num_partitions)
+    plan = {"enc_path": enc_path, "columns": columns,
+            "prune_ranges": [list(r) for r in prune_ranges or []],
+            "compression": compression,
+            "num_partitions": num_partitions}
+    plan_json = json.dumps(plan, sort_keys=True)
+    plan_key = hashlib.sha256(plan_json.encode()).hexdigest()[:16]
+    fs, out_local = sources._resolve_fs(out_path)
+    marker = f"{out_local.rstrip('/')}/_export_plan.json"
+    try:
+        import pyarrow.fs as pafs
+
+        if fs.get_file_info(marker).type != pafs.FileType.NotFound:
+            with fs.open_input_stream(marker) as f:
+                prev = json.loads(f.read().decode())
+            if prev.get("plan_key") != plan_key:
+                raise ValueError(
+                    f"{out_path!r} was exported with a different plan "
+                    f"({prev.get('plan')}); re-run with the same "
+                    f"settings or use a fresh out_path")
+        else:
+            fs.create_dir(out_local, recursive=True)
+            with fs.open_output_stream(marker) as f:
+                f.write(json.dumps(
+                    {"plan_key": plan_key, "plan": plan}).encode())
+    except ValueError:
+        raise
+    except Exception:
+        pass  # marker is best-effort on exotic filesystems
     return splits.mapInArrow(
         _decode_sink_fn(out_path, columns, compression, prune_ranges),
         DECODE_SUMMARY_DDL)

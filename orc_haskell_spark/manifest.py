@@ -198,7 +198,6 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
 
     def fn(batches):
         import hashlib
-        import uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -216,11 +215,7 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
             return
         key = hashlib.sha256(
             json.dumps(sorted(splits)).encode()).hexdigest()[:24]
-        fs, out_local = sources._resolve_fs(out_path)
-        stripes_dir = f"{out_local.rstrip('/')}/stripes"
-        fs.create_dir(stripes_dir, recursive=True)
-        staging = f"{stripes_dir}/.staging-{key}-{uuid.uuid4().hex[:8]}.parquet"
-        final = f"{stripes_dir}/part-{key}.parquet"
+        fs, staging, final = sources.task_output(out_path, "stripes", key)
 
         # stripe rows carry (task_key, file, rg) so readers can filter
         # at SPLIT granularity — the same unit resume uses. If a split's
@@ -273,18 +268,11 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
                     seq += 1
             writer.close()
             writer = None
-            try:
-                fs.move(staging, final)  # atomic replace on local fs
-            except OSError:
-                fs.delete_file(final)  # object stores: delete-then-move
-                fs.move(staging, final)
+            sources.commit_part(fs, staging, final)
         finally:
             if writer is not None:
                 writer.close()
-            try:
-                fs.delete_file(staging)
-            except Exception:
-                pass
+            sources.discard_part(fs, staging)
         if manifest_rows:
             yield pa.RecordBatch.from_arrays(
                 [pa.array([r[i] for r in manifest_rows], t)
@@ -324,10 +312,23 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
                                            num_partitions=num_partitions)
     all_splits.persist()
     splits = all_splits
+    cfg_hash = _config_hash(config, stripe_rows)
     try:
-        done_df = read_fused_manifest(spark, out_path) \
-            .select("file", "rg").distinct()
+        m = read_fused_manifest(spark, out_path)
+        # a resume must not silently mix layouts: stripes from an
+        # earlier run with a DIFFERENT config/stripe_rows are already
+        # ledgered, so re-encoding under the new config would leave
+        # both visible to readers. Refuse loudly instead.
+        other = m.filter(F.col("config_hash") != cfg_hash).count()
+        if other:
+            raise ValueError(
+                f"{out_path!r} holds {other} manifest rows encoded "
+                f"under a different config/stripe_rows; resume with "
+                f"the original settings or use a fresh out_path")
+        done_df = m.select("file", "rg").distinct()
         done_n = done_df.count()
+    except ValueError:
+        raise
     except Exception:
         done_df, done_n = None, 0
     total = splits.count()
@@ -338,7 +339,6 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
         _fused_sink_fn(out_path, stripe_rows, stripe_bytes, config,
                        batch_rows),
         FUSED_MANIFEST_DDL)
-    cfg_hash = _config_hash(config, stripe_rows)
     new_manifest = (mdf.withColumn("source", F.lit(source))
                     .withColumn("config_hash", F.lit(cfg_hash)))
     new_manifest.write.mode("append") \

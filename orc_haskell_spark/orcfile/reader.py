@@ -113,11 +113,12 @@ def arrow_schema(footer: dict) -> pa.Schema:
     return pa.schema(list(root))
 
 
-def _int_rle(buf: bytes, enc: str, signed: bool) -> np.ndarray:
+def _int_rle(buf: bytes, enc: str, signed: bool,
+             limit: int | None = None) -> np.ndarray:
     arr = np.frombuffer(buf, dtype=np.uint8)
     if enc in ("DIRECT_V2", "DICTIONARY_V2"):
-        return rle2.decode(arr, signed)
-    return rle1.decode(arr, signed)
+        return rle2.decode(arr, signed, limit)
+    return rle1.decode(arr, signed, limit)
 
 
 def _present_mask(streams: dict, n: int, bit_skip: int = 0
@@ -128,7 +129,8 @@ def _present_mask(streams: dict, n: int, bit_skip: int = 0
     buf = streams.get("PRESENT")
     if buf is None:
         return None
-    bytes_ = byte_rle.decode(np.frombuffer(buf, dtype=np.uint8))
+    bytes_ = byte_rle.decode(np.frombuffer(buf, dtype=np.uint8),
+                             limit=(bit_skip + n + 7) // 8)
     bits = bitpack.unpack_bools(bytes_, bit_skip + n)
     return bits[bit_skip:]
 
@@ -246,28 +248,29 @@ class _StripeReader:
                 pa.array(offsets.astype(np.int32)), keys, items)
 
         if kind == "BOOLEAN":
-            bytes_ = byte_rle.decode(np.frombuffer(st["DATA"], np.uint8))
             bsk = self._sk(col, "DATA")
+            bytes_ = byte_rle.decode(np.frombuffer(st["DATA"], np.uint8),
+                                     limit=(bsk + m + 7) // 8)
             vals = bitpack.unpack_bools(bytes_, bsk + m)[bsk:]
             return pa.array(expand(vals, False),
                             type=pa.bool_(), mask=null_mask)
 
         if kind == "BYTE":
             sk = self._sk(col, "DATA")
-            vals = byte_rle.decode(
-                np.frombuffer(st["DATA"], np.uint8))[sk:sk + m]
+            vals = byte_rle.decode(np.frombuffer(st["DATA"], np.uint8),
+                                   limit=sk + m)[sk:]
             return pa.array(expand(vals.view(np.int8)), type=pa.int8(),
                             mask=null_mask)
 
         if kind in ("SHORT", "INT", "LONG"):
             sk = self._sk(col, "DATA")
-            vals = _int_rle(st["DATA"], enc, signed=True)[sk:sk + m]
+            vals = _int_rle(st["DATA"], enc, True, sk + m)[sk:]
             return pa.array(expand(vals), type=pa.int64(),
                             mask=null_mask).cast(typ)
 
         if kind == "DATE":
             sk = self._sk(col, "DATA")
-            vals = _int_rle(st["DATA"], enc, signed=True)[sk:sk + m]
+            vals = _int_rle(st["DATA"], enc, True, sk + m)[sk:]
             return pa.array(expand(vals.astype(np.int32)),
                             type=pa.date32(), mask=null_mask)
 
@@ -279,9 +282,9 @@ class _StripeReader:
         if kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
             sk = self._sk(col, "DATA")
             ssk = self._sk(col, "SECONDARY")
-            secs = _int_rle(st["DATA"], enc, signed=True)[sk:sk + m]
+            secs = _int_rle(st["DATA"], enc, True, sk + m)[sk:]
             nanos = _decode_nanos_signed(
-                _int_rle(st["SECONDARY"], enc, signed=False)[ssk:ssk + m])
+                _int_rle(st["SECONDARY"], enc, False, ssk + m)[ssk:])
             if kind == "TIMESTAMP" and self.tz not in ("UTC", "GMT", "") \
                     and m:
                 # non-UTC writer: values are relative to 2015-01-01
@@ -305,7 +308,7 @@ class _StripeReader:
             base = pa.binary() if kind == "BINARY" else pa.string()
             if enc in ("DICTIONARY", "DICTIONARY_V2"):
                 sk = self._sk(col, "DATA")
-                idx = _int_rle(st["DATA"], enc, signed=False)[sk:sk + m]
+                idx = _int_rle(st["DATA"], enc, False, sk + m)[sk:]
                 dlen = _int_rle(st["LENGTH"], enc, signed=False)
                 ddata = np.frombuffer(st.get("DICTIONARY_DATA", b""),
                                       np.uint8)
@@ -313,7 +316,7 @@ class _StripeReader:
                                          base)
             else:
                 lsk = self._sk(col, "LENGTH")
-                lens = _int_rle(st["LENGTH"], enc, signed=False)[lsk:lsk + m]
+                lens = _int_rle(st["LENGTH"], enc, False, lsk + m)[lsk:]
                 data = np.frombuffer(st["DATA"], np.uint8)
                 vals = build_string_array(data, lens, base)
             if valid is not None:
@@ -326,7 +329,7 @@ class _StripeReader:
             # SECONDARY carries per-value scales; with a fixed column
             # scale they all equal t.scale, but honor them anyway
             ssk = self._sk(col, "SECONDARY")
-            scales = _int_rle(st["SECONDARY"], enc, signed=True)[ssk:ssk + m]
+            scales = _int_rle(st["SECONDARY"], enc, True, ssk + m)[ssk:]
             vals = _decode_decimal_fast(
                 st["DATA"], m, scales, scale, t.get("precision", 38), typ)
             if vals is None:  # >64-bit mantissas or scale-down rounding
@@ -725,6 +728,8 @@ class ORCFile:
     def __init__(self, source):
         self._path = None
         self._buf = None
+        self._meta_cache: dict = {}
+        self._index_cache: dict = {}
         if isinstance(source, (bytes, bytearray)):
             self._buf = bytes(source)
             tail = self._buf[-min(len(self._buf), 16 * 1024 * 1024):]
@@ -804,17 +809,39 @@ class ORCFile:
         return read_stripe_tables(self._read_range(start, length), info,
                                   self.footer, self.compression, columns)
 
-    def _stripe_parts(self, i: int):
-        """(stripe bytes, StripeFooter dict, stream spans) for stripe i."""
+    def _stripe_meta(self, i: int):
+        """(StripeFooter dict, stream spans) for stripe i — a ranged
+        read of the stripe FOOTER only, memoized (pruning then reading
+        the same stripe parses it once)."""
+        hit = self._meta_cache.get(i)
+        if hit is not None:
+            return hit
         info = self.stripes[i]
-        length = info.get("indexLength", 0) + info["dataLength"] \
-            + info["footerLength"]
-        data = self._read_range(info["offset"], length)
-        sfoot = proto.decode(
-            "StripeFooter",
-            decompress_stream(data[-info["footerLength"]:],
-                              self.compression))
-        return data, sfoot, _stream_spans(sfoot)
+        start = info["offset"] + info.get("indexLength", 0) \
+            + info["dataLength"]
+        raw = self._read_range(start, info["footerLength"])
+        sfoot = proto.decode("StripeFooter",
+                             decompress_stream(raw, self.compression))
+        out = (sfoot, _stream_spans(sfoot))
+        self._meta_cache = {i: out}  # keep exactly one stripe
+        return out
+
+    def _index_region(self, i: int, spans: dict) -> tuple[bytes, int]:
+        """(bytes, base) covering every ROW_INDEX stream of stripe i.
+        Spec files put index streams first, so this is a ranged read of
+        indexLength bytes; nonconforming layouts fall back to the whole
+        stripe. Memoized like _stripe_meta."""
+        hit = self._index_cache.get(i)
+        if hit is not None:
+            return hit
+        info = self.stripes[i]
+        ilen = info.get("indexLength", 0)
+        ri_end = max((st + ln for (c, k), (st, ln) in spans.items()
+                      if k == "ROW_INDEX"), default=0)
+        length = ilen if ri_end <= ilen else (ilen + info["dataLength"])
+        out = (self._read_range(info["offset"], length), 0)
+        self._index_cache = {i: out}
+        return out
 
     def read_row_index(self, i: int,
                        columns: list[str] | None = None
@@ -824,7 +851,8 @@ class ORCFile:
         writer to have emitted ROW_INDEX streams (rowIndexStride > 0)."""
         if not self.footer.get("rowIndexStride"):
             raise ValueError("file has no row index (rowIndexStride=0)")
-        data, sfoot, spans = self._stripe_parts(i)
+        sfoot, spans = self._stripe_meta(i)
+        data, base = self._index_region(i, spans)
         root = self.footer["types"][0]
         if columns is None:
             wanted = None
@@ -840,7 +868,7 @@ class ORCFile:
                                        and col not in wanted):
                 continue
             ri = proto.decode("RowIndex", decompress_stream(
-                data[start:start + ln], self.compression))
+                data[start - base:start - base + ln], self.compression))
             out[col] = ri.get("entry", [])
         return out
 
@@ -889,7 +917,13 @@ class ORCFile:
         n_groups = -(-n_rows // stride)
         if any(g < 0 or g >= n_groups for g in row_groups):
             raise ValueError(f"row group out of range 0..{n_groups - 1}")
-        data, sfoot, spans = self._stripe_parts(i)
+        sfoot, spans = self._stripe_meta(i)
+        # data region only (index region never touched for the decode):
+        # spans are relative to the stream-list start, so rebase them
+        ilen = info.get("indexLength", 0)
+        data = self._read_range(info["offset"] + ilen, info["dataLength"])
+        spans = {k: (st - ilen, ln) for k, (st, ln) in spans.items()
+                 if k[1] != "ROW_INDEX"}
         types = self.footer["types"]
         root = types[0]
         names = root.get("fieldNames", [])

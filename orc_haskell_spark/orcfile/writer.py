@@ -333,11 +333,20 @@ def _indexed_column(types: list[dict], col: int, arr, stride: int,
     RESTARTS: every stream starts a fresh run at each stride boundary,
     so every ROW_INDEX position has zero run-carry skips (spec-valid —
     an RLE stream is just a run sequence — at ~2 bytes/group/stream
-    ratio cost). stride must be a multiple of 8 so PRESENT/BOOLEAN bits
-    stay byte-aligned at boundaries.
+    ratio cost). stride must be a multiple of 8 so PRESENT bits stay
+    byte-aligned at boundaries.
+
+    EXCEPTION: nullable BOOLEAN data. Its bit count per group is the
+    group's NON-NULL count, which is not a multiple of 8, so per-group
+    restarts would leave padding bits that shift every later value
+    (readers consume the stream as one contiguous bitstream). That one
+    stream is encoded whole-stripe instead, and its positions carry
+    real byte/bit skips (entries[g]["skips"]["DATA"]).
 
     Returns (streams {kind: bytes}, encoding, column stats,
-    entries [{"offsets": {kind: raw_offset}, "stats": ...}] per group).
+    entries [{"offsets": {kind: raw_offset},
+              "skips": {kind: (byte_skip, bit_skip)}, "stats": ...}]
+    per group).
     """
     import pyarrow.compute as pc
 
@@ -348,7 +357,8 @@ def _indexed_column(types: list[dict], col: int, arr, stride: int,
     starts = list(range(0, n, stride))
     has_nulls = arr.null_count > 0
     bufs: dict[str, bytearray] = {}
-    entries: list[dict] = [{"offsets": {}, "stats": None} for _ in starts]
+    entries: list[dict] = [{"offsets": {}, "skips": {}, "stats": None}
+                           for _ in starts]
 
     def put(stream_kind: str, g: int, data: bytes) -> None:
         buf = bufs.setdefault(stream_kind, bytearray())
@@ -387,6 +397,18 @@ def _indexed_column(types: list[dict], col: int, arr, stride: int,
         bufs["DICTIONARY_DATA"] = bytearray(ddata.tobytes())
         bufs["LENGTH"] = bytearray(rle2.encode(dlens.astype(np.int64),
                                                False))
+    elif kind == "BOOLEAN" and has_nulls:
+        # see docstring EXCEPTION: one whole-stripe bitstream; positions
+        # carry cumulative dense-bit skips instead of restart offsets
+        encoding = {"kind": proto.ENCODING["DIRECT"]}
+        bits = np.asarray(arr.drop_null(), dtype=bool)
+        bufs["DATA"] = bytearray(
+            byte_rle.encode(np.frombuffer(pack_bools(bits), np.uint8)))
+        cum = 0
+        for g, s in enumerate(starts):
+            entries[g]["offsets"]["DATA"] = 0
+            entries[g]["skips"]["DATA"] = (cum // 8, cum % 8)
+            cum += int(valid[s:s + stride].sum())
     else:
         encoding = None
         for g, s in enumerate(starts):
@@ -406,16 +428,20 @@ def _indexed_column(types: list[dict], col: int, arr, stride: int,
 
 
 def _entry_positions(kind: str, enc_kind: int, has_present: bool,
-                     offsets: dict, posmap) -> list[int]:
+                     offsets: dict, posmap,
+                     entry_skips: dict | None = None) -> list[int]:
     """RowIndexEntry.positions in the exact order C++ readers consume
     them (mirrors reader._seek_streams): PRESENT, DATA, then LENGTH /
     SECONDARY; RLE streams append a zero value-skip, bit-packed streams
-    a zero byte-skip + zero bit-skip (restart boundaries carry none)."""
+    a zero byte-skip + zero bit-skip (restart boundaries carry none —
+    except nullable BOOLEAN data, whose whole-stripe bitstream records
+    real cumulative skips via ``entry_skips``)."""
     out: list[int] = []
+    entry_skips = entry_skips or {}
 
     def add(stream_kind: str, skips: list[int]) -> None:
         out.extend(posmap(stream_kind, offsets.get(stream_kind, 0)))
-        out.extend(skips)
+        out.extend(entry_skips.get(stream_kind, skips))
 
     if has_present:
         add("PRESENT", [0, 0])
@@ -688,7 +714,8 @@ def write_orc(data, where, compression: str = "ZLIB",
                                     for c, k, _ in cw.streams)
                         ents = [{"positions": _entry_positions(
                                      kind, enck, has_p,
-                                     e["offsets"], mk_posmap(sub)),
+                                     e["offsets"], mk_posmap(sub),
+                                     e.get("skips")),
                                  "statistics": e["stats"]}
                                 for e in col_entries[sub]]
                     ri = compress_stream(

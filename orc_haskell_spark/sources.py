@@ -218,3 +218,37 @@ def parquet_splits_df(spark: SparkSession, path: str,
     # round-robin rebalance: row groups of one big file must spread
     # across tasks, not stay on the footer-reader's partition
     return splits.repartition(n)
+
+
+def task_output(out_path: str, subdir: str | None, key: str,
+                ext: str = ".parquet"):
+    """(fs, staging_path, final_path) for one task's rename-on-commit
+    part file: write to the hidden staging name, then commit_part() it.
+    Shared by the fused encode sink and the decode export so the commit
+    protocol cannot diverge between them."""
+    import uuid
+
+    fs, out_local = _resolve_fs(out_path)
+    d = out_local.rstrip("/") + (f"/{subdir}" if subdir else "")
+    fs.create_dir(d, recursive=True)
+    staging = f"{d}/.staging-{key}-{uuid.uuid4().hex[:8]}{ext}"
+    final = f"{d}/part-{key}{ext}"
+    return fs, staging, final
+
+
+def commit_part(fs, staging: str, final: str) -> None:
+    """Atomic-replace rename on local filesystems; object stores get
+    delete-then-move (safe: deterministic task_key names make the last
+    writer win, and readers only see ledgered keys)."""
+    try:
+        fs.move(staging, final)
+    except OSError:
+        fs.delete_file(final)
+        fs.move(staging, final)
+
+
+def discard_part(fs, staging: str) -> None:
+    try:
+        fs.delete_file(staging)
+    except Exception:
+        pass

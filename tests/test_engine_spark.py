@@ -367,3 +367,43 @@ def test_decode_parquet_to_dir_transcode(spark, tmp_path):
         prune_ranges=[("warc_ts", 2**62, None)],
         num_partitions=2).collect()
     assert sum(r.n_rows for r in s) == 0
+
+
+def test_fused_sink_rejects_config_change(spark, tmp_path):
+    """Resuming a fused sink with a different config/stripe_rows must
+    refuse loudly — otherwise old- and new-config stripes would both be
+    ledgered and readers would see a silently mixed dataset."""
+    df = gen.pages_df(spark, 1000, num_partitions=2)
+    src = str(tmp_path / "pq")
+    df.write.parquet(src)
+    out = str(tmp_path / "enc")
+    manifest.encode_parquet_to_dir(spark, src, out, stripe_rows=500,
+                                   num_partitions=2)
+    with pytest.raises(ValueError, match="different config"):
+        manifest.encode_parquet_to_dir(spark, src, out, stripe_rows=250,
+                                       num_partitions=2)
+    # same config resumes fine (and has nothing to do)
+    r = manifest.encode_parquet_to_dir(spark, src, out, stripe_rows=500,
+                                       num_partitions=2)
+    assert r["splits_encoded"] == 0
+
+
+def test_decode_export_rejects_plan_change(spark, tmp_path):
+    """Re-running decode_parquet_to_dir into the same out_path with a
+    different plan (parallelism/columns) would create new part names
+    beside the old ones and duplicate rows — the plan marker refuses."""
+    df = gen.pages_df(spark, 1000, num_partitions=2)
+    src = str(tmp_path / "pq")
+    df.write.parquet(src)
+    enc = str(tmp_path / "enc")
+    engine.encode_parquet(spark, src, stripe_rows=500, num_partitions=2) \
+        .write.option("compression", "uncompressed").parquet(enc)
+    out = str(tmp_path / "dec")
+    engine.decode_parquet_to_dir(spark, enc, out,
+                                 num_partitions=2).collect()
+    with pytest.raises(ValueError, match="different plan"):
+        engine.decode_parquet_to_dir(spark, enc, out, num_partitions=4)
+    # identical plan re-runs stay idempotent
+    engine.decode_parquet_to_dir(spark, enc, out,
+                                 num_partitions=2).collect()
+    assert spark.read.parquet(out).count() == 1000
