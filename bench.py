@@ -108,7 +108,7 @@ def main() -> None:
                 .write.option("compression", "uncompressed") \
                 .parquet(enc_pages_path)
 
-        dt, extras["encode_pages_samples"] = best_of(2, run_encode_pages)
+        dt, extras["encode_pages_samples"] = best_of(3, run_encode_pages)
         queries["encode_pages"] = dt
         enc_pages = spark.read.parquet(enc_pages_path)
         enc_bytes = int(enc_pages.agg(F.sum("enc_bytes")).collect()[0][0])
@@ -133,7 +133,7 @@ def main() -> None:
                 .write.option("compression", "uncompressed") \
                 .parquet(enc_fused_path)
 
-        dtf, extras["encode_pages_fused_samples"] = best_of(2, run_encode_fused)
+        dtf, extras["encode_pages_fused_samples"] = best_of(3, run_encode_fused)
         queries["encode_pages_fused"] = dtf
         extras["encode_gbps_pages_fused"] = raw_pages / dtf / 1e9
         extras["docs_per_sec_pages_fused"] = PAGES_ROWS / dtf
