@@ -366,3 +366,47 @@ def read_fused_encoded(spark, path: str):
         .select("task_key", "file", "rg").distinct()
     return stripes.join(F.broadcast(keys), ["task_key", "file", "rg"],
                         "left_semi").drop("task_key", "file", "rg")
+
+
+def fused_metrics(spark, path: str):
+    """Per-input-file rollup of the fused manifest: stripes, rows,
+    raw/encoded bytes and ratio — the lineage + metrics surface the
+    north rule asks every checkpointed run to carry."""
+    from pyspark.sql import functions as F
+
+    m = read_fused_manifest(spark, path)
+    return m.groupBy("file", "config_hash", "source").agg(
+        F.countDistinct("rg").alias("n_splits"),
+        F.count("*").alias("n_stripes"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        (F.sum("raw_bytes") / F.sum("enc_bytes")).alias("ratio"))
+
+
+def vacuum_fused(spark, path: str) -> dict:
+    """Delete stripe part files whose task_key never made it into the
+    manifest — leftovers of killed runs, superseded re-encodes, or
+    stage retries. Readers never see them (the ledger filter), so this
+    is pure space reclamation; safe to run any time after a job
+    completes. Returns {kept, removed}."""
+    import glob
+
+    mkeys = {r.task_key for r in read_fused_manifest(spark, path)
+             .select("task_key").distinct().collect()}
+    kept = removed = 0
+    for f in glob.glob(os.path.join(path, "stripes", "*.parquet")):
+        name = os.path.basename(f)
+        if not name.startswith("part-"):
+            continue
+        key = name[len("part-"):-len(".parquet")]
+        if key in mkeys:
+            kept += 1
+        else:
+            os.unlink(f)
+            removed += 1
+    # half-written staging files are never visible; sweep them too
+    for f in glob.glob(os.path.join(path, "stripes", ".staging-*")):
+        os.unlink(f)
+        removed += 1
+    return {"kept": kept, "removed": removed}

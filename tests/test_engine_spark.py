@@ -407,3 +407,33 @@ def test_decode_export_rejects_plan_change(spark, tmp_path):
     engine.decode_parquet_to_dir(spark, enc, out,
                                  num_partitions=2).collect()
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_fused_metrics_and_vacuum(spark, tmp_path):
+    """fused_metrics rolls up lineage+metrics per input file; vacuum
+    removes unledgered orphans without touching committed parts."""
+    import pyarrow.parquet as pq
+
+    df = gen.pages_df(spark, 1000, num_partitions=2)
+    src = str(tmp_path / "pq")
+    df.write.parquet(src)
+    out = str(tmp_path / "enc")
+    manifest.encode_parquet_to_dir(spark, src, out, stripe_rows=500,
+                                   num_partitions=2, source="t")
+    m = manifest.fused_metrics(spark, out)
+    rows = m.collect()
+    assert sum(r.rows for r in rows) == 1000
+    assert all(r.ratio > 1 for r in rows)
+
+    # plant an orphan + a staging leftover
+    stripes = tmp_path / "enc" / "stripes"
+    committed = sorted(p.name for p in stripes.glob("part-*.parquet"))
+    orig = pq.read_table(str(stripes / committed[0]))
+    pq.write_table(orig, str(stripes / "part-feedfeed.parquet"))
+    (stripes / ".staging-dead-1234.parquet").write_bytes(b"junk")
+    r = manifest.vacuum_fused(spark, out)
+    assert r["removed"] == 2 and r["kept"] == len(committed)
+    # dataset unchanged
+    dec = engine.decode_table(manifest.read_fused_encoded(spark, out),
+                              spark.read.parquet(src).schema)
+    assert dec.count() == 1000
