@@ -49,6 +49,26 @@ def _spark_schema_for(schema: pa.Schema):
             pa.schema(fields))
 
 
+def _read_stripe_pruned(orc, i: int, columns, prune):
+    """Stripe decode narrowed by ROW_INDEX row-group elimination when
+    the file has an index and ``prune`` excludes some groups; falls
+    back to the full-stripe read otherwise (pruning is an optimization,
+    never a correctness dependency — the caller re-filters exactly)."""
+    if prune and orc.footer.get("rowIndexStride"):
+        try:
+            stride = orc.footer["rowIndexStride"]
+            n = orc.stripes[i]["numberOfRows"]
+            total = -(-n // stride)
+            keep = orc.prune_row_groups(i, prune[0], prune[1], prune[2])
+            if len(keep) < total:
+                if not keep:
+                    return None
+                return orc.read_stripe_row_groups(i, keep, columns)
+        except Exception:
+            pass  # nested/unsupported column: whole-stripe read
+    return orc.read_stripe(i, columns)
+
+
 def read_orc_distributed(spark: SparkSession, path: str,
                          tasks_per_partition: int = 1,
                          columns: list[str] | None = None,
@@ -60,7 +80,9 @@ def read_orc_distributed(spark: SparkSession, path: str,
     never decompressed); ``prune=(column, lo, hi)`` drops whole stripes
     whose min/max statistics exclude [lo, hi] before any task is
     scheduled — the reference reader's elimination, at stripe
-    granularity, driven by the file Metadata our writer also emits.
+    granularity, driven by the file Metadata our writer also emits —
+    and, when the file carries a ROW_INDEX, eliminates 10k-row groups
+    INSIDE each surviving stripe via positional seek at decode time.
     """
     from orc_haskell_spark.orcfile.reader import ORCFile
 
@@ -98,7 +120,9 @@ def read_orc_distributed(spark: SparkSession, path: str,
             for f, i in zip(b.column("file").to_pylist(),
                             b.column("stripe").to_pylist()):
                 orc = opened.get(f) or opened.setdefault(f, OF(f))
-                rb = orc.read_stripe(i, columns)
+                rb = _read_stripe_pruned(orc, i, columns, prune)
+                if rb is None:
+                    continue  # every row group eliminated
                 cols = []
                 for field, col in zip(arrow_schema, rb.columns):
                     if col.type != field.type:

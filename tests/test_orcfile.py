@@ -840,3 +840,28 @@ def test_own_writer_row_group_pruning_and_fallbacks(tmp_path):
         f2.read_stripe_row_groups(0, [0])
     with _pt.raises(ValueError, match="multiple of 8"):
         write_orc(t, str(tmp_path / "bad.orc"), row_index_stride=1234)
+
+
+def test_distributed_scan_row_group_pruning(spark, tmp_path):
+    """read_orc_distributed with prune= now eliminates row groups
+    inside surviving stripes; results equal the unpruned read."""
+    from orc_haskell_spark.orcfile.spark_source import read_orc_distributed
+
+    t = pa.table({"k": pa.array(range(40000)),
+                  "v": pa.array([f"s{i}" for i in range(40000)])})
+    d = tmp_path / "orcdir"
+    d.mkdir()
+    write_orc(t, str(d / "a.orc"), compression="ZSTD", stripe_rows=65536)
+    df = read_orc_distributed(spark, str(d), prune=("k", 21000, 22000))
+    rows = df.collect()
+    ks = sorted(r.k for r in rows)
+    assert len(rows) == 10000  # one group decoded, not 40k rows
+    assert ks[0] <= 21000 and ks[-1] >= 22000
+    # exact-result check after Spark-side refilter
+    from pyspark.sql import functions as F
+
+    n = df.filter(F.col("k").between(21000, 22000)).count()
+    assert n == 1001
+    # fully-pruned stripe yields nothing and no error
+    assert read_orc_distributed(spark, str(d),
+                                prune=("k", 10**9, None)).count() == 0
