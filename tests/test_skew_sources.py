@@ -128,3 +128,41 @@ def test_fused_scan_resolves_catalog_tables(spark, tmp_path):
     assert dec.count() == t.num_rows
     assert sorted(r.r_name for r in dec.collect()) == \
         sorted(t.column("r_name").to_pylist())
+
+
+def test_parquet_splits_distributed_planning_matches_driver(
+        spark, tmp_path, monkeypatch):
+    """Beyond DRIVER_SPLITS_MAX_FILES the planner switches to
+    distributed footer reads (only file names touch the driver); the
+    split set must be identical to driver-side planning, and the fused
+    encode must still roundtrip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(6):
+        pq.write_table(pa.table({"x": list(range(i * 100, i * 100 + 100)),
+                                 "s": [f"r{j}" for j in range(100)]}),
+                       str(d / f"f{i}.parquet"), row_group_size=40)
+    driver_splits = sorted(
+        map(tuple, sources.parquet_splits_df(spark, str(d),
+                                             num_partitions=3).collect()))
+    monkeypatch.setattr(sources, "DRIVER_SPLITS_MAX_FILES", 2)
+    dist = sources.parquet_splits_df(spark, str(d), num_partitions=3)
+    dist_splits = sorted(map(tuple, dist.collect()))
+    assert dist_splits == driver_splits
+    assert len(dist_splits) == 6 * 3  # 3 row groups per file
+
+    # ranges prune identically in both modes
+    pruned = sorted(map(tuple, sources.parquet_splits_df(
+        spark, str(d), ranges=[("x", 250, 260)],
+        num_partitions=3).collect()))
+    assert 0 < len(pruned) < len(dist_splits)
+
+    # fused encode over distributed-planned splits roundtrips
+    enc = engine.encode_parquet(spark, str(d), num_partitions=3)
+    schema = spark.read.parquet(str(d)).schema
+    dec = engine.decode_table(enc, schema)
+    assert dec.count() == 600
+    assert dec.agg(F.sum("x")).collect()[0][0] == sum(range(0, 600))
