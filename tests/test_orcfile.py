@@ -865,3 +865,46 @@ def test_distributed_scan_row_group_pruning(spark, tmp_path):
     # fully-pruned stripe yields nothing and no error
     assert read_orc_distributed(spark, str(d),
                                 prune=("k", 10**9, None)).count() == 0
+
+
+def test_row_group_seek_across_compression_chunks(tmp_path):
+    """Positions with NON-ZERO chunk offsets: streams bigger than one
+    256 KiB compression chunk make row-group boundaries land in later
+    chunks; the positioned suffix decompression must start there. Both
+    C++-written and our own indexed files."""
+    rng = np.random.default_rng(9)
+    n = 150_000
+    t = pa.table({
+        "s": pa.array([f"payload-{i}-" + "x" * int(rng.integers(20, 120))
+                       for i in range(n)]),
+        "i": pa.array(rng.integers(-10**15, 10**15, n)),
+        "i_null": pa.array([None if i % 7 == 0 else int(v) for i, v in
+                            enumerate(rng.integers(0, 10**9, n))],
+                           pa.int64()),
+    })
+    import pyarrow.orc as paorc
+
+    for name, write in (("cpp", lambda p: paorc.write_table(
+                             t, p, compression="zstd",
+                             stripe_size=512 * 1024 * 1024)),
+                        ("ours", lambda p: write_orc(
+                             t, p, compression="ZSTD",
+                             stripe_rows=1 << 20))):
+        p = str(tmp_path / f"{name}.orc")
+        write(p)
+        f = ORCFile(p)
+        stride = f.footer["rowIndexStride"]
+        ri = f.read_row_index(0)
+        data_col = f.footer["types"][0]["subtypes"][0]
+        first_pos = [e["positions"][0] for e in ri[data_col]
+                     if e.get("positions")]
+        assert max(first_pos) > 0, name  # boundaries beyond chunk 0
+        for g in (0, 7, n // stride - 1):
+            got = pa.Table.from_batches([f.read_stripe_row_groups(0, [g])])
+            exp = t.slice(g * stride, min(stride, n - g * stride))
+            for cname in t.column_names:
+                a = got.column(cname).combine_chunks()
+                b = exp.column(cname).combine_chunks()
+                if a.type != b.type:
+                    b = b.cast(a.type)
+                assert a.equals(b), (name, g, cname)
