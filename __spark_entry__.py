@@ -309,6 +309,26 @@ def _zonemap_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("l_orderkey").alias("max_ok")))
 
 
+def _parquet_to_orc_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Fused parquet -> real ORC conversion (spark_source.parquet_to_orc:
+    workers stream row groups through write_orc, zero payload JVM
+    crossing), read back through the distributed ORC scan; oracle =
+    plain SELECT."""
+    import tempfile
+
+    from orc_haskell_spark.orcfile.spark_source import (
+        parquet_to_orc, read_orc_distributed)
+
+    _ensure_worker_imports(spark)
+    out = tempfile.mkdtemp(prefix="ohs_pq2orc_")
+    parquet_to_orc(spark, f"{sf_dir}/orders.parquet", out,
+                   num_partitions=4).collect()
+    df = read_orc_distributed(spark, out)
+    cols = _TABLE_COLS["orders"]
+    return df.select(*cols)
+
+
 def _orcfile_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-group-granular reads through the orcfile DataSource: one big
     stripe, a selective range filter — ROW_INDEX positional seek decodes
@@ -396,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orcfile_pruned_scan_lineitem"] = _orcfile_pruned_scan
     q["orcfile_datasource_lineitem"] = _orcfile_datasource_scan
     q["orcfile_rowgroup_scan_lineitem"] = _orcfile_rowgroup_scan
+    q["parquet_to_orc_orders"] = _parquet_to_orc_roundtrip
     q["orcfile_cpp_read_lineitem"] = _mk_orcfile_cpp_cross("lineitem")
     q["orcfile_cpp_read_documents"] = _mk_orcfile_cpp_cross("documents")
     q["decoded_agg_lineitem"] = _decoded_agg_lineitem
@@ -618,6 +639,7 @@ FROM sess GROUP BY user_id, sid"""
         "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok "
         "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 "
         "GROUP BY l_returnflag")
+    o["parquet_to_orc_orders"] = _select_sql("orders")
     o["orcfile_rowgroup_scan_lineitem"] = (
         "SELECT l_linestatus, COUNT(*) AS cnt, "
         "ROUND(SUM(l_extendedprice), 1) AS sum_price, "

@@ -179,3 +179,78 @@ def write_orc_distributed(df: DataFrame, out_dir: str,
 
     return df.mapInArrow(
         write_part, "file string, rows long, bytes long, stripes int")
+
+
+PARQUET_TO_ORC_DDL = ("file string, n_splits int, rows bigint, "
+                      "orc_bytes bigint, raw_bytes bigint")
+
+
+def parquet_to_orc(spark: SparkSession, in_path: str, out_dir: str,
+                   compression: str = "ZSTD",
+                   stripe_rows: int = 64 * 1024,
+                   columns: list[str] | None = None,
+                   num_partitions: int | None = None,
+                   batch_rows: int = 16384) -> DataFrame:
+    """Fused parquet -> real ORC conversion: pyarrow reads the row
+    groups and write_orc streams them into one .orc file per task,
+    ALL inside the Python worker — zero payload bytes cross the JVM in
+    either direction (the JVM only distributes split metadata and
+    collects one summary row per task). Output files carry ROW_INDEX
+    streams and are readable by any ORC implementation.
+
+    Rename-on-commit with task-split-keyed names: retries and re-runs
+    with the same plan overwrite the same files. Returns the summary
+    DataFrame; forcing it (.collect()) runs the conversion.
+    """
+    from orc_haskell_spark import sources
+
+    splits = sources.parquet_splits_df(spark, in_path,
+                                       num_partitions=num_partitions)
+
+    def convert(batches):
+        import hashlib
+        import json as _json
+
+        from orc_haskell_spark.engine import (_spark_safe_batch,
+                                              clamp_worker_threads)
+        from orc_haskell_spark.orcfile.writer import write_orc
+
+        clamp_worker_threads()
+        work = []
+        for b in batches:
+            work.extend(zip(b.column("file").to_pylist(),
+                            b.column("rg").to_pylist()))
+        if not work:
+            return
+        key = hashlib.sha256(
+            _json.dumps(sorted(work)).encode()).hexdigest()[:24]
+        fs, staging, final = sources.task_output(out_dir, None, key,
+                                                 ext=".orc")
+        raw_bytes = 0
+
+        def scan():
+            nonlocal raw_bytes
+            for f, rg in work:
+                pf = sources.open_parquet(f)
+                for rb in pf.iter_batches(batch_size=batch_rows,
+                                          row_groups=[rg],
+                                          columns=columns,
+                                          use_threads=False):
+                    raw_bytes += rb.nbytes
+                    yield _spark_safe_batch(rb)
+
+        try:
+            with fs.open_output_stream(staging) as out:
+                info = write_orc(scan(), out, compression=compression,
+                                 stripe_rows=stripe_rows)
+            sources.commit_part(fs, staging, final)
+        finally:
+            sources.discard_part(fs, staging)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([final]), pa.array([len(work)], pa.int32()),
+             pa.array([info["rows"]], pa.int64()),
+             pa.array([info["bytes"]], pa.int64()),
+             pa.array([raw_bytes], pa.int64())],
+            names=["file", "n_splits", "rows", "orc_bytes", "raw_bytes"])
+
+    return splits.mapInArrow(convert, PARQUET_TO_ORC_DDL)

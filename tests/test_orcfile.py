@@ -908,3 +908,53 @@ def test_row_group_seek_across_compression_chunks(tmp_path):
                 if a.type != b.type:
                     b = b.cast(a.type)
                 assert a.equals(b), (name, g, cname)
+
+
+def test_parquet_to_orc_fused_conversion(spark, tmp_path):
+    """Fused parquet -> real ORC conversion: workers stream row groups
+    through write_orc (zero payload JVM crossing); output is
+    C++-readable, row-indexed, and equals the source exactly."""
+    import pyarrow.parquet as pq2
+
+    from orc_haskell_spark.orcfile.spark_source import (
+        parquet_to_orc, read_orc_distributed)
+
+    src = str(tmp_path / "pq")
+    t = pq2.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    import os as _os
+    _os.makedirs(src)
+    pq2.write_table(t.slice(0, 3000), f"{src}/a.parquet",
+                    row_group_size=1000)
+    pq2.write_table(t.slice(3000), f"{src}/b.parquet",
+                    row_group_size=1000)
+    out = str(tmp_path / "orc")
+    summary = parquet_to_orc(spark, src, out, num_partitions=3).collect()
+    assert sum(r.rows for r in summary) == t.num_rows
+    assert all(r.file.endswith(".orc") for r in summary)
+
+    # C++ reads the converted files bit-identical to the source
+    import pyarrow.orc as paorc
+
+    got = pa.concat_tables(
+        [paorc.ORCFile(r.file).read() for r in summary])
+    assert got.num_rows == t.num_rows
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic table:
+    # sort on enough columns to make the row order deterministic
+    keys = [(c, "ascending") for c in
+            ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+             "l_extendedprice", "l_quantity")]
+    a = got.sort_by(keys)
+    b = t.sort_by(keys)
+    for name in t.column_names:
+        x = a.column(name).combine_chunks()
+        y = b.column(name).combine_chunks()
+        if x.type != y.type:
+            y = y.cast(x.type)
+        assert x.equals(y), name
+    # files carry row indexes
+    f0 = ORCFile(summary[0].file)
+    assert f0.footer.get("rowIndexStride") == 10000
+
+    # and our distributed reader round-trips them through Spark
+    df = read_orc_distributed(spark, out)
+    assert df.count() == t.num_rows
