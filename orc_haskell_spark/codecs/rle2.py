@@ -94,7 +94,7 @@ def decode(buf: np.ndarray, signed: bool,
                 native.ptr(out, ctypes.c_uint64), limit)
             if n_out < 0:
                 raise ValueError(
-                    "corrupt RLE2 stream (truncated)")
+                    f"corrupt RLE2 stream (code {n_out})")
             out = out[:n_out]
             return out.view(np.int64) if signed else out
         cap = int(min(max(1024, cbuf.size * 8), 1 << 22))

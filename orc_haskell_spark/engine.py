@@ -236,11 +236,12 @@ def _scan_encode_fn(columns, stripe_rows, stripe_bytes, config, batch_rows):
         enc = make_encode_fn(stripe_rows, stripe_bytes, config)
 
         def scan() -> Iterator[pa.RecordBatch]:
+            handles = sources.ParquetHandleCache()
             for b in batches:
                 files = b.column("file").to_pylist()
                 rgs = b.column("rg").to_pylist()
                 for f, rg in zip(files, rgs):
-                    pf = sources.open_parquet(f)
+                    pf = handles.get(f)
                     for rb in pf.iter_batches(
                             batch_size=batch_rows, row_groups=[rg],
                             columns=columns, use_threads=False):
@@ -358,9 +359,10 @@ def _decode_sink_fn(out_path: str, columns, compression: str,
 
         writer = None
         n_stripes = n_rows = 0
+        handles = sources.ParquetHandleCache()
         try:
             for f, rg in splits:
-                pf = sources.open_parquet(f)
+                pf = handles.get(f)
                 for rb in pf.iter_batches(batch_size=1, row_groups=[rg],
                                           columns=["footer", "data"],
                                           use_threads=False):
@@ -418,40 +420,15 @@ def decode_parquet_to_dir(spark, enc_path: str, out_path: str,
     next to the old ones and duplicate rows, so a plan marker is
     checked and mismatches raise — export to a fresh out_path instead.
     """
-    import hashlib
-
     from . import sources
 
     splits = sources.parquet_splits_df(spark, enc_path,
                                        num_partitions=num_partitions)
-    plan = {"enc_path": enc_path, "columns": columns,
-            "prune_ranges": [list(r) for r in prune_ranges or []],
-            "compression": compression,
-            "num_partitions": num_partitions}
-    plan_json = json.dumps(plan, sort_keys=True)
-    plan_key = hashlib.sha256(plan_json.encode()).hexdigest()[:16]
-    fs, out_local = sources._resolve_fs(out_path)
-    marker = f"{out_local.rstrip('/')}/_export_plan.json"
-    try:
-        import pyarrow.fs as pafs
-
-        if fs.get_file_info(marker).type != pafs.FileType.NotFound:
-            with fs.open_input_stream(marker) as f:
-                prev = json.loads(f.read().decode())
-            if prev.get("plan_key") != plan_key:
-                raise ValueError(
-                    f"{out_path!r} was exported with a different plan "
-                    f"({prev.get('plan')}); re-run with the same "
-                    f"settings or use a fresh out_path")
-        else:
-            fs.create_dir(out_local, recursive=True)
-            with fs.open_output_stream(marker) as f:
-                f.write(json.dumps(
-                    {"plan_key": plan_key, "plan": plan}).encode())
-    except ValueError:
-        raise
-    except Exception:
-        pass  # marker is best-effort on exotic filesystems
+    sources.guard_export_plan(out_path, {
+        "enc_path": enc_path, "columns": columns,
+        "prune_ranges": [list(r) for r in prune_ranges or []],
+        "compression": compression,
+        "num_partitions": num_partitions})
     return splits.mapInArrow(
         _decode_sink_fn(out_path, columns, compression, prune_ranges),
         DECODE_SUMMARY_DDL)

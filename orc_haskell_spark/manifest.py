@@ -228,11 +228,12 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
                                   pa.field("rg", pa.int32())])
         manifest_rows = []
         writer = None
+        handles = sources.ParquetHandleCache()
         try:
             writer = pq.ParquetWriter(staging, out_schema,
                                       compression="NONE", filesystem=fs)
             for f, rg in splits:
-                pf = sources.open_parquet(f)
+                pf = handles.get(f)
 
                 def scan():
                     for rb in pf.iter_batches(batch_size=batch_rows,
@@ -319,7 +320,8 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
         # earlier run with a DIFFERENT config/stripe_rows are already
         # ledgered, so re-encoding under the new config would leave
         # both visible to readers. Refuse loudly instead.
-        other = m.filter(F.col("config_hash") != cfg_hash).count()
+        other = m.filter(
+            ~F.col("config_hash").eqNullSafe(cfg_hash)).count()
         if other:
             raise ValueError(
                 f"{out_path!r} holds {other} manifest rows encoded "
@@ -388,25 +390,41 @@ def vacuum_fused(spark, path: str) -> dict:
     """Delete stripe part files whose task_key never made it into the
     manifest — leftovers of killed runs, superseded re-encodes, or
     stage retries. Readers never see them (the ledger filter), so this
-    is pure space reclamation; safe to run any time after a job
-    completes. Returns {kept, removed}."""
-    import glob
+    is pure space reclamation; run it after jobs complete (a run still
+    in flight would have its staged work removed). Works through the
+    same filesystem abstraction the writers use, so URI-addressed
+    datasets (s3://...) vacuum too. A dataset with no manifest at all
+    (run died before the first commit) is ALL orphans and is swept
+    clean. Returns {kept, removed}."""
+    import pyarrow.fs as pafs
 
-    mkeys = {r.task_key for r in read_fused_manifest(spark, path)
-             .select("task_key").distinct().collect()}
+    from . import sources
+
+    try:
+        mkeys = {r.task_key for r in read_fused_manifest(spark, path)
+                 .select("task_key").distinct().collect()}
+    except Exception:
+        mkeys = set()
+    fs, local = sources._resolve_fs(path)
+    stripes_dir = f"{local.rstrip('/')}/stripes"
+    try:
+        infos = fs.get_file_info(
+            pafs.FileSelector(stripes_dir, recursive=False))
+    except FileNotFoundError:
+        return {"kept": 0, "removed": 0}
     kept = removed = 0
-    for f in glob.glob(os.path.join(path, "stripes", "*.parquet")):
-        name = os.path.basename(f)
-        if not name.startswith("part-"):
+    for info in infos:
+        if info.type != pafs.FileType.File:
             continue
-        key = name[len("part-"):-len(".parquet")]
-        if key in mkeys:
-            kept += 1
-        else:
-            os.unlink(f)
+        name = info.base_name
+        if name.startswith(".staging-"):
+            fs.delete_file(info.path)  # never visible: always sweep
             removed += 1
-    # half-written staging files are never visible; sweep them too
-    for f in glob.glob(os.path.join(path, "stripes", ".staging-*")):
-        os.unlink(f)
-        removed += 1
+        elif name.startswith("part-") and name.endswith(".parquet"):
+            key = name[len("part-"):-len(".parquet")]
+            if key in mkeys:
+                kept += 1
+            else:
+                fs.delete_file(info.path)
+                removed += 1
     return {"kept": kept, "removed": removed}

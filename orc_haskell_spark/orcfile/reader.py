@@ -919,11 +919,22 @@ class ORCFile:
             raise ValueError(f"row group out of range 0..{n_groups - 1}")
         sfoot, spans = self._stripe_meta(i)
         # data region only (index region never touched for the decode):
-        # spans are relative to the stream-list start, so rebase them
+        # spans are relative to the stream-list start, so rebase them.
+        # Nonconforming layouts that interleave data streams BEFORE
+        # index streams would rebase negative — read the full stripe
+        # range unrebased instead (correctness over the IO saving).
         ilen = info.get("indexLength", 0)
-        data = self._read_range(info["offset"] + ilen, info["dataLength"])
-        spans = {k: (st - ilen, ln) for k, (st, ln) in spans.items()
-                 if k[1] != "ROW_INDEX"}
+        data_spans = {k: v for k, v in spans.items()
+                      if k[1] != "ROW_INDEX"}
+        if all(st >= ilen for st, _ in data_spans.values()):
+            data = self._read_range(info["offset"] + ilen,
+                                    info["dataLength"])
+            spans = {k: (st - ilen, ln)
+                     for k, (st, ln) in data_spans.items()}
+        else:
+            data = self._read_range(
+                info["offset"], ilen + info["dataLength"])
+            spans = data_spans
         types = self.footer["types"]
         root = types[0]
         names = root.get("fieldNames", [])

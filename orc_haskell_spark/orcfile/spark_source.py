@@ -206,13 +206,16 @@ def parquet_to_orc(spark: SparkSession, in_path: str, out_dir: str,
 
     splits = sources.parquet_splits_df(spark, in_path,
                                        num_partitions=num_partitions)
+    sources.guard_export_plan(out_dir, {
+        "in_path": in_path, "columns": columns,
+        "compression": compression, "stripe_rows": stripe_rows,
+        "num_partitions": num_partitions})
 
     def convert(batches):
         import hashlib
         import json as _json
 
-        from orc_haskell_spark.engine import (_spark_safe_batch,
-                                              clamp_worker_threads)
+        from orc_haskell_spark.engine import clamp_worker_threads
         from orc_haskell_spark.orcfile.writer import write_orc
 
         clamp_worker_threads()
@@ -227,17 +230,22 @@ def parquet_to_orc(spark: SparkSession, in_path: str, out_dir: str,
         fs, staging, final = sources.task_output(out_dir, None, key,
                                                  ext=".orc")
         raw_bytes = 0
+        handles = sources.ParquetHandleCache()
 
         def scan():
+            # NO _spark_safe_batch here: ORC TIMESTAMP stores real
+            # nanoseconds, so the converter must NOT truncate ns -> us
+            # (that cast exists for Spark's us-only Arrow bridge, which
+            # this path never touches)
             nonlocal raw_bytes
             for f, rg in work:
-                pf = sources.open_parquet(f)
+                pf = handles.get(f)
                 for rb in pf.iter_batches(batch_size=batch_rows,
                                           row_groups=[rg],
                                           columns=columns,
                                           use_threads=False):
                     raw_bytes += rb.nbytes
-                    yield _spark_safe_batch(rb)
+                    yield rb
 
         try:
             with fs.open_output_stream(staging) as out:

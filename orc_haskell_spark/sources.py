@@ -252,3 +252,62 @@ def discard_part(fs, staging: str) -> None:
         fs.delete_file(staging)
     except Exception:
         pass
+
+
+def guard_export_plan(out_path: str, plan: dict) -> None:
+    """Refuse re-running an export into ``out_path`` under a DIFFERENT
+    plan: task part names derive from split sets, so a changed plan
+    would add new parts beside the old ones and duplicate rows. First
+    run writes the marker; identical plans pass; mismatches raise; an
+    unreadable marker raises with a recovery hint (never an opaque
+    parse error, never a silent pass)."""
+    import hashlib
+    import json
+
+    import pyarrow.fs as pafs
+
+    plan_key = hashlib.sha256(
+        json.dumps(plan, sort_keys=True).encode()).hexdigest()[:16]
+    fs, out_local = _resolve_fs(out_path)
+    marker = f"{out_local.rstrip('/')}/_export_plan.json"
+    try:
+        exists = fs.get_file_info(marker).type != pafs.FileType.NotFound
+    except Exception:
+        return  # exotic filesystem: marker is best-effort
+    if exists:
+        try:
+            with fs.open_input_stream(marker) as f:
+                prev = json.loads(f.read().decode())
+        except Exception:
+            raise ValueError(
+                f"unreadable export-plan marker {marker!r} (interrupted "
+                f"first run?); delete it to proceed, or use a fresh "
+                f"out_path") from None
+        if prev.get("plan_key") != plan_key:
+            raise ValueError(
+                f"{out_path!r} was exported with a different plan "
+                f"({prev.get('plan')}); re-run with the same settings "
+                f"or use a fresh out_path")
+        return
+    fs.create_dir(out_local, recursive=True)
+    with fs.open_output_stream(marker) as f:
+        f.write(json.dumps({"plan_key": plan_key, "plan": plan}).encode())
+
+
+class ParquetHandleCache:
+    """Small per-task cache of open ParquetFile handles: split lists
+    interleave row groups of multiple files, and re-opening a file per
+    row group re-reads its footer every time (MBs for wide schemas)."""
+
+    def __init__(self, cap: int = 64):
+        self._cap = cap
+        self._handles: dict = {}
+
+    def get(self, path: str):
+        pf = self._handles.get(path)
+        if pf is None:
+            if len(self._handles) >= self._cap:
+                self._handles.clear()
+            pf = open_parquet(path)
+            self._handles[path] = pf
+        return pf

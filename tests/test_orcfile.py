@@ -958,3 +958,39 @@ def test_parquet_to_orc_fused_conversion(spark, tmp_path):
     # and our distributed reader round-trips them through Spark
     df = read_orc_distributed(spark, out)
     assert df.count() == t.num_rows
+
+
+def test_parquet_to_orc_preserves_nanoseconds_and_guards_plan(
+        spark, tmp_path):
+    """The converter must NOT truncate sub-microsecond timestamps (ORC
+    stores real nanoseconds; only Spark's Arrow bridge is us-only), and
+    a re-run with a different plan must refuse instead of duplicating
+    part files."""
+    import pyarrow.parquet as pq2
+
+    from orc_haskell_spark.orcfile.spark_source import parquet_to_orc
+
+    t = pa.table({"ts": pa.array([1_000_000_123, 99_000_000_456_789],
+                                 pa.timestamp("ns")),
+                  "k": pa.array([1, 2])})
+    src = str(tmp_path / "ns.parquet")
+    pq2.write_table(t, src)
+    out = str(tmp_path / "orc")
+    parquet_to_orc(spark, src, out, num_partitions=1).collect()
+    import glob
+
+    f = ORCFile(glob.glob(f"{out}/part-*.orc")[0])
+    got = f.read().column("ts").cast(pa.int64()).to_pylist()
+    assert got == [1_000_000_123, 99_000_000_456_789]  # ns intact
+
+    with pytest.raises(ValueError, match="different plan"):
+        parquet_to_orc(spark, src, out, num_partitions=2)
+    # identical plan re-runs fine (idempotent part names)
+    parquet_to_orc(spark, src, out, num_partitions=1).collect()
+    assert len(glob.glob(f"{out}/part-*.orc")) == 1
+
+    # corrupt marker: clear recovery error, not a JSON parse crash
+    with open(f"{out}/_export_plan.json", "w") as fh:
+        fh.write("{truncated")
+    with pytest.raises(ValueError, match="unreadable export-plan"):
+        parquet_to_orc(spark, src, out, num_partitions=1)
