@@ -203,12 +203,22 @@ def parquet_splits_df(spark: SparkSession, path: str,
         if not splits:
             return spark.createDataFrame([], SPLIT_DDL)
         n_slices = min(n, len(splits))
-        # stride-reorder so parallelize()'s contiguous slices hold every
-        # n-th split: round-robin balance, adjacent row groups of one
-        # file spread across tasks
-        strided = [splits[j] for k in range(n_slices)
-                   for j in range(k, len(splits), n_slices)]
-        rdd = spark.sparkContext.parallelize(strided, n_slices)
+        # LPT bin-packing on row-group BYTES (longest-processing-time:
+        # biggest split to the least-loaded task). Round-robin balances
+        # counts, but web-corpus row groups vary wildly in size — one
+        # task with the fat groups would straggle the whole job. One
+        # bucket per RDD slice, flatMap keeps the placement (narrow).
+        import heapq
+
+        order = sorted(splits, key=lambda r: -r[2])
+        heap = [(0, k) for k in range(n_slices)]
+        buckets: list[list] = [[] for _ in range(n_slices)]
+        for row in order:
+            load, k = heapq.heappop(heap)
+            buckets[k].append(row)
+            heapq.heappush(heap, (load + max(row[2], 1), k))
+        rdd = spark.sparkContext.parallelize(buckets, n_slices) \
+            .flatMap(lambda b: b)
         return spark.createDataFrame(rdd, SPLIT_DDL)
 
     meta_tasks = min(len(files), n)

@@ -166,3 +166,28 @@ def test_parquet_splits_distributed_planning_matches_driver(
     dec = engine.decode_table(enc, schema)
     assert dec.count() == 600
     assert dec.agg(F.sum("x")).collect()[0][0] == sum(range(0, 600))
+
+
+def test_split_planning_byte_balanced(spark, tmp_path):
+    """Driver-mode split planning packs by BYTES (LPT), not counts: a
+    mix of one fat file and many small ones must not land the fat row
+    groups on one task."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "skewed"
+    d.mkdir()
+    # 4 fat row groups (~0.8 MB each) + 12 tiny ones
+    pq.write_table(
+        pa.table({"s": pa.array(["x" * 4000 for _ in range(800)])}),
+        str(d / "fat.parquet"), row_group_size=200)
+    for i in range(3):
+        pq.write_table(pa.table({"s": pa.array(["y"] * 40)}),
+                       str(d / f"tiny{i}.parquet"), row_group_size=10)
+    splits = sources.parquet_splits_df(spark, str(d), num_partitions=4)
+    per_part = (splits.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").agg(F.sum("nbytes").alias("b")).collect())
+    loads = sorted(r.b for r in per_part)
+    assert len(loads) == 4
+    # each task gets exactly one fat group: max/min byte load ~ 1
+    assert loads[-1] < loads[0] * 1.5
