@@ -994,3 +994,68 @@ def test_parquet_to_orc_preserves_nanoseconds_and_guards_plan(
         fh.write("{truncated")
     with pytest.raises(ValueError, match="unreadable export-plan"):
         parquet_to_orc(spark, src, out, num_partitions=1)
+
+
+def test_row_group_reads_property(tmp_path):
+    """Property: for random primitive tables (random null densities,
+    value regimes, string lengths) written by the C++ ORC writer, every
+    random row-group selection decodes exactly the matching slices."""
+    import datetime as dt
+
+    import pyarrow.orc as paorc
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    tmpdir = str(tmp_path)
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        n = data.draw(st.integers(10_001, 16_000))  # >= 2 row groups
+        null_p = data.draw(st.sampled_from([0.0, 0.02, 0.4]))
+
+        card = data.draw(st.sampled_from([5, 5000]))
+
+        def nullify(values):
+            if null_p == 0.0:
+                return values
+            mask = rng.random(n) < null_p
+            return [None if m else v for v, m in zip(values, mask)]
+
+        cols = {
+            "i": pa.array(nullify(rng.integers(-10**12, 10**12, n).tolist()),
+                          pa.int64()),
+            "f": pa.array(nullify(rng.random(n).tolist()), pa.float64()),
+            "b": pa.array(nullify((rng.random(n) > 0.5).tolist()),
+                          pa.bool_()),
+            "s": pa.array(nullify(
+                [f"v{int(v) % card}"
+                 for v in rng.integers(0, 10**6, n)]), pa.string()),
+            "ts": pa.array(nullify(
+                [dt.datetime(2000, 1, 1) + dt.timedelta(seconds=int(v))
+                 for v in rng.integers(0, 10**9, n)]), pa.timestamp("us")),
+        }
+        t = pa.table(cols)
+        counter[0] += 1
+        p = f"{tmpdir}/prop{counter[0]}.orc"
+        paorc.write_table(t, p, compression="zstd",
+                          stripe_size=512 * 1024 * 1024)
+        f = ORCFile(p)
+        stride = f.footer["rowIndexStride"]
+        n_groups = -(-n // stride)
+        k = data.draw(st.integers(1, n_groups))
+        sel = sorted(rng.choice(n_groups, size=k, replace=False).tolist())
+        got = pa.Table.from_batches([f.read_stripe_row_groups(0, sel)])
+        exp = pa.concat_tables(
+            [t.slice(g * stride, stride) for g in sel])
+        for name in t.column_names:
+            a = got.column(name).combine_chunks()
+            b = exp.column(name).combine_chunks()
+            if a.type != b.type:
+                b = b.cast(a.type)
+            assert a.equals(b), (name, sel, null_p)
+
+    run()
