@@ -71,9 +71,15 @@ def synth_real_media_batch(start: int, n: int) -> pa.RecordBatch:
             yy, xx = np.mgrid[0:h, 0:w]
             px = np.stack([(xx * (i + 1)) % 256, (yy * 3 + i) % 256,
                            (xx + yy + i) % 256], axis=-1).astype(np.uint8)
-            payloads.append(encode_bmp(px))
+            # alternate container formats: both real decoders exercised
+            if (i // 3) % 2:
+                payloads.append(encode_png(px))
+                codec = "png"
+            else:
+                payloads.append(encode_bmp(px))
+                codec = "bmp"
             metas.append({"width": w, "height": h, "sample_rate": 0,
-                          "duration_ms": 0, "codec": "bmp"})
+                          "duration_ms": 0, "codec": codec})
         elif kind == "audio":
             ns = 400 + i % 800
             t = np.arange(ns, dtype=np.int64)
@@ -213,15 +219,121 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
             + b"data" + len(body).to_bytes(4, "little") + body)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real pure-numpy PNG decode: non-interlaced 8-bit RGB / RGBA /
+    grayscale (the shapes crawlers actually store), all five scanline
+    filters per the PNG spec §9 (None/Sub/Up/Average/Paeth).
+
+    Returns (height, width, channels) uint8. zlib inflate + a
+    row-sequential unfilter loop (each row's reconstruction depends on
+    the previous reconstructed row, so the loop is inherently serial
+    per image; within a row everything is numpy)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        chunk = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln  # + CRC
+        if typ == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", chunk)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color}"
+                                          " (palette)")
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    c = channels
+    for y in range(height):
+        f = filters[y]
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, np.int32)
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: serial in x
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0
+                b = prev[x]
+                if f == 1:
+                    rec[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth (spec §9.4): c = upper-left neighbor
+                    cc = prev[x - c] if x >= c else 0
+                    pv = a + b - cc
+                    pa_, pb, pc = abs(pv - a), abs(pv - b), abs(pv - cc)
+                    pred = a if pa_ <= pb and pa_ <= pc else \
+                        (b if pb <= pc else cc)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(height, width, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0 rows) — the test fixture generator
+    for decode_png; also a real sink for pixel tensors."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes, meta: dict) -> np.ndarray:
-    """Image decode dispatch: BMP is decoded for real (pure numpy);
-    JPEG/PNG remain STUBS — no imaging library in this container (the
-    production body is `PIL.Image.open(io.BytesIO(payload))`)."""
+    """Image decode dispatch: BMP and PNG (8-bit gray/RGB/RGBA,
+    non-interlaced) decode for real in pure numpy; JPEG remains a STUB
+    — its entropy coding needs a real imaging library (the production
+    body is `PIL.Image.open(io.BytesIO(payload))`)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
-        "JPEG/PNG decoding requires Pillow/libvips; BMP decodes natively, "
-        "fake_decode covers synthetic tests")
+        "JPEG decoding requires Pillow/libvips; BMP and PNG decode "
+        "natively, fake_decode covers synthetic tests")
 
 
 def fake_decode(payload: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -250,8 +362,9 @@ def extract_features(media, use_real_decoders: bool = False):
         feats = np.zeros((n, _FEAT_DIM), np.float64)
         checks = np.zeros(n, np.int64)
         for r in range(n):
-            if kinds[r] == "image" and payloads[r][:2] == b"BM":
-                px = decode_bmp(payloads[r]).ravel()
+            if kinds[r] == "image" and (payloads[r][:2] == b"BM"
+                                        or payloads[r][:8] == _PNG_MAGIC):
+                px = decode_image(payloads[r], {}).ravel()
                 vals = (px >> np.uint8(3)).astype(np.int64)
             elif kinds[r] == "audio" and payloads[r][:4] == b"RIFF":
                 s, _rate = decode_wav(payloads[r])

@@ -172,9 +172,21 @@ def test_multimodal_features_deterministic(spark):
     assert all(abs(sum(r.feature) - 1.0) < 1e-3 for r in f1)
 
 
-def test_multimodal_real_decoder_is_stubbed():
+def test_multimodal_jpeg_still_stubbed_png_real():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG", {})
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg...", {})
+    # PNG now decodes for real (all five scanline filters, pure numpy)
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (21, 13, 3)).astype(np.uint8)
+    got = multimodal.decode_image(multimodal.encode_png(px), {})
+    assert np.array_equal(got, px)
+    # RGBA and grayscale shapes too
+    for shape in ((8, 5, 4), (9, 7, 1)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(
+            multimodal.decode_png(multimodal.encode_png(img)), img)
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\n" + b"junk" * 4)
 
 
 def test_frame_sample_counts(spark):
@@ -211,6 +223,15 @@ def test_real_decoders_in_spark_pipeline(spark):
     assert feats2 == {k: v.checksum for k, v in rows.items()}
     # image checksum equals the driver-side decode of the same payload
     m = {r.id: r for r in media.collect()}
-    img_id = next(i for i, r in m.items() if r.kind == "image")
-    px = multimodal.decode_bmp(bytes(m[img_id].payload))
-    assert rows[img_id].checksum == int(px.astype(np.int64).sum())
+    # verify BOTH image containers (alternating bmp/png payloads)
+    seen = set()
+    for i, r in m.items():
+        if r.kind != "image":
+            continue
+        codec = r.meta.codec
+        if codec in seen:
+            continue
+        seen.add(codec)
+        px = multimodal.decode_image(bytes(r.payload), {})
+        assert rows[i].checksum == int(px.astype(np.int64).sum()), codec
+    assert seen == {"bmp", "png"}
