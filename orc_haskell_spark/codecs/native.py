@@ -24,7 +24,8 @@ import sys
 import tempfile
 
 _SRC_NAMES = ["fsst_kernel.c", "bitpack_kernel.c", "rle2_kernel.c",
-              "rle2_encode_kernel.c", "rle1_kernel.c", "byte_rle_kernel.c"]
+              "rle2_encode_kernel.c", "rle1_kernel.c", "byte_rle_kernel.c",
+              "png_kernel.c"]
 
 
 def _read_sources() -> list[bytes]:
@@ -146,6 +147,9 @@ def load() -> ctypes.CDLL | None:
                                         ctypes.c_long]
         lib.byte_rle_encode.restype = ctypes.c_long
         lib.byte_rle_encode.argtypes = [u8p, ctypes.c_long, u8p]
+        lib.png_unfilter.restype = ctypes.c_long
+        lib.png_unfilter.argtypes = [u8p, ctypes.c_long, ctypes.c_long,
+                                     ctypes.c_long, u8p]
         _lib = lib
     except Exception:
         _lib = None

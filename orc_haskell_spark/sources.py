@@ -144,6 +144,10 @@ def _splits_fn(ranges):
 
 DRIVER_SPLITS_MAX_FILES = 1024
 
+# bump when split->task assignment changes (partition contents key the
+# plan-guarded exports' part names): v1 = stride round-robin, v2 = LPT
+PLANNER_VERSION = "lpt-v2"
+
 
 def parquet_splits_df(spark: SparkSession, path: str,
                       ranges=None, num_partitions: int | None = None
@@ -276,6 +280,9 @@ def guard_export_plan(out_path: str, plan: dict) -> None:
 
     import pyarrow.fs as pafs
 
+    # the packing algorithm determines task split sets and therefore
+    # part names: changing it must invalidate old markers too
+    plan = {**plan, "planner": PLANNER_VERSION}
     plan_key = hashlib.sha256(
         json.dumps(plan, sort_keys=True).encode()).hexdigest()[:16]
     fs, out_local = _resolve_fs(out_path)

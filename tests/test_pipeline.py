@@ -235,3 +235,67 @@ def test_real_decoders_in_spark_pipeline(spark):
         px = multimodal.decode_image(bytes(r.payload), {})
         assert rows[i].checksum == int(px.astype(np.int64).sum()), codec
     assert seen == {"bmp", "png"}
+
+
+def test_png_all_filters_and_error_contract():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) decoded from a
+    spec-filtered fixture built by an INDEPENDENT forward filterer;
+    corrupt payloads raise ValueError (never zlib/struct errors)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+
+    def forward_filter(img, filters):
+        h, w, c = img.shape
+        stride = w * c
+        flat = img.reshape(h, stride).astype(np.int32)
+        out = bytearray()
+        for y in range(h):
+            f = filters[y % len(filters)]
+            out.append(f)
+            for x in range(stride):
+                raw = int(flat[y, x])
+                a = int(flat[y, x - c]) if x >= c else 0
+                b = int(flat[y - 1, x]) if y else 0
+                cc = int(flat[y - 1, x - c]) if (y and x >= c) else 0
+                if f == 0:
+                    v = raw
+                elif f == 1:
+                    v = raw - a
+                elif f == 2:
+                    v = raw - b
+                elif f == 3:
+                    v = raw - ((a + b) >> 1)
+                else:
+                    p = a + b - cc
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa_ <= pb and pa_ <= pc else \
+                        (b if pb <= pc else cc)
+                    v = raw - pred
+                out.append(v & 0xFF)
+        return bytes(out)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    for c, color in ((1, 0), (3, 2), (4, 6)):
+        img = rng.integers(0, 256, (11, 7, c)).astype(np.uint8)
+        raw = forward_filter(img, [0, 1, 2, 3, 4])
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 11, 8,
+                                            color, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        got = multimodal.decode_png(png)
+        assert np.array_equal(got, img), c
+
+    # error contract: ValueError for every corrupt shape
+    magic = b"\x89PNG\r\n\x1a\n"
+    good = multimodal.encode_png(rng.integers(0, 256, (4, 4, 3))
+                                 .astype(np.uint8))
+    for bad in (magic + b"junk" * 4,                       # no chunks
+                good[:40],                                  # truncated IDAT
+                magic + chunk(b"IHDR", b"\x00" * 5)):       # short IHDR
+        with pytest.raises((ValueError, NotImplementedError)):
+            multimodal.decode_png(bad)
