@@ -1,0 +1,183 @@
+"""ORC BLOOM_FILTER_UTF8 support: point-lookup row-group elimination.
+
+The spec's bloom filters hash values with the Java ORC variant of
+Murmur3 (64-bit lanes of x64_128, seed 104729) and set k positions via
+32-bit double hashing. Semantics here are derived from the published
+orc_proto.proto + the ORC specification's bloom filter section and
+CALIBRATED against C++-written files: the hard oracle is that every
+value present in a row group must test positive (a single hash-constant
+mistake makes present values test negative with probability ~1).
+
+The reference reader skips BLOOM_FILTER streams entirely
+(/root/reference/src/Orc/Serial/Binary/Striped.hs stream popper) — this
+module is beyond-parity, paired with the ROW_INDEX positional reads.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+DEFAULT_SEED = 104729
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(h: int) -> int:
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _M64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _M64
+    h ^= h >> 33
+    return h
+
+
+def hash64(data: bytes, seed: int = DEFAULT_SEED) -> int:
+    """Java ORC Murmur3.hash64 over bytes (64-bit lane of x64_128):
+    8-byte little-endian blocks with the body mix, partial tail block
+    mixed without the body rotation, length xor, fmix64."""
+    h = seed & _M64
+    n = len(data)
+    nblocks = n // 8
+    for i in range(nblocks):
+        (k,) = struct.unpack_from("<Q", data, i * 8)
+        k = (k * _C1) & _M64
+        k = _rotl64(k, 31)
+        k = (k * _C2) & _M64
+        h ^= k
+        h = _rotl64(h, 27)
+        h = (h * 5 + 0x52DCE729) & _M64
+    tail = data[nblocks * 8:]
+    if tail:
+        k1 = 0
+        for i in range(len(tail) - 1, -1, -1):
+            k1 = (k1 << 8) | tail[i]
+        k1 = (k1 * _C1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _M64
+        h ^= k1
+    h ^= n
+    return _fmix64(h)
+
+
+def _asr(key: int, n: int) -> int:
+    """Arithmetic (sign-propagating) right shift of a 64-bit value —
+    the C++/Java mix shifts SIGNED longs; a logical shift diverges for
+    any intermediate with the top bit set (calibration symptom: the
+    value 0 and most doubles tested false-negative)."""
+    if key & (1 << 63):
+        return (key >> n) | (_M64 << (64 - n)) & _M64
+    return key >> n
+
+
+def hash64_long(v: int) -> int:
+    """ORC's integer hash is Thomas Wang's 64-bit mix with ARITHMETIC
+    shifts (NOT Murmur — calibrated against C++-written blooms: every
+    present int/double tests positive with this exact variant)."""
+    key = v & _M64
+    key = (~key + (key << 21)) & _M64
+    key = (key ^ _asr(key, 24)) & _M64
+    key = (key + (key << 3) + (key << 8)) & _M64
+    key = (key ^ _asr(key, 14)) & _M64
+    key = (key + (key << 2) + (key << 4)) & _M64
+    key = (key ^ _asr(key, 28)) & _M64
+    key = (key + (key << 31)) & _M64
+    return key
+
+
+def hash64_double(v: float) -> int:
+    """Doubles hash as their IEEE-754 bits through the integer mix."""
+    (bits,) = struct.unpack("<q", struct.pack("<d", v))
+    return hash64_long(bits)
+
+
+def _positions(h64: int, k: int, num_bits: int) -> list[int]:
+    """Java BloomFilter.addHash/testHash double hashing: 32-bit
+    wrapping arithmetic, negative combined -> bitwise complement."""
+    h1 = h64 & 0xFFFFFFFF
+    h2 = (h64 >> 32) & 0xFFFFFFFF
+    out = []
+    for i in range(1, k + 1):
+        combined = (h1 + i * h2) & 0xFFFFFFFF
+        if combined & 0x80000000:  # Java int < 0
+            combined = (~combined) & 0xFFFFFFFF
+        out.append(combined % num_bits)
+    return out
+
+
+class BloomFilterUtf8:
+    """One row group's bloom filter: uint64 word bitset + k."""
+
+    def __init__(self, bitset: np.ndarray, k: int):
+        self.bitset = np.ascontiguousarray(bitset, dtype=np.uint64)
+        self.k = int(k)
+        self.num_bits = self.bitset.size * 64
+
+    @classmethod
+    def from_proto(cls, msg: dict) -> "BloomFilterUtf8 | None":
+        k = msg.get("numHashFunctions", 0)
+        raw = msg.get("utf8bitset")
+        if raw:
+            bits = np.frombuffer(raw, dtype="<u8")
+        elif msg.get("bitset"):
+            bits = np.array(msg["bitset"], dtype=np.uint64)
+        else:
+            return None
+        if not k or not bits.size:
+            return None
+        return cls(bits, k)
+
+    @classmethod
+    def build(cls, expected_n: int, fpp: float = 0.05
+              ) -> "BloomFilterUtf8":
+        n = max(expected_n, 1)
+        m = max(64, int(math.ceil(-n * math.log(fpp)
+                                  / (math.log(2) ** 2))))
+        m = (m + 63) & ~63  # whole 64-bit words
+        k = max(1, int(round(m / n * math.log(2))))
+        return cls(np.zeros(m // 64, dtype=np.uint64), k)
+
+    def _test(self, h64: int) -> bool:
+        for pos in _positions(h64, self.k, self.num_bits):
+            if not (int(self.bitset[pos >> 6])
+                    >> (pos & 63)) & 1:
+                return False
+        return True
+
+    def _add(self, h64: int) -> None:
+        for pos in _positions(h64, self.k, self.num_bits):
+            self.bitset[pos >> 6] |= np.uint64(1 << (pos & 63))
+
+    def add_value(self, v) -> None:
+        self._add(self._hash_value(v))
+
+    def might_contain(self, v) -> bool:
+        return self._test(self._hash_value(v))
+
+    @staticmethod
+    def _hash_value(v) -> int:
+        """ORC value->hash convention: utf8 bytes for strings/binary,
+        the int64 for integral types (dates as days, timestamps as
+        epoch-millis), IEEE bits for doubles."""
+        if isinstance(v, bool):
+            raise TypeError("ORC writes no bloom filters for booleans")
+        if isinstance(v, (bytes, bytearray)):
+            return hash64(bytes(v))
+        if isinstance(v, str):
+            return hash64(v.encode("utf-8"))
+        if isinstance(v, (int, np.integer)):
+            return hash64_long(int(v))
+        if isinstance(v, (float, np.floating)):
+            return hash64_double(float(v))
+        raise TypeError(f"no ORC bloom hash for {type(v)}")
+
+    def to_proto(self) -> dict:
+        return {"numHashFunctions": self.k,
+                "utf8bitset": self.bitset.tobytes()}

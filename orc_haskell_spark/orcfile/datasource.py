@@ -169,7 +169,13 @@ class OrcFileReader(DataSourceReader):
                 n = orc.stripes[stripe]["numberOfRows"]
                 keep = set(range(-(-n // stride)))
                 for col, lo, hi in self._ranges:
-                    keep &= set(orc.prune_row_groups(stripe, col, lo, hi))
+                    if lo is not None and lo == hi:
+                        # equality: min/max stats AND bloom membership
+                        keep &= set(orc.prune_row_groups_eq(
+                            stripe, col, lo))
+                    else:
+                        keep &= set(orc.prune_row_groups(
+                            stripe, col, lo, hi))
                 if len(keep) < -(-n // stride):
                     if not keep:
                         import pyarrow as pa

@@ -110,6 +110,14 @@ SCHEMAS: dict[str, dict[int, tuple[str, str]]] = {
         4: ("stringStatistics", "msg:StringStatistics"),
         10: ("hasNull", "uint"),
     },
+    "BloomFilter": {
+        1: ("numHashFunctions", "uint"),
+        2: ("bitset", "fixed64*"),
+        3: ("utf8bitset", "bytes"),
+    },
+    "BloomFilterIndex": {
+        1: ("bloomFilter", "msg:BloomFilter*"),
+    },
     "RowIndex": {
         1: ("entry", "msg:RowIndexEntry*"),
     },
@@ -183,6 +191,13 @@ def decode(msg_name: str, buf: bytes) -> dict:
             name, kind = spec
             rep = kind.endswith("*")
             base = kind[:-1] if rep else kind
+            if base == "fixed64":  # packed repeated fixed64
+                import struct as _struct
+
+                vals = list(_struct.unpack(f"<{ln // 8}Q",
+                                           payload[:(ln // 8) * 8]))
+                out.setdefault(name, []).extend(vals)
+                continue
             if base == "uint":  # packed repeated varints
                 vals, p = [], 0
                 while p < ln:
@@ -203,11 +218,13 @@ def decode(msg_name: str, buf: bytes) -> dict:
             else:
                 out[name] = val
         elif wire == 1:
-            if spec is not None and spec[1].rstrip("*") == "double":
+            if spec is not None and spec[1].rstrip("*") in ("double",
+                                                            "fixed64"):
                 import struct as _struct
 
                 name = spec[0]
-                val = _struct.unpack_from("<d", buf, pos)[0]
+                fmt = "<d" if spec[1].rstrip("*") == "double" else "<Q"
+                val = _struct.unpack_from(fmt, buf, pos)[0]
                 if spec[1].endswith("*"):
                     out.setdefault(name, []).append(val)
                 else:

@@ -837,7 +837,8 @@ class ORCFile:
         info = self.stripes[i]
         ilen = info.get("indexLength", 0)
         ri_end = max((st + ln for (c, k), (st, ln) in spans.items()
-                      if k == "ROW_INDEX"), default=0)
+                      if k in ("ROW_INDEX", "BLOOM_FILTER",
+                               "BLOOM_FILTER_UTF8")), default=0)
         length = ilen if ri_end <= ilen else (ilen + info["dataLength"])
         out = (self._read_range(info["offset"], length), 0)
         self._index_cache = {i: out}
@@ -870,6 +871,47 @@ class ORCFile:
             ri = proto.decode("RowIndex", decompress_stream(
                 data[start - base:start - base + ln], self.compression))
             out[col] = ri.get("entry", [])
+        return out
+
+    def read_bloom_index(self, i: int, column: str) -> list:
+        """Per-row-group BloomFilterUtf8 list for ``column`` in stripe
+        ``i`` (entries may be None), or [] when the column carries no
+        bloom stream. Index-region IO only."""
+        from . import bloom as bloom_mod
+
+        sfoot, spans = self._stripe_meta(i)
+        root = self.footer["types"][0]
+        col = root["subtypes"][root["fieldNames"].index(column)]
+        span = spans.get((col, "BLOOM_FILTER_UTF8")) \
+            or spans.get((col, "BLOOM_FILTER"))
+        if span is None:
+            return []
+        data, base = self._index_region(i, spans)
+        start, ln = span
+        bfi = proto.decode("BloomFilterIndex", decompress_stream(
+            data[start - base:start - base + ln], self.compression))
+        return [bloom_mod.BloomFilterUtf8.from_proto(m)
+                for m in bfi.get("bloomFilter", [])]
+
+    def prune_row_groups_eq(self, i: int, column: str, value
+                            ) -> list[int]:
+        """Row groups that may contain column == value: min/max stat
+        elimination INTERSECTED with bloom-filter membership when the
+        file carries BLOOM_FILTER_UTF8 streams (hash semantics
+        calibrated bit-exact against the C++ implementation — zero
+        false negatives guaranteed, so intersection is safe)."""
+        keep = self.prune_row_groups(i, column, value, value)
+        blooms = self.read_bloom_index(i, column)
+        if not blooms:
+            return keep
+        out = []
+        for g in keep:
+            b = blooms[g] if g < len(blooms) else None
+            try:
+                if b is None or b.might_contain(value):
+                    out.append(g)
+            except TypeError:
+                out.append(g)  # unhashable type for blooms: keep
         return out
 
     def prune_row_groups(self, i: int, column: str, lo=None, hi=None

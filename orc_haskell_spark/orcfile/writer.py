@@ -576,13 +576,37 @@ def write_raw_stripe(where, types: list[dict],
             out.close()
 
 
+def _bloom_values(arr: pa.Array, kind: str) -> list:
+    """Column values in the ORC bloom hash domain (calibrated against
+    the C++ writer): utf8 strings / bytes as-is, integer family and
+    DATE as int64, floats widened to double, TIMESTAMP as epoch
+    MILLIseconds."""
+    dense = arr.drop_null() if arr.null_count else arr
+    if kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
+        return dense.to_pylist()
+    if kind in ("BYTE", "SHORT", "INT", "LONG"):
+        return [int(v) for v in dense.cast(pa.int64()).to_pylist()]
+    if kind == "DATE":
+        return [int(v) for v in dense.cast(pa.int32()).to_pylist()]
+    if kind in ("FLOAT", "DOUBLE"):
+        return [float(v) for v in dense.cast(pa.float64()).to_pylist()]
+    if kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+        us = dense.cast(pa.timestamp("us", tz=dense.type.tz)) \
+            .cast(pa.int64()).to_pylist()
+        return [int(v) // 1000 for v in us]
+    raise NotImplementedError(
+        f"ORC bloom filters are not written for {kind} columns")
+
+
 def write_orc(data, where, compression: str = "ZLIB",
               stripe_rows: int = 64 * 1024,
               block_size: int = 256 * 1024,
               dict_ratio: float = 0.5,
               stripe_bytes: int = 64 << 20,
               schema: pa.Schema | None = None,
-              row_index_stride: int = 10000) -> dict:
+              row_index_stride: int = 10000,
+              bloom_filter_columns: list[str] | None = None,
+              bloom_filter_fpp: float = 0.05) -> dict:
     """Write a Table / RecordBatch / ITERATOR of RecordBatches as a real
     ORC file. Returns a summary dict {stripes, bytes, rows}.
 
@@ -634,6 +658,19 @@ def write_orc(data, where, compression: str = "ZLIB",
     indexed = bool(row_index_stride) and all(
         proto.KIND_NAME[types[sub].get("kind", 0)] in _INDEXABLE_KINDS
         for sub in types[0].get("subtypes", []))
+    if bloom_filter_columns and not indexed:
+        raise ValueError("bloom filters require an indexed file "
+                         "(row_index_stride > 0, primitive schema)")
+    bloom_ids = set()
+    if bloom_filter_columns:
+        root_names = types[0].get("fieldNames", [])
+        for cname in bloom_filter_columns:
+            sub = types[0]["subtypes"][root_names.index(cname)]
+            kind = proto.KIND_NAME[types[sub].get("kind", 0)]
+            if kind == "BOOLEAN" or kind == "DECIMAL":
+                raise NotImplementedError(
+                    f"ORC bloom filters are not written for {kind}")
+            bloom_ids.add(sub)
 
     out = open(where, "wb") if isinstance(where, str) else where
     pos = 0
@@ -725,6 +762,31 @@ def write_orc(data, where, compression: str = "ZLIB",
                         {"kind": proto.STREAM_KIND["ROW_INDEX"],
                          "column": sub, "length": len(ri)})
                     w(ri)
+                    if sub in bloom_ids:
+                        from . import bloom as bloom_mod
+
+                        kind2 = proto.KIND_NAME[types[sub].get("kind", 0)]
+                        idx2 = types[0]["subtypes"].index(sub)
+                        col_arr = chunk.column(idx2)
+                        bfs = []
+                        for g in range(n_groups):
+                            grp = col_arr.slice(g * row_index_stride,
+                                                row_index_stride)
+                            vals = _bloom_values(grp, kind2)
+                            bf = bloom_mod.BloomFilterUtf8.build(
+                                len(vals), bloom_filter_fpp)
+                            for v in vals:
+                                bf.add_value(v)
+                            bfs.append(bf.to_proto())
+                        bb = compress_stream(
+                            proto.encode("BloomFilterIndex",
+                                         {"bloomFilter": bfs}),
+                            compression, block_size)
+                        stream_protos.append(
+                            {"kind":
+                             proto.STREAM_KIND["BLOOM_FILTER_UTF8"],
+                             "column": sub, "length": len(bb)})
+                        w(bb)
                 index_len = pos - offset
                 for col, kind, comp in comp_streams:
                     stream_protos.append(

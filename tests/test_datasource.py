@@ -136,3 +136,35 @@ def test_datasource_row_group_pruning_exact(spark, tmp_path):
     parts2 = r2.partitions()
     got2 = sum(b.num_rows for p2 in parts2 for b in r2.read(p2))
     assert got2 == 0
+
+
+def test_datasource_bloom_equality_pruning(spark, tmp_path):
+    """An EqualTo pushed filter probes bloom filters inside kept
+    stripes: a value absent from every group decodes ZERO rows even
+    though min/max stats alone would keep groups; results stay exact."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "orcbl")
+    os.makedirs(d)
+    # unsorted strings: stats can't prune, blooms can
+    t = pa.table({"u": pa.array([f"user-{(i * 7919) % 5000}"
+                                 for i in range(30000)]),
+                  "k": pa.array(range(30000))})
+    p = os.path.join(d, "part-0.orc")
+    write_orc(t, p, compression="ZSTD", stripe_rows=65536,
+              bloom_filter_columns=["u"])
+
+    r = OrcFileReader([p], None)
+    from pyspark.sql.datasource import EqualTo
+    list(r.pushFilters([EqualTo(("u",), "user-does-not-exist")]))
+    parts = r.partitions()
+    n_read = sum(b.num_rows for pt in parts for b in r.read(pt))
+    assert n_read == 0  # bloom eliminated every group, stats couldn't
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcFileDataSource)
+    df = spark.read.format("orcfile").load(d)
+    assert df.filter(F.col("u") == "user-does-not-exist").count() == 0
+    present = df.filter(F.col("u") == "user-123")
+    exp = sum(1 for i in range(30000) if (i * 7919) % 5000 == 123)
+    assert present.count() == exp

@@ -1059,3 +1059,85 @@ def test_row_group_reads_property(tmp_path):
             assert a.equals(b), (name, sel, null_p)
 
     run()
+
+
+def test_bloom_filters_cross_validated_with_cpp(tmp_path):
+    """BLOOM_FILTER_UTF8 hashing calibrated bit-exact against the C++
+    writer: every present int/string/double value tests positive (zero
+    false negatives — the property a single hash mistake destroys) and
+    absent values are mostly negative at the configured fpp."""
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table("/root/testdata/sf0.01/lineitem.parquet")
+    names = t.column_names
+    p = str(tmp_path / "bl.orc")
+    paorc.write_table(
+        t, p, compression="zstd", bloom_filter_fpp=0.05,
+        bloom_filter_columns=[names.index("l_orderkey") + 1,
+                              names.index("l_returnflag") + 1,
+                              names.index("l_extendedprice") + 1])
+    f = ORCFile(p)
+    stride = f.footer["rowIndexStride"]
+    for col, conv in (("l_orderkey", int), ("l_returnflag", str),
+                      ("l_extendedprice", float)):
+        blooms = f.read_bloom_index(0, col)
+        assert blooms and all(b is not None for b in blooms)
+        vals = t.column(col).to_pylist()
+        fn = sum(0 if blooms[g].might_contain(conv(v)) else 1
+                 for g in range(len(blooms))
+                 for v in set(vals[g * stride:(g + 1) * stride]))
+        assert fn == 0, col
+    rng = np.random.default_rng(1)
+    bl = f.read_bloom_index(0, "l_orderkey")[0]
+    fp = sum(1 for v in rng.integers(10**9, 10**10, 400)
+             if bl.might_contain(int(v)))
+    assert fp < 40  # ~2-6% observed at fpp=0.05
+    # no bloom stream -> empty list, eq-pruning falls back to stats
+    assert f.read_bloom_index(0, "l_partkey") == []
+    assert f.prune_row_groups_eq(0, "l_partkey", 1) \
+        == f.prune_row_groups(0, "l_partkey", 1, 1)
+
+
+def test_own_writer_bloom_filters(tmp_path):
+    """Our writer's blooms: zero false negatives via our reader, absent
+    values mostly negative, equality pruning narrows to the right
+    groups, and the C++ reader still full-reads the file."""
+    import datetime as dt
+
+    import pyarrow.orc as paorc
+
+    n = 30000
+    rng = np.random.default_rng(4)
+    t = pa.table({
+        "k": pa.array(range(n)),
+        "s": pa.array([f"user-{i % 7000}" for i in range(n)]),
+        "f": pa.array(rng.random(n)),
+        "ts": pa.array([dt.datetime(2022, 1, 1)
+                        + dt.timedelta(seconds=i) for i in range(n)],
+                       pa.timestamp("us")),
+    })
+    p = str(tmp_path / "own_bloom.orc")
+    write_orc(t, p, compression="ZSTD",
+              bloom_filter_columns=["k", "s", "f", "ts"])
+    f = ORCFile(p)
+    stride = f.footer["rowIndexStride"]
+    for col, conv in (("k", int), ("s", str), ("f", float)):
+        blooms = f.read_bloom_index(0, col)
+        vals = t.column(col).to_pylist()
+        fn = sum(0 if blooms[g].might_contain(conv(v)) else 1
+                 for g in range(len(blooms))
+                 for v in set(vals[g * stride:(g + 1) * stride]))
+        assert fn == 0, col
+    # equality pruning: k is sorted -> exactly one group survives
+    assert f.prune_row_groups_eq(0, "k", 15000) == [1]
+    # value in no group: bloom kills groups stats alone would keep
+    assert f.prune_row_groups_eq(0, "s", "user-99999") == []
+    bl = f.read_bloom_index(0, "k")[0]
+    fp = sum(1 for v in rng.integers(10**8, 10**9, 400)
+             if bl.might_contain(int(v)))
+    assert fp < 40
+    # C++ still reads the file whole
+    cpp = paorc.ORCFile(p).read()
+    assert cpp.num_rows == n
+    assert cpp.column("k").to_pylist() == list(range(n))
