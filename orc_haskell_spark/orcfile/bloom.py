@@ -93,9 +93,30 @@ def hash64_long(v: int) -> int:
 
 
 def hash64_double(v: float) -> int:
-    """Doubles hash as their IEEE-754 bits through the integer mix."""
+    """Doubles hash as their IEEE-754 bits through the integer mix.
+    -0.0 normalizes to 0.0 first: Spark SQL equality treats them equal,
+    and distinct bit patterns would let pruning drop -0.0 rows on an
+    == 0.0 probe."""
+    if v == 0.0:
+        v = 0.0
     (bits,) = struct.unpack("<q", struct.pack("<d", v))
     return hash64_long(bits)
+
+
+def hash64_long_array(vals: np.ndarray) -> np.ndarray:
+    """Vectorized Wang mix over int64 arrays (writer hot path). Bitwise
+    identical to hash64_long: numpy's int64 >> is arithmetic, matching
+    the C++/Java signed shifts."""
+    key = vals.astype(np.int64)
+    with np.errstate(over="ignore"):
+        key = ~key + (key << np.int64(21))
+        key ^= key >> np.int64(24)
+        key = key + (key << np.int64(3)) + (key << np.int64(8))
+        key ^= key >> np.int64(14)
+        key = key + (key << np.int64(2)) + (key << np.int64(4))
+        key ^= key >> np.int64(28)
+        key = key + (key << np.int64(31))
+    return key.view(np.uint64)
 
 
 def _positions(h64: int, k: int, num_bits: int) -> list[int]:
@@ -157,6 +178,20 @@ class BloomFilterUtf8:
 
     def add_value(self, v) -> None:
         self._add(self._hash_value(v))
+
+    def add_hashes(self, h64s: np.ndarray) -> None:
+        """Vectorized bulk insert of uint64 hashes."""
+        h1 = (h64s & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        h2 = (h64s >> np.uint64(32)).astype(np.uint32)
+        for i in range(1, self.k + 1):
+            with np.errstate(over="ignore"):
+                combined = (h1 + np.uint32(i) * h2).astype(np.uint32)
+            neg = (combined & np.uint32(0x80000000)) != 0
+            combined = np.where(neg, ~combined, combined)
+            pos = combined % np.uint32(self.num_bits)
+            np.bitwise_or.at(self.bitset, pos >> np.uint32(6),
+                             np.uint64(1) << (pos & np.uint32(63))
+                             .astype(np.uint64))
 
     def might_contain(self, v) -> bool:
         return self._test(self._hash_value(v))

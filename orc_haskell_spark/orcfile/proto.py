@@ -194,8 +194,11 @@ def decode(msg_name: str, buf: bytes) -> dict:
             if base == "fixed64":  # packed repeated fixed64
                 import struct as _struct
 
-                vals = list(_struct.unpack(f"<{ln // 8}Q",
-                                           payload[:(ln // 8) * 8]))
+                if ln % 8:
+                    raise ValueError(
+                        f"packed fixed64 field {name} length {ln} "
+                        f"is not a multiple of 8 (corrupt message)")
+                vals = list(_struct.unpack(f"<{ln // 8}Q", payload))
                 out.setdefault(name, []).extend(vals)
                 continue
             if base == "uint":  # packed repeated varints

@@ -882,8 +882,11 @@ class ORCFile:
         sfoot, spans = self._stripe_meta(i)
         root = self.footer["types"][0]
         col = root["subtypes"][root["fieldNames"].index(column)]
-        span = spans.get((col, "BLOOM_FILTER_UTF8")) \
-            or spans.get((col, "BLOOM_FILTER"))
+        # UTF8 streams ONLY: legacy BLOOM_FILTER strings were hashed in
+        # the writer JVM's default charset (the bug ORC-101 fixed), so
+        # probing them with utf-8 hashes could false-negative and drop
+        # matching groups
+        span = spans.get((col, "BLOOM_FILTER_UTF8"))
         if span is None:
             return []
         data, base = self._index_region(i, spans)
@@ -903,6 +906,29 @@ class ORCFile:
         keep = self.prune_row_groups(i, column, value, value)
         blooms = self.read_bloom_index(i, column)
         if not blooms:
+            return keep
+        # coerce the probe into the COLUMN's hash domain (the writer
+        # hashed column values, not query-literal types): an int probe
+        # of a DOUBLE column must hash as a double, and vice versa
+        root = self.footer["types"][0]
+        col = root["subtypes"][root["fieldNames"].index(column)]
+        kind = proto.KIND_NAME[self.footer["types"][col].get("kind", 0)]
+        try:
+            if kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
+                if isinstance(value, float) and not value.is_integer():
+                    return []  # a non-integral literal matches no int
+                value = int(value)
+            elif kind in ("FLOAT", "DOUBLE"):
+                value = float(value)
+            elif kind in ("STRING", "VARCHAR", "CHAR"):
+                if not isinstance(value, str):
+                    return keep  # unexpected literal: stats only
+            elif kind == "BINARY":
+                if not isinstance(value, (bytes, bytearray)):
+                    return keep
+            else:
+                return keep  # timestamps etc: probe domain ambiguous
+        except (TypeError, ValueError):
             return keep
         out = []
         for g in keep:

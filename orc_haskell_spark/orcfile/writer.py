@@ -591,9 +591,14 @@ def _bloom_values(arr: pa.Array, kind: str) -> list:
     if kind in ("FLOAT", "DOUBLE"):
         return [float(v) for v in dense.cast(pa.float64()).to_pylist()]
     if kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
-        us = dense.cast(pa.timestamp("us", tz=dense.type.tz)) \
-            .cast(pa.int64()).to_pylist()
-        return [int(v) // 1000 for v in us]
+        # derive epoch millis from the raw int64 in the column's own
+        # unit: a safe ns->us cast would RAISE on true-ns values the
+        # non-bloom write path stores fine
+        unit = dense.type.unit
+        div = {"s": 1, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+        mul = 1000 if unit == "s" else 1
+        raw = dense.cast(pa.int64()).to_pylist()
+        return [int(v) * mul // div for v in raw]
     raise NotImplementedError(
         f"ORC bloom filters are not written for {kind} columns")
 
@@ -772,11 +777,24 @@ def write_orc(data, where, compression: str = "ZLIB",
                         for g in range(n_groups):
                             grp = col_arr.slice(g * row_index_stride,
                                                 row_index_stride)
-                            vals = _bloom_values(grp, kind2)
+                            # hash UNIQUE values only (bloom adds are
+                            # idempotent) and use the vectorized Wang
+                            # mix for integer-domain columns
+                            import pyarrow.compute as pc2
+
+                            uniq = pc2.unique(
+                                grp.combine_chunks()
+                                if isinstance(grp, pa.ChunkedArray)
+                                else grp)
+                            vals = _bloom_values(uniq, kind2)
                             bf = bloom_mod.BloomFilterUtf8.build(
                                 len(vals), bloom_filter_fpp)
-                            for v in vals:
-                                bf.add_value(v)
+                            if vals and isinstance(vals[0], int):
+                                bf.add_hashes(bloom_mod.hash64_long_array(
+                                    np.array(vals, np.int64)))
+                            else:
+                                for v in vals:
+                                    bf.add_value(v)
                             bfs.append(bf.to_proto())
                         bb = compress_stream(
                             proto.encode("BloomFilterIndex",

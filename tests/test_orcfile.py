@@ -1141,3 +1141,36 @@ def test_own_writer_bloom_filters(tmp_path):
     cpp = paorc.ORCFile(p).read()
     assert cpp.num_rows == n
     assert cpp.column("k").to_pylist() == list(range(n))
+
+
+def test_bloom_edge_cases_negative_zero_ns_and_domains(tmp_path):
+    """Review-found edge cases: -0.0 probes match rows written as -0.0
+    (Spark equality semantics); bloom-enabled writes of true-ns
+    timestamps don't crash; cross-domain probes (int literal on DOUBLE
+    column and vice versa) coerce into the column's hash domain."""
+    t = pa.table({"f": pa.array([-0.0, 1.5] * 6000),
+                  "i": pa.array([3, 7] * 6000)})
+    p = str(tmp_path / "edge.orc")
+    write_orc(t, p, bloom_filter_columns=["f", "i"])
+    f = ORCFile(p)
+    assert f.prune_row_groups_eq(0, "f", 0.0) == \
+        f.prune_row_groups(0, "f", 0.0, 0.0)
+    assert f.prune_row_groups_eq(0, "f", 3) == []      # absent, coerced
+    assert f.prune_row_groups_eq(0, "i", 3.0) == \
+        f.prune_row_groups(0, "i", 3, 3)               # float->int probe
+    assert f.prune_row_groups_eq(0, "i", 3.5) == []    # non-integral
+
+    t2 = pa.table({"ts": pa.array([1_000_000_001] * 12000,
+                                  pa.timestamp("ns"))})
+    write_orc(t2, str(tmp_path / "ns.orc"), bloom_filter_columns=["ts"])
+
+    # vectorized insert must equal scalar insert bit-for-bit
+    from orc_haskell_spark.orcfile import bloom as bm
+
+    vals = np.random.default_rng(2).integers(-10**12, 10**12, 3000)
+    b1 = bm.BloomFilterUtf8.build(3000)
+    b2 = bm.BloomFilterUtf8.build(3000)
+    for v in vals:
+        b1.add_value(int(v))
+    b2.add_hashes(bm.hash64_long_array(vals.astype(np.int64)))
+    assert np.array_equal(b1.bitset, b2.bitset)
