@@ -329,6 +329,38 @@ def _parquet_to_orc_roundtrip(spark: SparkSession,
     return df.select(*cols)
 
 
+def _orcfile_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookup through the orcfile DataSource: one
+    big stripe, blooms on an UNSORTED string column (min/max stats
+    cannot prune), pushed EqualTo probes eliminate non-matching row
+    groups; oracle = the same WHERE in SQL."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq2
+
+    from orc_haskell_spark.orcfile.datasource import OrcFileDataSource
+    from orc_haskell_spark.orcfile.writer import write_orc
+
+    _ensure_worker_imports(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(OrcFileDataSource)
+    except Exception:
+        pass
+    d = tempfile.mkdtemp(prefix="orcbl_")
+    t = pq2.read_table(f"{sf_dir}/orders.parquet")
+    write_orc(t, os.path.join(d, "part-0.orc"), compression="ZSTD",
+              stripe_rows=1 << 20,
+              bloom_filter_columns=["o_orderpriority", "o_custkey"])
+    df = spark.read.format("orcfile").load(d)
+    return (df.filter(F.col("o_orderpriority") == "1-URGENT")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("o_totalprice"), 1).alias("sum_price"),
+                 F.min("o_orderkey").alias("min_ok")))
+
+
 def _orcfile_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-group-granular reads through the orcfile DataSource: one big
     stripe, a selective range filter — ROW_INDEX positional seek decodes
@@ -416,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orcfile_pruned_scan_lineitem"] = _orcfile_pruned_scan
     q["orcfile_datasource_lineitem"] = _orcfile_datasource_scan
     q["orcfile_rowgroup_scan_lineitem"] = _orcfile_rowgroup_scan
+    q["orcfile_bloom_scan_orders"] = _orcfile_bloom_scan
     q["parquet_to_orc_orders"] = _parquet_to_orc_roundtrip
     q["orcfile_cpp_read_lineitem"] = _mk_orcfile_cpp_cross("lineitem")
     q["orcfile_cpp_read_documents"] = _mk_orcfile_cpp_cross("documents")
@@ -640,6 +673,11 @@ FROM sess GROUP BY user_id, sid"""
         "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 "
         "GROUP BY l_returnflag")
     o["parquet_to_orc_orders"] = _select_sql("orders")
+    o["orcfile_bloom_scan_orders"] = (
+        "SELECT o_orderstatus, COUNT(*) AS cnt, "
+        "ROUND(SUM(o_totalprice), 1) AS sum_price, "
+        "MIN(o_orderkey) AS min_ok FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus")
     o["orcfile_rowgroup_scan_lineitem"] = (
         "SELECT l_linestatus, COUNT(*) AS cnt, "
         "ROUND(SUM(l_extendedprice), 1) AS sum_price, "
