@@ -152,6 +152,27 @@ def _fused_transcode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{tmp}/out")
 
 
+def _fused_orc_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine.encode_orc: fused scan+encode over REAL ORC files (the
+    worker decodes stripes with the pure-Python ORC reader and encodes
+    in place, zero payload crossing); decode back; oracle = SELECT."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq2
+
+    from orc_haskell_spark.orcfile.writer import write_orc
+
+    _ensure_worker_imports(spark)
+    d = tempfile.mkdtemp(prefix="ohs_orcenc_")
+    t = pq2.read_table(f"{sf_dir}/orders.parquet")
+    write_orc(t, os.path.join(d, "part-0.orc"), compression="ZSTD",
+              stripe_rows=8192)
+    enc = engine.encode_orc(spark, d, stripe_rows=_STRIPE_ROWS)
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    return engine.decode_table(enc, schema).select(*_TABLE_COLS["orders"])
+
+
 def _fused_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused Python-side scan+encode (engine.encode_parquet): pyarrow
     reads the parquet row groups inside the encoding worker, so payload
@@ -460,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fused_roundtrip_documents"] = _fused_roundtrip_documents
     q["fused_sink_roundtrip_documents"] = _fused_sink_roundtrip_documents
     q["fused_transcode_documents"] = _fused_transcode_documents
+    q["fused_orc_encode_orders"] = _fused_orc_encode_orders
 
     # ---- training-data pipeline operators (dedup / similarity / text / media)
     q["dedup_exact_documents"] = lambda s, d: dedup.exact_dedup(
@@ -640,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
     o["fused_roundtrip_documents"] = _select_sql("documents")
     o["fused_sink_roundtrip_documents"] = _select_sql("documents")
     o["fused_transcode_documents"] = _select_sql("documents")
+    o["fused_orc_encode_orders"] = _select_sql("orders")
     o["roundtrip_nocomp_events"] = _select_sql("events")
     o["roundtrip_zlib_orders"] = _select_sql("orders")
     o["orcfile_roundtrip_lineitem"] = _select_sql("lineitem")

@@ -532,3 +532,50 @@ def salted_agg(df, key_cols, agg_exprs: dict, buckets: int = 16):
             raise ValueError(f"not re-aggregable: {fn}")
     partial = salted_df.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def encode_orc(spark, path: str, columns: list[str] | None = None,
+               stripe_rows: int = DEFAULT_STRIPE_ROWS,
+               stripe_bytes: int = DEFAULT_STRIPE_BYTES,
+               config: dict | None = None,
+               tasks_per_partition: int = 1):
+    """Fused Python-side scan+encode over REAL ORC files: the ORC
+    twin of encode_parquet. The driver reads file tails only to plan
+    (file, stripe) tasks; each worker decodes its stripes with the
+    pure-Python ORC reader and encodes them in place — payload bytes
+    never cross the JVM. ``columns`` projects at the ORC byte level
+    (unrequested subtrees are never decompressed)."""
+    from .orcfile.spark_source import _list_orc_files
+
+    files = _list_orc_files(path)
+    if not files:
+        raise ValueError(f"no .orc files under {path}")
+    tasks = []
+    for f in files:
+        from .orcfile.reader import ORCFile
+
+        orc = ORCFile(f)  # tail-only
+        tasks.extend((f, i) for i in range(len(orc.stripes)))
+    if not tasks:
+        return spark.createDataFrame([], ENCODED_DDL)
+    task_df = spark.createDataFrame(tasks, "file string, stripe int") \
+        .repartition(max(1, len(tasks) // max(tasks_per_partition, 1)))
+
+    def scan_encode(batches: Iterator[pa.RecordBatch]
+                    ) -> Iterator[pa.RecordBatch]:
+        from .orcfile.reader import ORCFile as OF
+
+        clamp_worker_threads()
+        enc = make_encode_fn(stripe_rows, stripe_bytes, config)
+
+        def scan() -> Iterator[pa.RecordBatch]:
+            opened: dict[str, OF] = {}
+            for b in batches:
+                for f, i in zip(b.column("file").to_pylist(),
+                                b.column("stripe").to_pylist()):
+                    orc = opened.get(f) or opened.setdefault(f, OF(f))
+                    yield _spark_safe_batch(orc.read_stripe(i, columns))
+
+        yield from enc(scan())
+
+    return task_df.mapInArrow(scan_encode, ENCODED_DDL)

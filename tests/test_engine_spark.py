@@ -437,3 +437,37 @@ def test_fused_metrics_and_vacuum(spark, tmp_path):
     dec = engine.decode_table(manifest.read_fused_encoded(spark, out),
                               spark.read.parquet(src).schema)
     assert dec.count() == 1000
+
+
+def test_encode_orc_fused_roundtrip(spark, tmp_path):
+    """encode_orc: fused scan+encode over real ORC files — decode
+    equals the source table; column projection holds."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from orc_haskell_spark.orcfile.writer import write_orc
+
+    t = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    d = str(tmp_path / "orcdir")
+    os.makedirs(d)
+    write_orc(t.slice(0, 800), f"{d}/a.orc", stripe_rows=256)
+    write_orc(t.slice(800), f"{d}/b.orc", stripe_rows=256)
+    enc = engine.encode_orc(spark, d, stripe_rows=512)
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    dec = engine.decode_table(
+        enc, spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet").schema) \
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    _assert_same_rows(src, dec, "o_orderkey")
+
+    slim = engine.encode_orc(spark, d, columns=["o_orderkey", "o_custkey"])
+    from pyspark.sql.types import StructType
+
+    full_schema = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet").schema
+    sub = StructType([full_schema["o_orderkey"], full_schema["o_custkey"]])
+    dec2 = engine.decode_table(slim, sub)
+    assert sorted(dec2.columns) == ["o_custkey", "o_orderkey"]
+    assert dec2.count() == t.num_rows
