@@ -5,6 +5,7 @@ streaming encode (reference leak-test analog); decimal128 roundtrip.
 from __future__ import annotations
 
 import io
+import os
 import subprocess
 import sys
 import textwrap
@@ -231,7 +232,9 @@ assert np.array_equal(
     rle2.decode(np.frombuffer(rle2.encode(v, True), np.uint8), True), v)
 print("OK")
 """
+    env = {k: v for k, v in os.environ.items()
+           if k != "ORC_HS_NO_NATIVE"}  # this test IS the compile path
     r = subprocess.run([sys.executable, "-c", code, str(tmp_path)],
                        capture_output=True, text=True, cwd="/tmp",
-                       timeout=240)
+                       timeout=240, env=env)
     assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-1500:]
