@@ -1174,3 +1174,35 @@ def test_bloom_edge_cases_negative_zero_ns_and_domains(tmp_path):
         b1.add_value(int(v))
     b2.add_hashes(bm.hash64_long_array(vals.astype(np.int64)))
     assert np.array_equal(b1.bitset, b2.bitset)
+
+
+def test_index_region_corruption_never_silent(tmp_path):
+    """Seeded bit flips inside the index region (ROW_INDEX + bloom
+    streams): row-group reads and bloom probes must either raise or
+    return the right row COUNT — never hang, never crash the process.
+    (The stats inside entries may change -> pruning may keep more or
+    fewer groups, which is fine; decoding a chosen group must not
+    silently yield a wrong-shaped result.)"""
+    t = pa.table({"k": pa.array(range(30000)),
+                  "s": pa.array([f"x{i % 100}" for i in range(30000)])})
+    p = str(tmp_path / "fz.orc")
+    write_orc(t, p, compression="ZSTD", bloom_filter_columns=["s"])
+    raw = bytearray(open(p, "rb").read())
+    f0 = ORCFile(p)
+    off = f0.stripes[0]["offset"]
+    ilen = f0.stripes[0]["indexLength"]
+    rng = np.random.default_rng(7)
+    silent = 0
+    for _ in range(40):
+        b = bytearray(raw)
+        i = off + int(rng.integers(0, ilen))
+        b[i] ^= int(rng.integers(1, 256))
+        try:
+            f = ORCFile(bytes(b))
+            got = f.read_stripe_row_groups(0, [1])
+            if got.num_rows != 10000:
+                silent += 1
+            f.prune_row_groups_eq(0, "s", "x42")
+        except Exception:
+            pass  # loud failure is acceptable
+    assert silent == 0
