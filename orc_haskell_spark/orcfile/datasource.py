@@ -119,8 +119,17 @@ class OrcFileReader(DataSourceReader):
         from .reader import ORCFile
 
         parts = []
+        schema0 = None
         for f in self._file_list:
             orc = ORCFile(f)  # tail-only metadata
+            # mixed-schema directories must fail at PLANNING with the
+            # offending file named, not as a task-side cast error
+            if schema0 is None:
+                schema0 = orc.schema
+            elif not schema0.equals(orc.schema):
+                raise ValueError(
+                    f"schema mismatch in {f!r}: {orc.schema} vs "
+                    f"{schema0} (first file)")
             keep = list(range(len(orc.stripes)))
             for col, lo, hi in self._ranges:
                 try:

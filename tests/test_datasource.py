@@ -168,3 +168,18 @@ def test_datasource_bloom_equality_pruning(spark, tmp_path):
     present = df.filter(F.col("u") == "user-123")
     exp = sum(1 for i in range(30000) if (i * 7919) % 5000 == 123)
     assert present.count() == exp
+
+
+def test_datasource_rejects_mixed_schemas(tmp_path):
+    """A directory mixing ORC schemas fails at planning with the file
+    named, not as a task-side cast error."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    write_orc(pa.table({"a": [1, 2]}), os.path.join(d, "x.orc"))
+    write_orc(pa.table({"b": ["u", "v"]}), os.path.join(d, "y.orc"))
+    r = OrcFileReader(sorted(
+        os.path.join(d, f) for f in os.listdir(d)), None)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        r.partitions()
