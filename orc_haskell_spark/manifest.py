@@ -229,6 +229,9 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
         manifest_rows = []
         writer = None
         handles = sources.ParquetHandleCache()
+        cache: dict = {}  # per-TASK codec state (FSST tables, selector
+        # trials); stripes are self-describing so reuse across splits
+        # is safe and skips re-training per 25k-row split
         try:
             writer = pq.ParquetWriter(staging, out_schema,
                                       compression="NONE", filesystem=fs)
@@ -242,7 +245,6 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
                         yield _spark_safe_batch(rb)
 
                 seq = 0
-                cache: dict = {}
                 for sb in _rechunk(scan(), stripe_rows, stripe_bytes):
                     if sb is None or sb.num_rows == 0:
                         continue
