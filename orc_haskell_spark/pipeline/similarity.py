@@ -88,8 +88,15 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
 
     At 100 TB the sample is a bounded collect (e.g. 1e4 vectors); the
     expensive part — assigning every vector to its nearest centroid —
-    stays distributed in ivf_topk."""
-    rows = (df.orderBy(id_col).limit(sample)
+    stays distributed in ivf_topk.
+
+    Sampling takes the `sample` smallest xxhash64(id) rows: a
+    deterministic pseudo-random draw that Spark executes as
+    TakeOrderedAndProject (per-partition top-k heap + driver merge),
+    NOT a global sort — O(corpus) scan, O(sample) shuffle bytes."""
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    rows = (df.select(F.col(vec_col), h.alias("_h"), F.col(id_col))
+            .orderBy("_h", id_col).limit(sample)
             .select(vec_col).collect())
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)

@@ -324,7 +324,11 @@ class ParquetHandleCache:
         pf = self._handles.get(path)
         if pf is None:
             if len(self._handles) >= self._cap:
-                self._handles.clear()
+                # LRU: evict exactly one handle (dict preserves access
+                # recency because hits re-insert below)
+                self._handles.pop(next(iter(self._handles)))
             pf = open_parquet(path)
-            self._handles[path] = pf
+        else:
+            del self._handles[path]  # re-insert -> most recently used
+        self._handles[path] = pf
         return pf

@@ -191,3 +191,24 @@ def test_split_planning_byte_balanced(spark, tmp_path):
     assert len(loads) == 4
     # each task gets exactly one fat group: max/min byte load ~ 1
     assert loads[-1] < loads[0] * 1.5
+
+
+def test_parquet_handle_cache_lru_evicts_one(tmp_path):
+    """A 65th file evicts exactly ONE handle (the least recently
+    used), not the whole cache — VERDICT r3 item 6."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(pa.table({"x": pa.array([i])}), p)
+        paths.append(p)
+    cache = sources.ParquetHandleCache(cap=4)
+    first = {p: cache.get(p) for p in paths[:4]}
+    cache.get(paths[0])           # touch f0 -> f1 becomes LRU
+    cache.get(paths[4])           # 5th file: evict exactly one (f1)
+    assert len(cache._handles) == 4
+    assert paths[1] not in cache._handles
+    for p in (paths[0], paths[2], paths[3]):
+        assert cache.get(p) is first[p]  # survivors kept, not reopened
