@@ -545,21 +545,19 @@ def encode_orc(spark, path: str, columns: list[str] | None = None,
     pure-Python ORC reader and encodes them in place — payload bytes
     never cross the JVM. ``columns`` projects at the ORC byte level
     (unrequested subtrees are never decompressed)."""
+    from .orcfile import planner
     from .orcfile.spark_source import _list_orc_files
 
     files = _list_orc_files(path)
     if not files:
         raise ValueError(f"no .orc files under {path}")
-    tasks = []
-    for f in files:
-        from .orcfile.reader import ORCFile
-
-        orc = ORCFile(f)  # tail-only
-        tasks.extend((f, i) for i in range(len(orc.stripes)))
-    if not tasks:
-        return spark.createDataFrame([], ENCODED_DDL)
-    task_df = spark.createDataFrame(tasks, "file string, stripe int") \
-        .repartition(max(1, len(tasks) // max(tasks_per_partition, 1)))
+    # two-mode planner (threaded driver / distributed footer-read
+    # stage): no serial per-file driver loop. check_schema=False keeps
+    # the parquet twin's behavior — each stripe encodes independently.
+    _, task_df = planner.orc_splits_df(
+        spark, files, check_schema=False,
+        tasks_per_partition=tasks_per_partition)
+    task_df = task_df.select("file", "stripe")
 
     def scan_encode(batches: Iterator[pa.RecordBatch]
                     ) -> Iterator[pa.RecordBatch]:

@@ -116,28 +116,19 @@ class OrcFileReader(DataSourceReader):
         return filters  # all unhandled: Spark re-applies them exactly
 
     def partitions(self):
-        from .reader import ORCFile
+        # Threaded tail reads (shared two-mode planner's driver mode).
+        # The DataSource API REQUIRES the partition list materialized in
+        # this planning process, and no SparkSession exists here — so
+        # the distributed planning mode is structurally unavailable to
+        # this path; threads overlap the footer IO instead.  Mixed-
+        # schema directories still fail at PLANNING with the offending
+        # file named, not as a task-side cast error.
+        from .planner import orc_splits_threaded
 
-        parts = []
-        schema0 = None
-        for f in self._file_list:
-            orc = ORCFile(f)  # tail-only metadata
-            # mixed-schema directories must fail at PLANNING with the
-            # offending file named, not as a task-side cast error
-            if schema0 is None:
-                schema0 = orc.schema
-            elif not schema0.equals(orc.schema):
-                raise ValueError(
-                    f"schema mismatch in {f!r}: {orc.schema} vs "
-                    f"{schema0} (first file)")
-            keep = list(range(len(orc.stripes)))
-            for col, lo, hi in self._ranges:
-                try:
-                    allowed = set(orc.prune_stripes(col, lo, hi))
-                except Exception:
-                    continue  # unknown column / no stats: keep all
-                keep = [i for i in keep if i in allowed]
-            parts.extend(_StripePartition(f, i) for i in keep)
+        _, splits = orc_splits_threaded(
+            self._file_list, ranges=self._ranges or None,
+            check_schema=True)
+        parts = [_StripePartition(f, i) for f, i, _, _ in splits]
         # Spark requires >= 1 partition; an empty one yields no batches
         return parts or [_StripePartition(self._file_list[0], -1)]
 

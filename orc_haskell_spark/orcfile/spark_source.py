@@ -83,32 +83,24 @@ def read_orc_distributed(spark: SparkSession, path: str,
     granularity, driven by the file Metadata our writer also emits —
     and, when the file carries a ROW_INDEX, eliminates 10k-row groups
     INSIDE each surviving stripe via positional seek at decode time.
+
+    Split planning is the two-mode ORC planner (threaded driver tail
+    reads below ``sources.DRIVER_SPLITS_MAX_FILES`` files, a
+    distributed footer-read stage beyond) — no serial per-file driver
+    loop at any file count.
     """
-    from orc_haskell_spark.orcfile.reader import ORCFile
+    from orc_haskell_spark.orcfile import planner
 
     files = _list_orc_files(path)
     if not files:
         raise ValueError(f"no .orc files under {path}")
-    tasks = []
-    schema = None
-    for f in files:
-        orc = ORCFile(f)  # tail-only metadata parse per file
-        if schema is None:
-            schema = orc.schema
-        elif not schema.equals(orc.schema):
-            raise ValueError(f"schema mismatch in {f}")
-        keep = (orc.prune_stripes(prune[0], prune[1], prune[2])
-                if prune else range(len(orc.stripes)))
-        tasks.extend((f, i) for i in keep)
+    schema, task_df = planner.orc_splits_df(
+        spark, files, ranges=[prune] if prune else None,
+        tasks_per_partition=tasks_per_partition)
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
     spark_schema, arrow_schema = _spark_schema_for(schema)
-
-    if not tasks:  # all files empty or fully pruned
-        return spark.createDataFrame([], spark_schema)
-
-    task_df = spark.createDataFrame(tasks, "file string, stripe int") \
-        .repartition(max(1, len(tasks) // max(tasks_per_partition, 1)))
+    task_df = task_df.select("file", "stripe")
 
     def decode(batches):
         from orc_haskell_spark.engine import clamp_worker_threads
