@@ -116,6 +116,67 @@ def _mk_roundtrip(table: str, config: dict | None = None):
     return q
 
 
+# per-dim-table digest columns: (int/string columns -> md5 row digest,
+# double columns -> exact scaled-cents sums). Doubles stay OUT of the
+# md5 concat because Spark and DuckDB format float strings differently;
+# floor(x*100+0.5) on the same IEEE double is engine-independent.
+_DIM_DIGEST: dict[str, tuple[list[str], list[str]]] = {
+    "customer": (["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+                 ["c_acctbal"]),
+    "part": (["p_partkey", "p_name", "p_brand", "p_type", "p_size"],
+             ["p_retailprice"]),
+    "supplier": (["s_suppkey", "s_name", "s_nationkey"], ["s_acctbal"]),
+    "nation": (["n_nationkey", "n_name", "n_regionkey"], []),
+    "region": (["r_regionkey", "r_name"], []),
+}
+
+
+def _roundtrip_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode all five dimension tables; emit one digest row per
+    table. sdig = sum of a 48-bit md5 prefix over the concatenated
+    int/string columns (48 bits × 1500 rows stays far below int64);
+    cents = exact sum of the double columns scaled to integer cents."""
+    outs = []
+    for tbl, (scols, dcols) in _DIM_DIGEST.items():
+        dec = _roundtrip(spark, sf_dir, tbl)
+        sdig = F.sum(F.conv(F.substring(
+            F.md5(F.concat_ws("|", *scols)), 1, 12), 16, 10)
+            .cast("long")).cast("long")
+        if dcols:
+            per_row = None
+            for c in dcols:
+                e = F.floor(F.col(c) * 100 + 0.5).cast("long")
+                per_row = e if per_row is None else per_row + e
+            cents = F.sum(per_row).cast("long")
+        else:
+            cents = F.sum(F.lit(0)).cast("long")
+        outs.append(dec.agg(
+            F.count("*").alias("n_rows"), sdig.alias("sdig"),
+            cents.alias("cents"))
+            .select(F.lit(tbl).alias("tbl"), "n_rows", "sdig", "cents"))
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _roundtrip_dims_oracle_sql() -> str:
+    parts = []
+    for tbl, (scols, dcols) in _DIM_DIGEST.items():
+        sdig = (f"CAST(sum(CAST(('0x'||substr(md5(concat_ws('|', "
+                f"{', '.join(scols)})),1,12)) AS BIGINT)) AS BIGINT)")
+        if dcols:
+            per_row = " + ".join(
+                f"CAST(floor({c}*100 + 0.5) AS BIGINT)" for c in dcols)
+            cents = f"CAST(sum({per_row}) AS BIGINT)"
+        else:
+            cents = "CAST(sum(0) AS BIGINT)"
+        parts.append(
+            f"SELECT '{tbl}' AS tbl, count(*) AS n_rows, "
+            f"{sdig} AS sdig, {cents} AS cents FROM {tbl}")
+    return " UNION ALL ".join(parts)
+
+
 def _fused_sink_roundtrip_documents(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Fused resumable sink (manifest.encode_parquet_to_dir): scan,
@@ -444,9 +505,14 @@ def _orcfile_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for table in ["documents", "lineitem", "orders", "events", "customer",
-                  "part", "supplier", "nation", "region"]:
+    for table in ["documents", "lineitem", "orders", "events"]:
         q[f"roundtrip_{table}"] = _mk_roundtrip(table)
+    # the five TPC-H dimension tables roundtrip as ONE query (the driver
+    # gate runs at most 50 queries; r3 silently dropped the last 4
+    # registered): per-table row counts + a cross-engine md5 digest over
+    # every int/string column + exact scaled-cents sums over the double
+    # columns, so any decode corruption in any column still flips a value
+    q["roundtrip_dims"] = _roundtrip_dims
     # pin each codec path explicitly (operator coverage, SURVEY.md §2.1)
     q["roundtrip_rle1_lineitem"] = _mk_roundtrip(
         "lineitem", {"int_codec": "rle1"})
@@ -498,21 +564,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_topk_embeddings"] = _sim_topk
     q["sim_lsh_topk_embeddings"] = _sim_lsh_topk
     q["sim_ivf_topk_embeddings"] = _sim_ivf_topk
-    q["text_token_stats_documents"] = lambda s, d: text.token_stats(
+    # all five text analyses fused into one single-scan projection (was
+    # five separate queries; the r3 driver gate capped at 50 and dropped
+    # the tail — one query keeps every column oracle-checked)
+    q["text_profile_documents"] = lambda s, d: text.profile(
         _load(s, d, "documents"), "doc_id", "text")
-    q["text_quality_documents"] = lambda s, d: text.quality_scores(
-        _load(s, d, "documents"), "doc_id", "text")
-    q["text_langid_documents"] = lambda s, d: text.language_id(
-        _load(s, d, "documents"), "doc_id", "text")
-    q["text_fingerprints_documents"] = lambda s, d: text.fingerprints(
-        _load(s, d, "documents"), "doc_id", "text")
+    q["salted_lang_stats"] = _salted_lang_stats
+    q["stream_windowed_events"] = _stream_windowed_events
     q["media_features"] = _media_features
     q["media_real_decode"] = _media_real_decode
     q["media_frame_sample"] = _media_frames
-    q["salted_lang_stats"] = _salted_lang_stats
-    q["text_bpe_tokens_documents"] = lambda s, d: text.token_counts_bpe(
-        _load(s, d, "documents"), "doc_id", "text")
-    q["stream_windowed_events"] = _stream_windowed_events
     return q
 
 
@@ -652,9 +713,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
-    for table in ["documents", "lineitem", "orders", "events", "customer",
-                  "part", "supplier", "nation", "region"]:
+    for table in ["documents", "lineitem", "orders", "events"]:
         o[f"roundtrip_{table}"] = _select_sql(table)
+    o["roundtrip_dims"] = _roundtrip_dims_oracle_sql()
     o["roundtrip_rle1_lineitem"] = _select_sql("lineitem")
     o["roundtrip_fsst_documents"] = _select_sql("documents")
     o["roundtrip_dict_documents"] = _select_sql("documents")
@@ -790,45 +851,11 @@ WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         "q.qv), 5) AS cos FROM embeddings, q "
         "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, "
         "vec_id ASC LIMIT 10")
-    o["text_token_stats_documents"] = r"""
-SELECT doc_id,
-  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
-  CAST(length(text) AS INT) AS n_chars,
-  round(length(text) * 1.0 / len(string_split_regex(text, '\s+')), 4) AS mean_tok_len
-FROM documents"""
-    o["text_quality_documents"] = r"""
-SELECT doc_id,
-  CAST(length(text) AS INT) AS n_chars,
-  round((length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0 / length(text), 5) AS punct_ratio,
-  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 5) AS digit_ratio,
-  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text), 5) AS upper_ratio,
-  round((
-    (length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3.0
-  + (length(text) - length(regexp_replace(text, '\band\b', '', 'g'))) / 3.0
-  + (length(text) - length(regexp_replace(text, '\bof\b', '', 'g'))) / 2.0
-  + (length(text) - length(regexp_replace(text, '\bto\b', '', 'g'))) / 2.0
-  + (length(text) - length(regexp_replace(text, '\bin\b', '', 'g'))) / 2.0
-  ) / len(string_split_regex(text, '\s+')), 5) AS stopword_ratio,
-  round(least(length(text) / 500.0, 1.0) *
-    (1 - (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0 / length(text)), 5) AS quality
-FROM documents"""
-    o["text_langid_documents"] = _langid_oracle_sql()
-    o["text_fingerprints_documents"] = r"""
-SELECT doc_id, md5(text) AS md5,
-  list_min(list_transform(
-    range(0, greatest(length(text) - 16, 0) + 1),
-    i -> md5(substr(text, CAST(i + 1 AS INT), 16)))) AS min_shingle,
-  CAST(greatest(length(text) - 16, 0) + 1 AS INT) AS n_shingles
-FROM documents"""
+    o["text_profile_documents"] = _text_profile_oracle_sql()
     o["salted_lang_stats"] = (
         "SELECT lang, count(doc_id) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, "
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
         "FROM documents GROUP BY lang")
-    o["text_bpe_tokens_documents"] = r"""
-SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_word_tokens,
-  CAST(floor(length(text) / 4) AS BIGINT) AS est_subwords
-FROM documents"""
     o["stream_windowed_events"] = (
         "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
         "event_type, count(*) AS events FROM events GROUP BY 1, 2")
@@ -920,3 +947,37 @@ def _langid_oracle_sql() -> str:
         best_score = f"CASE WHEN {s[lang]} > {best_score} THEN {s[lang]} ELSE {best_score} END"
     return (f"SELECT doc_id, {best_expr} AS pred_lang, "
             f"CAST(floor({best_score}) AS BIGINT) AS votes FROM documents")
+
+
+def _text_profile_oracle_sql() -> str:
+    """DuckDB twin of text.profile: all five analyses' expressions in
+    one SELECT, column names and order matching the Spark projection."""
+    langid = _langid_oracle_sql()
+    # reuse the argmax expressions: strip 'SELECT doc_id, ' / ' FROM …'
+    lang_cols = langid[len("SELECT doc_id, "):-len(" FROM documents")]
+    return r"""
+SELECT doc_id,
+  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+  CAST(length(text) AS INT) AS n_chars,
+  round(length(text) * 1.0 / len(string_split_regex(text, '\s+')), 4) AS mean_tok_len,
+  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_word_tokens,
+  CAST(floor(length(text) / 4) AS BIGINT) AS est_subwords,
+  round((length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0 / length(text), 5) AS punct_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 5) AS digit_ratio,
+  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text), 5) AS upper_ratio,
+  round((
+    (length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3.0
+  + (length(text) - length(regexp_replace(text, '\band\b', '', 'g'))) / 3.0
+  + (length(text) - length(regexp_replace(text, '\bof\b', '', 'g'))) / 2.0
+  + (length(text) - length(regexp_replace(text, '\bto\b', '', 'g'))) / 2.0
+  + (length(text) - length(regexp_replace(text, '\bin\b', '', 'g'))) / 2.0
+  ) / len(string_split_regex(text, '\s+')), 5) AS stopword_ratio,
+  round(least(length(text) / 500.0, 1.0) *
+    (1 - (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0 / length(text)), 5) AS quality,
+  """ + lang_cols + r""",
+  md5(text) AS md5,
+  list_min(list_transform(
+    range(0, greatest(length(text) - 16, 0) + 1),
+    i -> md5(substr(text, CAST(i + 1 AS INT), 16)))) AS min_shingle,
+  CAST(greatest(length(text) - 16, 0) + 1 AS INT) AS n_shingles
+FROM documents"""
