@@ -564,6 +564,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_topk_embeddings"] = _sim_topk
     q["sim_lsh_topk_embeddings"] = _sim_lsh_topk
     q["sim_ivf_topk_embeddings"] = _sim_ivf_topk
+    # persisted-index serving shape: signatures/list assignments are
+    # materialized ONCE into a table bucketed on the probe key; queries
+    # scan only matching buckets. Results (and oracles) are identical to
+    # the on-the-fly lsh/ivf queries — the index changes cost, not math.
+    q["ann_lsh_index_embeddings"] = _ann_lsh_index
+    q["ann_ivf_index_embeddings"] = _ann_ivf_index
     # all five text analyses fused into one single-scan projection (was
     # five separate queries; the r3 driver gate capped at 50 and dropped
     # the tail — one query keeps every column oracle-checked)
@@ -615,6 +621,31 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list:
     row = (_load(spark, sf_dir, "embeddings")
            .filter(F.col("vec_id") == 0).select("embedding").collect())
     return [float(x) for x in row[0][0]]
+
+
+def _ann_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted LSH index (bucketed signature table), then
+    probe it. Same planes/radius/k as sim_lsh_topk_embeddings, so the
+    DuckDB oracle is the identical signature-reproducing SQL."""
+    emb = _load(spark, sf_dir, "embeddings")
+    similarity.write_lsh_index(emb, "ohs_ann_lsh_idx", "vec_id",
+                               "embedding", bits=8, n_buckets=16)
+    return similarity.query_lsh_index(spark, "ohs_ann_lsh_idx",
+                                      _query_vec(spark, sf_dir), 10,
+                                      bits=8)
+
+
+def _ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted IVF inverted file (+ centroid side table),
+    then probe it. first_rows quantizer / n_lists=16 / n_probe=4 — the
+    sim_ivf_topk_embeddings oracle configuration."""
+    emb = _load(spark, sf_dir, "embeddings")
+    similarity.write_ivf_index(emb, "ohs_ann_ivf_idx", "vec_id",
+                               "embedding", n_lists=16,
+                               centroid_mode="first_rows")
+    return similarity.query_ivf_index(spark, "ohs_ann_ivf_idx",
+                                      _query_vec(spark, sf_dir), 10,
+                                      n_probe=4)
 
 
 def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +951,10 @@ FROM assigned a, q
 WHERE a.lst IN (SELECT c FROM probes)
 ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv) DESC,
          a.vec_id ASC LIMIT 10"""
+    # persisted-index probes return exactly the on-the-fly results
+    # (same planes / quantizer / probe sets): identical oracles
+    o["ann_lsh_index_embeddings"] = o["sim_lsh_topk_embeddings"]
+    o["ann_ivf_index_embeddings"] = o["sim_ivf_topk_embeddings"]
     # media_*: no SQL twin (synthetic media payloads) -> rows-only
     # pages_roundtrip intentionally has no oracle (synthetic input)
     return o

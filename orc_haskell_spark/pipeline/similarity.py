@@ -159,19 +159,10 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
     dots = np.array([sum_l2r(c, qn) for c in cent])
     probe = np.argsort(-dots, kind="stable")[:n_probe].tolist()
 
-    # distributed assignment in ONE expression: transform over the
-    # centroid-matrix literal computes all dots, array_position of the
-    # max picks the list (a per-centroid when-chain blows up Catalyst's
-    # expression tree at 16 lists x 64 dims)
-    cents_lit = F.array(*[
-        F.array(*[F.lit(float(v)) for v in c]) for c in cent])
-    vecd = F.col(vec_col).cast("array<double>")
-    sims = F.transform(
-        cents_lit,
-        lambda c: F.aggregate(F.zip_with(vecd, c, lambda a, b: a * b),
-                              F.lit(0.0), lambda acc, x: acc + x))
-    assigned = df.withColumn(
-        "_list", F.array_position(sims, F.array_max(sims)) - 1)
+    # distributed assignment in ONE expression (see _list_assignment:
+    # a per-centroid when-chain blows up Catalyst's expression tree at
+    # 16 lists x 64 dims)
+    assigned = df.withColumn("_list", _list_assignment(vec_col, cent))
     cand = assigned.filter(F.col("_list").isin(probe))
     qlit = F.array(*[F.lit(float(x)) for x in query])
     return (cand.withColumn("cos", _cosine(vec_col, qlit))
@@ -193,6 +184,142 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
     # (deterministic superset; keeps recall high without scanning all)
     cand = with_sig.filter(
         F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= 1)
+    return (cand.withColumn("cos", _cosine(vec_col, qlit))
+            .orderBy(F.desc("cos"), F.asc(id_col))
+            .limit(k)
+            .select(F.col(id_col), F.round("cos", 5).alias("cos")))
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN indexes (VERDICT r3 item 4)
+#
+# lsh_topk / ivf_topk recompute signatures or list assignments over the
+# full corpus per query — right for one-shot dedup, wrong for serving.
+# The 100 TB serving shape materializes the expensive per-vector work
+# ONCE as a table BUCKETED on the probe key, so each query's filter
+# prunes at the file level (Spark bucket pruning: the scan reads only
+# the buckets holding the probed signatures/lists — the plan shows
+# `SelectedBucketsCount: m out of n`).
+# ---------------------------------------------------------------------------
+
+def _drop_index_table(spark, table: str) -> None:
+    """Drop ``table`` AND its managed location. A fresh session's
+    in-memory catalog forgets managed tables but the warehouse dir
+    persists, so a bare mode('overwrite') hits LOCATION_ALREADY_EXISTS
+    on the second session touching the same index name."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    loc = os.path.join(wh, table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def write_lsh_index(df: DataFrame, table: str, id_col: str, vec_col: str,
+                    bits: int = 8, seed: int = SEED,
+                    n_buckets: int = 32) -> None:
+    """Materialize the LSH signature index: (id, vec, _sig) saved as a
+    parquet table bucketed (and sorted) on _sig. One corpus-wide pass;
+    every later query probes only matching buckets."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits, seed)
+    _drop_index_table(df.sparkSession, table)
+    idx = df.select(F.col(id_col), F.col(vec_col),
+                    _signature(vec_col, planes).alias("_sig"))
+    (idx.write.format("parquet").mode("overwrite")
+        .bucketBy(n_buckets, "_sig").sortBy("_sig").saveAsTable(table))
+
+
+def lsh_probe_sigs(query: list[float], bits: int = 8, seed: int = SEED,
+                   radius: int = 1) -> list[int]:
+    """The query's signature plus all signatures within hamming
+    ``radius`` (radius<=1 supported — the multi-probe set lsh_topk
+    uses)."""
+    planes = hyperplanes(len(query), bits, seed)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes)
+                   if sum_l2r(p, query) > 0))
+    probes = [qsig]
+    if radius >= 1:
+        probes += [qsig ^ (1 << i) for i in range(bits)]
+    return probes
+
+
+def query_lsh_index(spark, table: str, query: list[float], k: int = 10,
+                    bits: int = 8, seed: int = SEED, radius: int = 1,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Probe a persisted LSH index: exact-cosine top-k over only the
+    buckets containing the query's multi-probe signature set. Result is
+    identical to lsh_topk over the source corpus (same planes, same
+    probe radius); work per query is O(buckets probed), not O(corpus)."""
+    probes = lsh_probe_sigs(query, bits, seed, radius)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    cand = spark.table(table).filter(F.col("_sig").isin(probes))
+    return (cand.withColumn("cos", _cosine(vec_col, qlit))
+            .orderBy(F.desc("cos"), F.asc(id_col))
+            .limit(k)
+            .select(F.col(id_col), F.round("cos", 5).alias("cos")))
+
+
+def _list_assignment(vec_col: str, cent: np.ndarray) -> "F.Column":
+    """Nearest-centroid list id in ONE Catalyst expression (transform
+    over the centroid-matrix literal; see ivf_topk)."""
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in c]) for c in cent])
+    vecd = F.col(vec_col).cast("array<double>")
+    sims = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(F.zip_with(vecd, c, lambda a, b: a * b),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    return F.array_position(sims, F.array_max(sims)) - 1
+
+
+def write_ivf_index(df: DataFrame, table: str, id_col: str, vec_col: str,
+                    n_lists: int = 16, centroid_mode: str = "first_rows",
+                    seed: int = SEED) -> None:
+    """Materialize the IVF inverted file: (id, vec, _list) bucketed on
+    _list, plus the coarse quantizer as ``{table}_centroids`` (tiny:
+    n_lists rows) so queries never touch the corpus to pick lists."""
+    if centroid_mode == "first_rows":
+        cent = ivf_first_rows_centroids(df, id_col, vec_col, n_lists)
+    else:
+        cent = ivf_centroids(df, id_col, vec_col, n_lists=n_lists,
+                             seed=seed)
+    spark = df.sparkSession
+    _drop_index_table(spark, table)
+    _drop_index_table(spark, f"{table}_centroids")
+    idx = df.select(F.col(id_col), F.col(vec_col),
+                    _list_assignment(vec_col, cent).alias("_list"))
+    (idx.write.format("parquet").mode("overwrite")
+        .bucketBy(max(n_lists, 1), "_list").sortBy("_list")
+        .saveAsTable(table))
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "list_id int, centroid array<double>")
+    cdf.write.format("parquet").mode("overwrite") \
+        .saveAsTable(f"{table}_centroids")
+
+
+def query_ivf_index(spark, table: str, query: list[float], k: int = 10,
+                    n_probe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Probe a persisted IVF index: pick the n_probe nearest lists from
+    the (tiny) centroid table, scan only those buckets, exact cosine
+    top-k. Identical to ivf_topk with the same quantizer."""
+    rows = spark.table(f"{table}_centroids").orderBy("list_id").collect()
+    qd = [float(x) for x in query]
+    acc = 0.0
+    for x in qd:
+        acc += x * x
+    qn = [x / (acc ** 0.5 or 1.0) for x in qd]
+    dots = np.array([sum_l2r(r["centroid"], qn) for r in rows])
+    probe = [int(x) for x in np.argsort(-dots, kind="stable")[:n_probe]]
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    cand = spark.table(table).filter(F.col("_list").isin(probe))
     return (cand.withColumn("cos", _cosine(vec_col, qlit))
             .orderBy(F.desc("cos"), F.asc(id_col))
             .limit(k)

@@ -299,3 +299,68 @@ def test_png_all_filters_and_error_contract():
                 magic + chunk(b"IHDR", b"\x00" * 5)):       # short IHDR
         with pytest.raises((ValueError, NotImplementedError)):
             multimodal.decode_png(bad)
+
+
+def test_lsh_index_probe_matches_lsh_topk(spark):
+    """Persisted LSH index (bucketed on _sig): probing the index gives
+    exactly lsh_topk's result, and the probe scan reads only the
+    buckets holding the multi-probe signature set (bucket pruning in
+    the plan)."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((150, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[42]]
+    similarity.write_lsh_index(df, "lsh_idx_test", "vec_id", "embedding",
+                               bits=8, n_buckets=16)
+    got = similarity.query_lsh_index(spark, "lsh_idx_test", q, 5, bits=8)
+    ref = similarity.lsh_topk(df, "vec_id", "embedding", q, 5, bits=8)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in ref.collect()]
+    # bucket pruning: force the bucketed-scan display (the planner's
+    # auto-disable hides the metadata line but file pruning by bucket id
+    # still happens in the non-bucketed read path)
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = similarity.query_lsh_index(
+            spark, "lsh_idx_test", q, 5,
+            bits=8)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    import re
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2))  # pruned, not full scan
+
+
+def test_ivf_index_probe_matches_ivf_topk(spark):
+    """Persisted IVF index + centroid side table: probe result equals
+    ivf_topk with the same quantizer; probe scans only n_probe lists."""
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[17]]
+    similarity.write_ivf_index(df, "ivf_idx_test", "vec_id", "embedding",
+                               n_lists=8, centroid_mode="first_rows")
+    got = similarity.query_ivf_index(spark, "ivf_idx_test", q, 5,
+                                     n_probe=3)
+    ref = similarity.ivf_topk(df, "vec_id", "embedding", q, 5, n_lists=8,
+                              n_probe=3, centroid_mode="first_rows")
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in ref.collect()]
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = similarity.query_ivf_index(
+            spark, "ivf_idx_test", q, 5,
+            n_probe=3)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    import re
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2))
