@@ -678,8 +678,9 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BMP/WAV decoders (pure numpy) over synthesized real
-    payloads — the decode step is no longer a stub for these formats."""
+    """REAL BMP/PNG/JPEG/WAV decoders (pure numpy — baseline JPEG via
+    pipeline/jpeg.py) over synthesized real payloads; image rows rotate
+    through all three containers."""
     _ensure_worker_imports(spark)
     media = multimodal.real_media_df(spark, 300, 4)
     feats = multimodal.extract_features(media, use_real_decoders=True)

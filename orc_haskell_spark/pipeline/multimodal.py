@@ -71,13 +71,21 @@ def synth_real_media_batch(start: int, n: int) -> pa.RecordBatch:
             yy, xx = np.mgrid[0:h, 0:w]
             px = np.stack([(xx * (i + 1)) % 256, (yy * 3 + i) % 256,
                            (xx + yy + i) % 256], axis=-1).astype(np.uint8)
-            # alternate container formats: both real decoders exercised
-            if (i // 3) % 2:
+            # rotate container formats: all three real decoders exercised
+            sel = (i // 3) % 3
+            if sel == 0:
+                payloads.append(encode_bmp(px))
+                codec = "bmp"
+            elif sel == 1:
                 payloads.append(encode_png(px))
                 codec = "png"
             else:
-                payloads.append(encode_bmp(px))
-                codec = "bmp"
+                from .jpeg import encode_jpeg
+
+                sub = "420" if (i // 9) % 2 else "444"
+                payloads.append(encode_jpeg(px, quality=92,
+                                            subsampling=sub))
+                codec = "jpeg"
             metas.append({"width": w, "height": h, "sample_rate": 0,
                           "duration_ms": 0, "codec": codec})
         elif kind == "audio":
@@ -355,17 +363,25 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes, meta: dict) -> np.ndarray:
-    """Image decode dispatch: BMP and PNG (8-bit gray/RGB/RGBA,
-    non-interlaced) decode for real in pure numpy; JPEG remains a STUB
-    — its entropy coding needs a real imaging library (the production
-    body is `PIL.Image.open(io.BytesIO(payload))`)."""
+    """Image decode dispatch: BMP, PNG (8-bit gray/RGB/RGBA,
+    non-interlaced) and baseline JPEG (SOF0 sequential Huffman,
+    grayscale/YCbCr up to 2x2 subsampling) all decode for real in pure
+    numpy — no imaging library. Progressive/arithmetic JPEG raises
+    NotImplementedError inside the jpeg module."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.ndim == 2:  # grayscale -> uniform (h, w, 3) interface
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
     raise NotImplementedError(
-        "JPEG decoding requires Pillow/libvips; BMP and PNG decode "
-        "natively, fake_decode covers synthetic tests")
+        "unsupported image container (BMP, PNG and baseline JPEG "
+        "decode natively; fake_decode covers synthetic tests)")
 
 
 def fake_decode(payload: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -395,7 +411,8 @@ def extract_features(media, use_real_decoders: bool = False):
         checks = np.zeros(n, np.int64)
         for r in range(n):
             if kinds[r] == "image" and (payloads[r][:2] == b"BM"
-                                        or payloads[r][:8] == _PNG_MAGIC):
+                                        or payloads[r][:8] == _PNG_MAGIC
+                                        or payloads[r][:2] == b"\xff\xd8"):
                 px = decode_image(payloads[r], {}).ravel()
                 vals = (px >> np.uint8(3)).astype(np.int64)
             elif kinds[r] == "audio" and payloads[r][:4] == b"RIFF":

@@ -172,10 +172,14 @@ def test_multimodal_features_deterministic(spark):
     assert all(abs(sum(r.feature) - 1.0) < 1e-3 for r in f1)
 
 
-def test_multimodal_jpeg_still_stubbed_png_real():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_png_real_and_unknown_rejected():
+    # JPEG decodes for real now (tests/test_jpeg.py); a corrupt JPEG
+    # header raises ValueError, an unknown container NotImplementedError
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg...", {})
-    # PNG now decodes for real (all five scanline filters, pure numpy)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89a...", {})
+    # PNG decodes for real (all five scanline filters, pure numpy)
     rng = np.random.default_rng(3)
     px = rng.integers(0, 256, (21, 13, 3)).astype(np.uint8)
     got = multimodal.decode_image(multimodal.encode_png(px), {})
@@ -223,7 +227,7 @@ def test_real_decoders_in_spark_pipeline(spark):
     assert feats2 == {k: v.checksum for k, v in rows.items()}
     # image checksum equals the driver-side decode of the same payload
     m = {r.id: r for r in media.collect()}
-    # verify BOTH image containers (alternating bmp/png payloads)
+    # verify ALL image containers (rotating bmp/png/jpeg payloads)
     seen = set()
     for i, r in m.items():
         if r.kind != "image":
@@ -234,7 +238,7 @@ def test_real_decoders_in_spark_pipeline(spark):
         seen.add(codec)
         px = multimodal.decode_image(bytes(r.payload), {})
         assert rows[i].checksum == int(px.astype(np.int64).sum()), codec
-    assert seen == {"bmp", "png"}
+    assert seen == {"bmp", "png", "jpeg"}
 
 
 def test_png_all_filters_and_error_contract():
