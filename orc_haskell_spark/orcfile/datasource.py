@@ -120,14 +120,16 @@ class OrcFileReader(DataSourceReader):
         # The DataSource API REQUIRES the partition list materialized in
         # this planning process, and no SparkSession exists here — so
         # the distributed planning mode is structurally unavailable to
-        # this path; threads overlap the footer IO instead.  Mixed-
-        # schema directories still fail at PLANNING with the offending
-        # file named, not as a task-side cast error.
+        # this path; threads overlap the footer IO instead.  Schema
+        # check is "evolve": files may add columns (ignored) or lack
+        # read-schema columns (null-filled) like Spark's own ORC
+        # reader; TYPE conflicts still fail at PLANNING with the
+        # offending file named, not as a task-side cast error.
         from .planner import orc_splits_threaded
 
         _, splits = orc_splits_threaded(
             self._file_list, ranges=self._ranges or None,
-            check_schema=True)
+            check_schema="evolve")
         parts = [_StripePartition(f, i) for f, i, _, _ in splits]
         # Spark requires >= 1 partition; an empty one yields no batches
         return parts or [_StripePartition(self._file_list[0], -1)]
@@ -142,16 +144,31 @@ class OrcFileReader(DataSourceReader):
             return
         orc = ORCFile(part.file)
         rb = self._read_pruned(orc, part.stripe)
-        # normalize arrow types to what the spark schema expects
         import pyarrow as pa
 
-        from .spark_source import _spark_schema_for
+        if self._schema is not None:
+            # the read schema Spark handed the reader (first file's, via
+            # OrcFileDataSource.schema) — the one constant every task
+            # aligns to regardless of its own file's evolution state
+            from pyspark.sql.pandas.types import to_arrow_schema
 
-        _, arrow_schema = _spark_schema_for(orc.schema)
+            arrow_schema = to_arrow_schema(self._schema)
+        else:  # direct (non-Spark) test use: derive from the file
+            from .spark_source import _spark_schema_for
+
+            _, arrow_schema = _spark_schema_for(orc.schema)
+        # align by NAME to the read schema: evolved files may lack a
+        # column (null-fill) or carry extras (ignored); types normalize
+        # to what the Spark schema expects
         cols = []
-        for field, col in zip(arrow_schema, rb.columns):
-            if col.type != field.type:
-                col = col.cast(field.type)
+        for field in arrow_schema:
+            idx = rb.schema.get_field_index(field.name)
+            if idx < 0:
+                col = pa.nulls(rb.num_rows, type=field.type)
+            else:
+                col = rb.column(idx)
+                if col.type != field.type:
+                    col = col.cast(field.type)
             cols.append(col)
         yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 

@@ -62,14 +62,39 @@ def _stripe_rows(f: str, ranges) -> tuple[pa.Schema, list[tuple]]:
     return orc.schema, rows
 
 
+def schema_incompatibility(read_schema: pa.Schema,
+                           file_schema: pa.Schema) -> str | None:
+    """Projection compatibility, the way Spark's own ORC reader treats
+    evolved directories: a file may ADD columns (ignored) or LACK
+    nullable columns of the read schema (null-filled at decode); a
+    field present in both must have the identical type. Returns a
+    human-readable reason when incompatible, else None."""
+    shared = 0
+    for field in read_schema:
+        idx = file_schema.get_field_index(field.name)
+        if idx < 0:
+            continue  # missing column: null-filled by the reader
+        shared += 1
+        ft = file_schema.field(idx).type
+        if ft != field.type:
+            return (f"column {field.name!r} has type {ft} but the read "
+                    f"schema expects {field.type}")
+    if len(read_schema) and not shared:
+        # a file sharing NO columns is a wrong directory, not evolution
+        return "shares no columns with the read schema"
+    return None
+
+
 def orc_splits_threaded(files: list[str], ranges=None,
-                        check_schema: bool = True
+                        check_schema: bool | str = True
                         ) -> tuple[pa.Schema | None, list[tuple]]:
     """Threaded driver-side planning: (first file's schema, split rows).
 
-    Raises ValueError naming the offending file on schema mismatch when
-    ``check_schema`` (planning-time failure, not a task-side cast
-    error).
+    ``check_schema``: True requires every file's schema EQUAL to the
+    first file's; ``"evolve"`` only requires projection compatibility
+    (see schema_incompatibility) — added/missing nullable columns pass,
+    type conflicts fail. Failures raise ValueError naming the offending
+    file at PLANNING time, not as a task-side cast error.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -80,7 +105,11 @@ def orc_splits_threaded(files: list[str], ranges=None,
     schema0 = per_file[0][0]
     splits: list[tuple] = []
     for f, (schema, rows) in zip(files, per_file):
-        if check_schema and not schema.equals(schema0):
+        if check_schema == "evolve":
+            why = schema_incompatibility(schema0, schema)
+            if why:
+                raise ValueError(f"schema mismatch in {f!r}: {why}")
+        elif check_schema and not schema.equals(schema0):
             raise ValueError(
                 f"schema mismatch in {f!r}: {schema} vs {schema0} "
                 f"(first file)")

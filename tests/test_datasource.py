@@ -183,3 +183,38 @@ def test_datasource_rejects_mixed_schemas(tmp_path):
         os.path.join(d, f) for f in os.listdir(d)), None)
     with pytest.raises(ValueError, match="schema mismatch"):
         r.partitions()
+
+
+def test_datasource_schema_evolution_added_nullable_column(spark, tmp_path):
+    """Schema evolution the way Spark's own ORC reader handles it
+    (VERDICT r3 item 9): a directory where one file carries an EXTRA
+    nullable column (ignored — read schema comes from the first file)
+    and, in the other direction, where a file LACKS a read-schema
+    column (null-filled). Type conflicts still fail at planning."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "evolved")
+    os.makedirs(d)
+    write_orc(pa.table({"a": pa.array([1, 2], pa.int64()),
+                        "s": pa.array(["x", "y"])}),
+              os.path.join(d, "0base.orc"))
+    write_orc(pa.table({"a": pa.array([3, 4], pa.int64()),
+                        "s": pa.array(["z", "w"]),
+                        "extra": pa.array([9.5, 9.25])}),
+              os.path.join(d, "1extra.orc"))
+    write_orc(pa.table({"a": pa.array([5, 6], pa.int64())}),
+              os.path.join(d, "2missing.orc"))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcFileDataSource)
+    df = spark.read.format("orcfile").load(d)
+    assert set(df.columns) == {"a", "s"}  # first file's schema
+    rows = {r.a: r.s for r in df.collect()}
+    assert rows == {1: "x", 2: "y", 3: "z", 4: "w", 5: None, 6: None}
+
+    # type conflict is NOT evolution: fails at planning, file named
+    write_orc(pa.table({"a": pa.array(["not", "int"])}),
+              os.path.join(d, "3conflict.orc"))
+    r = OrcFileReader(sorted(
+        os.path.join(d, f) for f in os.listdir(d)), None)
+    with pytest.raises(ValueError, match="3conflict.orc"):
+        r.partitions()
