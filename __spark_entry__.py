@@ -373,6 +373,20 @@ def _orcfile_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("l_orderkey").alias("max_ok")))
 
 
+def _bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level per-stripe bloom filters: encode documents with
+    blooms on doc_id, eliminate stripes by a pure-Catalyst bit test on
+    the footer JSON (engine.bloom_prune_stripes), decode only the
+    surviving stripes, exact re-filter. Oracle = the plain point
+    lookup."""
+    df = _load(spark, sf_dir, "documents")
+    enc = engine.encode_table(df.coalesce(2), stripe_rows=32,
+                              config={"bloom_columns": ["doc_id"]})
+    pruned = engine.bloom_prune_stripes(enc, "doc_id", 37)
+    dec = engine.decode_table(pruned, df.schema)
+    return dec.filter(F.col("doc_id") == 37)
+
+
 def _zonemap_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-level zone maps: encode lineitem sorted by l_orderkey,
     skip stripes via the JSON-footer min/max (pure Catalyst filter, no
@@ -532,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = lambda s, d: sessions.sessionize(
         _load(s, d, "events"), "user_id", "ts", gap_minutes=30)
     q["zonemap_pruned_agg_lineitem"] = _zonemap_pruned_agg
+    q["bloom_point_lookup_documents"] = _bloom_point_lookup
     q["orcfile_pruned_scan_lineitem"] = _orcfile_pruned_scan
     q["orcfile_datasource_lineitem"] = _orcfile_datasource_scan
     q["orcfile_rowgroup_scan_lineitem"] = _orcfile_rowgroup_scan
@@ -776,6 +791,8 @@ sess AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
   count(*) AS n_events
 FROM sess GROUP BY user_id, sid"""
+    o["bloom_point_lookup_documents"] = \
+        _select_sql("documents") + " WHERE doc_id = 37"
     o["zonemap_pruned_agg_lineitem"] = (
         "SELECT l_returnflag, count(*) AS cnt, "
         "round(sum(l_quantity), 2) AS sum_qty, "

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 from typing import Iterator
 
+import numpy as np
 import pyarrow as pa
 
 from . import stripe as stripe_mod
@@ -455,6 +456,37 @@ def prune_stripes(enc_df, column: str, lo=None, hi=None, numeric: bool = True):
     if hi is not None:
         keep = keep & (mn.isNull() | (mn <= F.lit(hi)))
     return enc_df.filter(keep)
+
+
+def bloom_prune_stripes(enc_df, column: str, value):
+    """Point-lookup stripe elimination over the encoded DataFrame via
+    the footer's per-stripe bloom filter (written when the encode
+    config lists the column in ``bloom_columns``) — the fused-path twin
+    of the .orc BLOOM_FILTER_UTF8 pruning.
+
+    Pure Catalyst: the probe value's BLOOM_K bit positions are computed
+    once on the driver; the filter is a bit test against the stored
+    int64 words parsed from the footer JSON. Stripes without a bloom
+    for the column, or with a different stored geometry, are KEPT —
+    pruning is never a correctness dependency (compose with an exact
+    filter after decode, as with zone maps)."""
+    from pyspark.sql import functions as F
+
+    from .stripe import BLOOM_K, BLOOM_M, bloom_positions
+
+    bl = F.from_json(
+        F.get_json_object("footer", f"$.blooms.{column}"),
+        "struct<m:int,k:int,w:array<bigint>>")
+    usable = (bl.isNotNull() & (bl["m"] == F.lit(BLOOM_M))
+              & (bl["k"] == F.lit(BLOOM_K)))
+    hit = F.lit(True)
+    for p in bloom_positions(value):
+        word = F.element_at(bl["w"], p // 64 + 1)
+        # signed-int64 view of the single-bit mask (bit 63 = sign bit;
+        # 1<<63 would overflow a LongType literal)
+        mask = int(np.uint64(1 << (p % 64)).astype(np.int64))
+        hit = hit & (word.bitwiseAND(F.lit(mask)) != 0)
+    return enc_df.filter(~usable | hit)
 
 
 def manifest_df(enc_df):

@@ -56,7 +56,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "compression": "zstd",        # outer block layer; "none" to disable
     "compression_level": 3,
     "compression_min_bytes": 256,  # don't frame tiny streams
+    "bloom_columns": [],          # per-stripe blooms for point lookups
 }
+
+# fixed bloom geometry (engine.bloom_prune_stripes refuses to prune a
+# stripe whose stored geometry differs — forward-compatible by design)
+BLOOM_M = 1024   # bits (16 int64 words)
+BLOOM_K = 4      # probes per value
 
 _U8 = np.uint8
 
@@ -511,10 +517,62 @@ def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None,
         "columns": columns,
         "stats": _stripe_stats(batch),
     }
+    blooms = _stripe_blooms(batch, cfg.get("bloom_columns") or [])
+    if blooms:
+        footer["blooms"] = blooms
     return footer, bytes(payload)
 
 
 _MAX_STAT_STR = 64
+
+
+def bloom_positions(value) -> list[int]:
+    """The BLOOM_K bit positions of a value, by md5 double hashing
+    (h1 + i*h2 mod BLOOM_M). Strings hash as utf-8, ints as their
+    decimal text — the same canonical bytes on the write and probe
+    sides, so membership has no false negatives by construction."""
+    import hashlib
+
+    if isinstance(value, bytes):
+        data = value
+    elif isinstance(value, str):
+        data = value.encode()
+    else:
+        data = str(int(value)).encode()
+    d = hashlib.md5(data).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % BLOOM_M for i in range(BLOOM_K)]
+
+
+def _stripe_blooms(batch: pa.RecordBatch, cols: list[str]) -> dict:
+    """Per-stripe bloom filters for the configured string/int columns:
+    {col: {"m": BLOOM_M, "k": BLOOM_K, "w": [16 int64 words]}} in the
+    footer JSON — the engine-format twin of the .orc writer's
+    BLOOM_FILTER_UTF8 (orcfile/bloom.py): point-lookup stripe
+    elimination on the fused path, probed by a pure Catalyst bit test
+    (engine.bloom_prune_stripes)."""
+    out: dict = {}
+    for name in cols:
+        idx = batch.schema.get_field_index(name)
+        if idx < 0:
+            continue
+        arr = batch.column(idx)
+        t = arr.type
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_integer(t)):
+            continue
+        import pyarrow.compute as pc
+
+        words = np.zeros(BLOOM_M // 64, dtype=np.uint64)
+        for v in pc.unique(arr).to_pylist():
+            if v is None:
+                continue
+            for p in bloom_positions(v):
+                words[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+        out[name] = {"m": BLOOM_M, "k": BLOOM_K,
+                     "w": [int(w) for w in words.view(np.int64)]}
+    return out
 
 
 def _stripe_stats(batch: pa.RecordBatch) -> dict:
