@@ -569,6 +569,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _load(s, d, "documents"), ["text"], "doc_id")
     q["dedup_jaccard_documents"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _load(s, d, "documents"), "doc_id", "text", threshold=0.8)
+    # cluster assignment = transitive closure over the pair graph
+    # (distributed min-label propagation); oracle = recursive CTE
+    q["dedup_clusters_documents"] = lambda s, d: dedup.dedup_clusters(
+        _load(s, d, "documents"),
+        dedup.ngram_jaccard_pairs(_load(s, d, "documents"), "doc_id",
+                                  "text", threshold=0.8),
+        "doc_id")
     q["dedup_minhash_documents"] = lambda s, d: dedup.minhash_lsh_pairs(
         _load(s, d, "documents"), "doc_id", "text", threshold=0.8)
     q["dedup_simhash_documents"] = lambda s, d: dedup.simhash_pairs(
@@ -873,6 +880,18 @@ JOIN sets sa ON sa.doc_id = id_a
 JOIN sets sb ON sb.doc_id = id_b
 WHERE len(list_intersect(sa.tk, sb.tk)) * 1.0 /
     (len(sa.tk) + len(sb.tk) - len(list_intersect(sa.tk, sb.tk))) >= 0.8"""
+    # transitive closure of the jaccard pair graph: recursive CTE
+    # (edges symmetric; min reachable id == the component minimum the
+    # Spark label propagation converges to)
+    o["dedup_clusters_documents"] = f"""
+WITH RECURSIVE pairs AS ({o["dedup_jaccard_documents"]}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"""
     o["dedup_simhash_documents"] = _simhash_oracle_sql()
     o["dedup_minhash_documents"] = r"""
 WITH sh AS (

@@ -360,3 +360,45 @@ def embedding_neardup_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
             .withColumn("cos", dot / (norm("v_a") * norm("v_b")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 5).alias("cos")))
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
+                   id_a: str = "id_a", id_b: str = "id_b",
+                   max_iters: int = 25) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    pair graph any dedup family emits (jaccard / minhash / simhash /
+    embedding), returning (id, cluster_id) with cluster_id = the
+    smallest id in the component. The step a training pipeline runs
+    after pair finding — "keep one document per cluster" needs the
+    transitive closure (A~B, B~C puts A and C in one cluster even when
+    the pair finder never compared them), not the raw pairs.
+
+    Distributed min-label propagation: every iteration is one
+    shuffle-join (edges x labels) + one aggregation, and labels
+    monotonically decrease to the component minimum in O(component
+    diameter) iterations — near-dup clusters are shallow (dups of a
+    common source), so convergence is a handful of rounds. Lineage is
+    truncated each round (localCheckpoint) so the plan stays flat; the
+    convergence probe is the same action that materializes the round.
+    Rows never touched by a pair keep their own id (singleton
+    clusters).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint(eager=False)
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges["src"] == labels["id"])
+               .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
+        stepped = (labels.join(nbr, labels["id"] == nbr["dst"], "left")
+                   .select(F.col("id"), F.col("lbl"),
+                           F.least(F.col("lbl"),
+                                   F.coalesce("nlbl", "lbl")).alias("nxt")))
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("nxt") < F.col("lbl")).limit(1)
+        labels = stepped.select("id", F.col("nxt").alias("lbl"))
+        if not changed.count():
+            break
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("lbl").alias("cluster_id"))

@@ -368,3 +368,22 @@ def test_ivf_index_probe_matches_ivf_topk(spark):
     import re
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m and int(m.group(1)) < int(m.group(2))
+
+
+def test_dedup_clusters_transitive(spark):
+    """Connected components over dedup pairs: transitivity (A~B, B~C ->
+    one cluster even though A,C were never paired), singletons keep
+    their own id, deterministic min-id labels."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2), (6, 7)], ["id_a", "id_b"])
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 6: 6, 7: 6, 4: 4}
+    # a longer chain still converges (diameter > 2)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], ["id_a", "id_b"])
+    got2 = {r.doc_id: r.cluster_id
+            for r in dedup.dedup_clusters(docs, chain, "doc_id").collect()}
+    assert set(got2.values()) == {0}
