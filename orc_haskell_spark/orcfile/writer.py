@@ -792,6 +792,17 @@ def write_orc(data, where, compression: str = "ZLIB",
                             if vals and isinstance(vals[0], int):
                                 bf.add_hashes(bloom_mod.hash64_long_array(
                                     np.array(vals, np.int64)))
+                            elif vals and isinstance(vals[0], (str, bytes)):
+                                bf.add_hashes(bloom_mod.hash64_bytes_array(
+                                    [v.encode() if isinstance(v, str)
+                                     else v for v in vals]))
+                            elif vals and isinstance(vals[0], float):
+                                # IEEE bits through the Wang mix; -0.0
+                                # normalizes first (hash64_double)
+                                d = np.array(vals, np.float64)
+                                d[d == 0.0] = 0.0
+                                bf.add_hashes(bloom_mod.hash64_long_array(
+                                    d.view(np.int64)))
                             else:
                                 for v in vals:
                                     bf.add_value(v)

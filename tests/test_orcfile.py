@@ -1206,3 +1206,27 @@ def test_index_region_corruption_never_silent(tmp_path):
         except Exception:
             pass  # loud failure is acceptable
     assert silent == 0
+
+
+def test_vectorized_murmur_matches_scalar():
+    """hash64_bytes_array is bit-identical to the scalar calibrated
+    hash64 (the C++-validated string bloom domain) across lengths 0-64,
+    8-multiples, and random bytes; float path matches hash64_double
+    incl. -0.0 normalization."""
+    import random
+
+    from orc_haskell_spark.orcfile import bloom
+
+    rng = random.Random(123)
+    vals = [bytes(rng.randrange(256) for _ in range(n))
+            for n in list(range(0, 40)) + [64, 127, 8, 16, 24]]
+    vals += [bytes(rng.randrange(256) for _ in range(rng.randrange(80)))
+             for _ in range(300)]
+    vec = bloom.hash64_bytes_array(vals)
+    assert [int(x) for x in vec] == [bloom.hash64(v) for v in vals]
+    d = np.array([0.0, -0.0, 1.5, -2.25, 1e300, -1e-300], np.float64)
+    dn = d.copy()
+    dn[dn == 0.0] = 0.0
+    got = bloom.hash64_long_array(dn.view(np.int64))
+    assert [int(x) for x in got] == [bloom.hash64_double(float(v))
+                                     for v in d]
