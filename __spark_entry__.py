@@ -700,9 +700,9 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BMP/PNG/JPEG/WAV decoders (pure numpy — baseline JPEG via
-    pipeline/jpeg.py) over synthesized real payloads; image rows rotate
-    through all three containers."""
+    """REAL BMP/PNG/JPEG/WAV/Y4M/MJPEG-AVI decoders (pure numpy) over
+    synthesized real payloads; image rows rotate through all three
+    image containers, video rows through both video containers."""
     _ensure_worker_imports(spark)
     media = multimodal.real_media_df(spark, 300, 4)
     feats = multimodal.extract_features(media, use_real_decoders=True)
@@ -712,11 +712,19 @@ def _media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (pipeline/video.py): Y4M clips seeked
+    frame-by-frame at O(1) byte offsets, MJPEG-AVI chunks through the
+    idx1 index, each sampled frame actually decoded (JPEG frames via
+    pipeline/jpeg.py) — only sampled frames are touched."""
     _ensure_worker_imports(spark)
-    media = multimodal.media_df(spark, 500, 4)
-    return multimodal.frame_sample(media).agg(
+    media = multimodal.real_media_df(spark, 300, 4)
+    frames = multimodal.frame_sample(media, every_ms=100,
+                                     use_real_decoders=True)
+    return frames.agg(
         F.count("*").alias("frames"),
-        F.countDistinct("id").cast("bigint").alias("videos"))
+        F.countDistinct("id").cast("bigint").alias("videos"),
+        F.sum("checksum").alias("checksum_sum"),
+        F.round(F.sum("mean_luma"), 3).alias("luma_sum"))
 
 
 def _select_sql(table: str) -> str:

@@ -383,11 +383,31 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     Rows never touched by a pair keep their own id (singleton
     clusters).
     """
+    sc = df.sparkSession.sparkContext
+
+    def _persisted_ids() -> set:
+        m, out = sc._jsc.sc().getPersistentRDDs(), set()
+        it = m.iterator()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    def _unpersist(ids: set) -> None:
+        m = sc._jsc.sc().getPersistentRDDs()
+        it = m.iterator()
+        while it.hasNext():
+            t = it.next()
+            if t._1() in ids:
+                t._2().unpersist(False)
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    before = _persisted_ids()
     edges = edges.localCheckpoint(eager=False)
+    edge_ids = _persisted_ids() - before
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    stale: set = set()
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges["src"] == labels["id"])
                .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
@@ -395,10 +415,21 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
                    .select(F.col("id"), F.col("lbl"),
                            F.least(F.col("lbl"),
                                    F.coalesce("nlbl", "lbl")).alias("nxt")))
+        before = _persisted_ids()
         stepped = stepped.localCheckpoint(eager=True)
+        # the new round is materialized: every earlier round's blocks
+        # are dead weight — at corpus scale leaving k rounds persisted
+        # IS the memory leak (edges stay until the loop exits)
+        _unpersist(stale)
+        stale = _persisted_ids() - before - edge_ids
         changed = stepped.filter(F.col("nxt") < F.col("lbl")).limit(1)
         labels = stepped.select("id", F.col("nxt").alias("lbl"))
         if not changed.count():
             break
+    _unpersist(edge_ids)
+    # only the FINAL round's checkpoint stays persisted — the returned
+    # DataFrame reads from it (lineage was truncated); callers that are
+    # done with the result free it with result.unpersist() semantics of
+    # the last localCheckpoint, or just let executor eviction drop it
     return labels.select(F.col("id").alias(id_col),
                          F.col("lbl").alias("cluster_id"))

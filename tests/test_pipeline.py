@@ -239,6 +239,48 @@ def test_real_decoders_in_spark_pipeline(spark):
         px = multimodal.decode_image(bytes(r.payload), {})
         assert rows[i].checksum == int(px.astype(np.int64).sum()), codec
     assert seen == {"bmp", "png", "jpeg"}
+    # video rows decode their first frame through pipeline/video.py
+    from orc_haskell_spark.pipeline.video import decode_video_frame
+
+    vseen = set()
+    for i, r in m.items():
+        if r.kind != "video" or r.meta.codec in vseen:
+            continue
+        vseen.add(r.meta.codec)
+        px = decode_video_frame(bytes(r.payload), 0)
+        assert rows[i].checksum == int(px.astype(np.int64).sum()), \
+            r.meta.codec
+    assert vseen == {"y4m", "mjpeg"}
+
+
+def test_real_frame_sample_in_spark(spark):
+    """Real frame sampling: every emitted (id, frame_ms) row's stats
+    must equal a driver-side decode of the SAME sampled frame index —
+    Y4M rows through the O(1) seek, AVI rows through the idx1 index."""
+    from orc_haskell_spark.pipeline.video import (decode_video_frame,
+                                                  video_timing)
+
+    media = multimodal.real_media_df(spark, 45, 3)
+    got = multimodal.frame_sample(media, every_ms=100,
+                                  use_real_decoders=True).collect()
+    assert got, "no frames sampled"
+    payloads = {r.id: bytes(r.payload) for r in media.collect()
+                if r.kind == "video"}
+    assert {r.id for r in got} == set(payloads)
+    codecs = {r.codec for r in got}
+    assert codecs == {"y4m", "mjpeg"}
+    for r in got:
+        blob = payloads[r.id]
+        nframes, uspf = video_timing(blob)
+        k = min(r.frame_ms * 1000 // uspf, nframes - 1)
+        px = decode_video_frame(blob, k)
+        assert r.checksum == int(px.astype(np.int64).sum())
+        assert abs(r.mean_luma - float(px[..., 0].mean())) < 1e-9
+    # grid shape: one row per every_ms tick per clip, duration inclusive
+    for vid, blob in payloads.items():
+        nframes, uspf = video_timing(blob)
+        dur_ms = nframes * uspf // 1000
+        assert sum(1 for r in got if r.id == vid) == dur_ms // 100 + 1
 
 
 def test_png_all_filters_and_error_contract():
@@ -382,8 +424,14 @@ def test_dedup_clusters_transitive(spark):
            for r in dedup.dedup_clusters(docs, pairs, "doc_id").collect()}
     assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 6: 6, 7: 6, 4: 4}
     # a longer chain still converges (diameter > 2)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(7)], ["id_a", "id_b"])
     got2 = {r.doc_id: r.cluster_id
             for r in dedup.dedup_clusters(docs, chain, "doc_id").collect()}
     assert set(got2.values()) == {0}
+    # intermediate rounds + edge checkpoint are RELEASED as iterations
+    # supersede them: a diameter-7 run may leave only the final round's
+    # checkpoint persisted, never one block set per iteration
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
