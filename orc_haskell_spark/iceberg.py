@@ -1,0 +1,617 @@
+"""Apache Iceberg table support: pure-Python metadata layer.
+
+The north rule names "Iceberg tables of Common-Crawl-style web pages"
+as this engine's canonical input, and the sandbox ships no
+iceberg-spark-runtime jar — so this module implements the TABLE FORMAT
+from the public spec (https://iceberg.apache.org/spec/) directly:
+
+- table discovery: ``metadata/version-hint.text`` ->
+  ``vN.metadata.json`` (or newest ``*.metadata.json`` when no hint)
+- snapshot selection: current, by id, or time-travel ``as_of_ms``
+- manifest lists and manifests: Avro object-container files decoded by
+  ``avro.py`` (schema-driven, deflate), int-keyed logical maps in both
+  wire shapes (Avro map / array-of-kv-records as Java Iceberg writes)
+- planning-time pruning: partition values (identity transform) and
+  per-file column lower/upper bounds (Iceberg single-value binary
+  serialization), mirroring what the engine's own zone maps do
+- a writer able to CREATE tables and COMMIT append snapshots (new
+  manifest + manifest list + metadata json + hint, all rename-on-
+  commit), used both as the test fixture generator and as the
+  snapshot-committing sink for encoded output
+
+Scale shape: the manifest LIST (one row per manifest, ~KB) is driver
+IO; MANIFESTS fan out to a Spark stage beyond a threshold exactly like
+``orcfile/planner.py`` does for ORC tails, so planning is never
+O(data-files) serial driver work. Data files are untouched at plan
+time; the surviving file list feeds ``sources.parquet_splits_df`` and
+from there every existing scan/encode path.
+
+Honest deviations from the full spec (each raises or documents):
+- columns resolve by NAME, not field-id (our data files are plain
+  parquet without field-id metadata)
+- v2 row-level delete files raise NotImplementedError at plan time
+- only identity partition transforms are *evaluated* for pruning;
+  other transforms keep their files (conservative, never wrong)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+from . import avro
+
+# ---------------------------------------------------------------------------
+# single-value serialization (spec "Binary single-value serialization")
+
+_BOUND_CODECS = {
+    "boolean": (lambda v: b"\x01" if v else b"\x00",
+                lambda b: b != b"\x00"),
+    "int": (lambda v: struct.pack("<i", v),
+            lambda b: struct.unpack("<i", b)[0]),
+    "long": (lambda v: struct.pack("<q", v),
+             lambda b: struct.unpack("<q", b)[0]),
+    "float": (lambda v: struct.pack("<f", v),
+              lambda b: struct.unpack("<f", b)[0]),
+    "double": (lambda v: struct.pack("<d", v),
+               lambda b: struct.unpack("<d", b)[0]),
+    "date": (lambda v: struct.pack("<i", v),
+             lambda b: struct.unpack("<i", b)[0]),
+    "timestamp": (lambda v: struct.pack("<q", v),
+                  lambda b: struct.unpack("<q", b)[0]),
+    "timestamptz": (lambda v: struct.pack("<q", v),
+                    lambda b: struct.unpack("<q", b)[0]),
+    "string": (lambda v: v.encode("utf-8"),
+               lambda b: b.decode("utf-8")),
+    "binary": (lambda v: bytes(v), bytes),
+}
+
+
+def encode_bound(ice_type: str, value) -> bytes:
+    return _BOUND_CODECS[ice_type][0](value)
+
+
+def decode_bound(ice_type: str, blob: bytes):
+    return _BOUND_CODECS[ice_type][1](blob)
+
+
+_PA_TO_ICE = {
+    "bool": "boolean", "int32": "int", "int64": "long",
+    "float": "float", "double": "double", "string": "string",
+    "large_string": "string", "binary": "binary",
+    "large_binary": "binary", "date32[day]": "date",
+}
+
+
+def _pa_to_iceberg_type(t) -> str:
+    s = str(t)
+    if s.startswith("timestamp"):
+        return "timestamptz" if getattr(t, "tz", None) else "timestamp"
+    if s in _PA_TO_ICE:
+        return _PA_TO_ICE[s]
+    raise NotImplementedError(f"no Iceberg mapping for arrow type {s}")
+
+
+# ---------------------------------------------------------------------------
+# metadata discovery
+
+
+def _local(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def table_metadata(table_path: str, version: int | None = None) -> dict:
+    """Load vN.metadata.json — the hinted/current one by default."""
+    mdir = os.path.join(table_path, "metadata")
+    if version is None:
+        hint = os.path.join(mdir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                version = int(f.read().strip())
+        else:
+            cands = sorted(int(n[1:].split(".")[0])
+                           for n in os.listdir(mdir)
+                           if n.endswith(".metadata.json")
+                           and n.startswith("v"))
+            if not cands:
+                raise FileNotFoundError(
+                    f"no metadata json under {mdir}")
+            version = cands[-1]
+    with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    if meta.get("format-version") not in (1, 2):
+        raise NotImplementedError(
+            f"Iceberg format-version {meta.get('format-version')}")
+    return meta
+
+
+def select_snapshot(meta: dict, snapshot_id: int | None = None,
+                    as_of_ms: int | None = None) -> dict:
+    """Current snapshot, by id, or newest at-or-before ``as_of_ms``."""
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        raise ValueError("table has no snapshots")
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    if as_of_ms is not None:
+        ok = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+        if not ok:
+            raise ValueError(f"no snapshot at or before {as_of_ms}")
+        return max(ok, key=lambda s: s["timestamp-ms"])
+    cur = meta.get("current-snapshot-id")
+    for s in snaps:
+        if s["snapshot-id"] == cur:
+            return s
+    raise ValueError("current-snapshot-id missing from snapshots")
+
+
+def _schema_of(meta: dict) -> list[dict]:
+    """Current schema's field list [{id,name,type,required}, ...]."""
+    if "schemas" in meta:
+        sid = meta["current-schema-id"]
+        for s in meta["schemas"]:
+            if s["schema-id"] == sid:
+                return s["fields"]
+        raise ValueError("current-schema-id missing from schemas")
+    return meta["schema"]["fields"]           # v1 single-schema layout
+
+
+def _normalize_kv(value) -> dict:
+    """Iceberg int-keyed logical maps arrive as an Avro map (str keys)
+    or an array of {key, value} records (Java writer). -> {int: v}."""
+    if value is None:
+        return {}
+    if isinstance(value, dict):
+        return {int(k): v for k, v in value.items()}
+    return {int(e["key"]): e["value"] for e in value}
+
+
+# ---------------------------------------------------------------------------
+# planning
+
+
+class Predicate:
+    """Tiny conjunctive predicate for plan-time pruning: a list of
+    (column, op, value) with op in = / < / <= / > / >= / in. Evaluated
+    exactly on identity-partition values and conservatively on file
+    bounds (a file survives unless its [lower, upper] range PROVES the
+    predicate false — same contract as engine.prune_stripes)."""
+
+    def __init__(self, terms):
+        self.terms = list(terms)
+
+    def keep_partition(self, part: dict) -> bool:
+        for col, op, val in self.terms:
+            if col not in part:
+                continue
+            v = part[col]
+            if v is None:
+                continue
+            if not _cmp(op, v, v, val):
+                return False
+        return True
+
+    def keep_bounds(self, lowers: dict, uppers: dict) -> bool:
+        for col, op, val in self.terms:
+            lo, hi = lowers.get(col), uppers.get(col)
+            if lo is None or hi is None:
+                continue
+            if not _cmp(op, lo, hi, val):
+                return False
+        return True
+
+
+def _cmp(op: str, lo, hi, val) -> bool:
+    """Could any v in [lo, hi] satisfy (v op val)?"""
+    if op == "=":
+        return lo <= val <= hi
+    if op == "in":
+        return any(lo <= v <= hi for v in val)
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+DISTRIBUTED_MANIFESTS_MIN = 64
+
+
+def _read_manifest(path: str, field_types: dict, id_of: dict,
+                   pred: Predicate | None):
+    """One manifest -> list of surviving live data-file dicts."""
+    _, entries = avro.read_container_file(_local(path))
+    out = []
+    for e in entries:
+        if e.get("status") == 2:          # DELETED entry: file is gone
+            continue
+        df = e["data_file"]
+        if df.get("content", 0) != 0:
+            raise NotImplementedError(
+                "Iceberg v2 delete files are not supported")
+        part = df.get("partition") or {}
+        lowers_raw = _normalize_kv(df.get("lower_bounds"))
+        uppers_raw = _normalize_kv(df.get("upper_bounds"))
+        lowers, uppers = {}, {}
+        for name, fid in id_of.items():
+            t = field_types[name]
+            if fid in lowers_raw and t in _BOUND_CODECS:
+                lowers[name] = decode_bound(t, lowers_raw[fid])
+            if fid in uppers_raw and t in _BOUND_CODECS:
+                uppers[name] = decode_bound(t, uppers_raw[fid])
+        if pred is not None:
+            if not pred.keep_partition(part):
+                continue
+            if not pred.keep_bounds(lowers, uppers):
+                continue
+        out.append({
+            "file_path": _local(df["file_path"]),
+            "file_format": df.get("file_format", "PARQUET"),
+            "record_count": df.get("record_count"),
+            "file_size_in_bytes": df.get("file_size_in_bytes"),
+            "partition": part,
+            "lower_bounds": lowers,
+            "upper_bounds": uppers,
+        })
+    return out
+
+
+def plan_files(table_path: str, snapshot_id: int | None = None,
+               as_of_ms: int | None = None,
+               where: list | Predicate | None = None,
+               spark=None) -> list[dict]:
+    """Snapshot's live data files after partition/bounds pruning.
+
+    Driver reads the manifest LIST (one Avro row per manifest); the
+    per-manifest entry reads fan out to a Spark stage when the snapshot
+    has >= DISTRIBUTED_MANIFESTS_MIN manifests and a session is given —
+    the same two-mode planning as sources.parquet_splits_df, so a
+    million-file table never serializes planning on the driver."""
+    meta = table_metadata(table_path)
+    snap = select_snapshot(meta, snapshot_id, as_of_ms)
+    fields = _schema_of(meta)
+    field_types = {f["name"]: f["type"] for f in fields
+                   if isinstance(f["type"], str)}
+    id_of = {f["name"]: f["id"] for f in fields}
+    pred = (where if isinstance(where, Predicate)
+            else Predicate(where) if where else None)
+    mlist_path = _local(snap["manifest-list"])
+    _, manifests = avro.read_container_file(mlist_path)
+    data_manifests = [m for m in manifests if m.get("content", 0) == 0]
+    if len(data_manifests) != len(manifests):
+        raise NotImplementedError(
+            "Iceberg v2 delete manifests are not supported")
+    paths = [m["manifest_path"] for m in data_manifests]
+    if spark is not None and len(paths) >= DISTRIBUTED_MANIFESTS_MIN:
+        sc = spark.sparkContext
+        n = min(len(paths), sc.defaultParallelism * 2)
+        out = (sc.parallelize(paths, n)
+               .flatMap(lambda p: _read_manifest(p, field_types,
+                                                 id_of, pred))
+               .collect())
+    else:
+        out = [f for p in paths
+               for f in _read_manifest(p, field_types, id_of, pred)]
+    for f in out:
+        if f["file_format"].upper() != "PARQUET":
+            raise NotImplementedError(
+                f"Iceberg data file format {f['file_format']}")
+    return sorted(out, key=lambda f: f["file_path"])
+
+
+def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
+                 as_of_ms: int | None = None,
+                 where: list | Predicate | None = None,
+                 columns: list[str] | None = None):
+    """Iceberg table -> DataFrame over the snapshot's pruned file list.
+
+    Pruning happens HERE from Iceberg's own metadata (files Catalyst
+    never sees are never scheduled); residual row-level filtering is
+    the caller's normal ``.filter`` — pruning is only ever file-granular
+    so re-applying the predicate stays mandatory, exactly like the ORC
+    datasource's pushed filters."""
+    files = plan_files(table_path, snapshot_id, as_of_ms, where, spark)
+    if not files:
+        raise ValueError(f"no live data files in {table_path}")
+    df = spark.read.parquet(*[f["file_path"] for f in files])
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def iceberg_splits_df(spark, table_path: str,
+                      snapshot_id: int | None = None,
+                      as_of_ms: int | None = None,
+                      where: list | Predicate | None = None,
+                      ranges=None, num_partitions: int | None = None):
+    """Snapshot-pruned (file, row_group) splits for the fused Python-
+    side scan/encode paths: Iceberg planning on top, the existing
+    LPT-balanced parquet split planner below."""
+    from .sources import parquet_splits_df
+
+    files = plan_files(table_path, snapshot_id, as_of_ms, where, spark)
+    return parquet_splits_df(spark, table_path, ranges=ranges,
+                             num_partitions=num_partitions,
+                             files=[f["file_path"] for f in files])
+
+
+def encode_iceberg(spark, table_path: str,
+                   snapshot_id: int | None = None,
+                   as_of_ms: int | None = None,
+                   where: list | Predicate | None = None,
+                   columns: list[str] | None = None,
+                   num_partitions: int | None = None, **encode_kw):
+    """Fused Python-side encode over an Iceberg snapshot: snapshot
+    selection + metadata pruning here, then engine.encode_parquet's
+    zero-crossing scan/encode over the surviving files (nothing else
+    changes — stripes, manifests, sinks all behave as for plain
+    parquet inputs)."""
+    from . import engine
+
+    files = plan_files(table_path, snapshot_id, as_of_ms, where, spark)
+    if not files:
+        raise ValueError(f"no live data files in {table_path}")
+    return engine.encode_parquet(
+        spark, table_path, columns=columns,
+        num_partitions=num_partitions,
+        files=[f["file_path"] for f in files], **encode_kw)
+
+
+# ---------------------------------------------------------------------------
+# writer: create + append commits (fixtures AND the encoded-output sink)
+
+_MANIFEST_KV = {"type": "array", "logicalType": "map", "items": {
+    "type": "record", "name": "kv", "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"}]}}
+
+_MANIFEST_KV_LONG = {"type": "array", "logicalType": "map", "items": {
+    "type": "record", "name": "kvl", "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "long"}]}}
+
+
+def _partition_schema(spec_fields: list[dict], field_types: dict):
+    pf = []
+    for f in spec_fields:
+        t = field_types.get(f["name"], "string")
+        at = {"boolean": "boolean", "int": "int", "long": "long",
+              "float": "float", "double": "double"}.get(t, "string")
+        pf.append({"name": f["name"], "type": ["null", at],
+                   "default": None})
+    return {"type": "record", "name": "r102", "fields": pf}
+
+
+def _manifest_schema(part_schema) -> dict:
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int", "default": 0},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "partition", "type": part_schema},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "value_counts",
+                 "type": ["null", _MANIFEST_KV_LONG], "default": None},
+                {"name": "null_value_counts",
+                 "type": ["null", _MANIFEST_KV_LONG], "default": None},
+                {"name": "lower_bounds", "type": ["null", _MANIFEST_KV],
+                 "default": None},
+                {"name": "upper_bounds", "type": ["null", _MANIFEST_KV],
+                 "default": None}]}}]}
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int", "default": 0},
+        {"name": "sequence_number", "type": "long", "default": 0},
+        {"name": "min_sequence_number", "type": "long", "default": 0},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"}]}
+
+
+def _file_stats(path: str, fields: list[dict]):
+    """record_count + per-field-id bounds from the parquet footer —
+    planning stats come from metadata already written, never a data
+    scan (value_counts/null_counts likewise)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    lowers, uppers, vcounts, ncounts = {}, {}, {}, {}
+    by_name = {f["name"]: f for f in fields}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            f = by_name.get(name)
+            if f is None or not isinstance(f["type"], str) \
+                    or f["type"] not in _BOUND_CODECS:
+                continue
+            fid = f["id"]
+            vcounts[fid] = vcounts.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            if st.null_count is not None:
+                ncounts[fid] = ncounts.get(fid, 0) + st.null_count
+            mn, mx = st.min, st.max
+            if f["type"] in ("timestamp", "timestamptz") and \
+                    hasattr(mn, "timestamp"):
+                mn = int(mn.timestamp() * 1_000_000)
+                mx = int(mx.timestamp() * 1_000_000)
+            if fid not in lowers or mn < decode_bound(f["type"],
+                                                      lowers[fid]):
+                lowers[fid] = encode_bound(f["type"], mn)
+            if fid not in uppers or mx > decode_bound(f["type"],
+                                                      uppers[fid]):
+                uppers[fid] = encode_bound(f["type"], mx)
+    def kv(d):
+        return [{"key": k, "value": v} for k, v in sorted(d.items())]
+
+    return (md.num_rows, os.path.getsize(path),
+            kv(lowers), kv(uppers), kv(vcounts), kv(ncounts))
+
+
+def create_table(table_path: str, arrow_schema,
+                 partition_by: list[str] | None = None,
+                 now_ms: int = 1_700_000_000_000) -> dict:
+    """CREATE an empty Iceberg v2 table (metadata only, no snapshot)."""
+    os.makedirs(os.path.join(table_path, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    fields = [{"id": i + 1, "name": f.name, "required": False,
+               "type": _pa_to_iceberg_type(f.type)}
+              for i, f in enumerate(arrow_schema)]
+    by_name = {f["name"]: f for f in fields}
+    spec_fields = [{"name": c, "transform": "identity",
+                    "source-id": by_name[c]["id"],
+                    "field-id": 1000 + k}
+                   for k, c in enumerate(partition_by or [])]
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
+        "location": table_path,
+        "last-sequence-number": 0,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(fields),
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0,
+                     "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 1000 + len(spec_fields) - 1
+        if spec_fields else 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    _write_metadata(table_path, 1, meta)
+    return meta
+
+
+def append_files(table_path: str, parquet_paths: list[str],
+                 partition_values: list[dict] | None = None,
+                 now_ms: int | None = None) -> dict:
+    """COMMIT an append snapshot covering ``parquet_paths``.
+
+    Writes one new manifest (stats straight from the parquet footers),
+    a new manifest list carrying every prior manifest forward plus the
+    new one, vN+1.metadata.json and the version hint — each file
+    rename-on-commit, hint last, so a torn commit leaves the previous
+    version fully readable (the resumability contract the engine's
+    fused sink already follows)."""
+    meta = table_metadata(table_path)
+    version = _current_version(table_path)
+    fields = _schema_of(meta)
+    field_types = {f["name"]: f["type"] for f in fields}
+    spec = next(s for s in meta["partition-specs"]
+                if s["spec-id"] == meta["default-spec-id"])["fields"]
+    seq = meta["last-sequence-number"] + 1
+    snap_id = seq  # deterministic ids: fixtures must be reproducible
+    now_ms = now_ms if now_ms is not None else \
+        meta["last-updated-ms"] + 1000
+    part_schema = _partition_schema(spec, field_types)
+    entries, nrows = [], 0
+    partition_values = partition_values or [{} for _ in parquet_paths]
+    for p, part in zip(parquet_paths, partition_values):
+        cnt, size, lo, hi, vc, nc = _file_stats(p, fields)
+        nrows += cnt
+        entries.append({
+            "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": os.path.abspath(p),
+                "file_format": "PARQUET",
+                "partition": {f["name"]: part.get(f["name"])
+                              for f in spec},
+                "record_count": cnt, "file_size_in_bytes": size,
+                "value_counts": vc, "null_value_counts": nc,
+                "lower_bounds": lo, "upper_bounds": hi}})
+    mdir = os.path.join(table_path, "metadata")
+    man_path = os.path.join(mdir, f"m{seq}-{snap_id}.avro")
+    man_len = avro.write_container_file(
+        man_path, _manifest_schema(part_schema), entries,
+        extra_meta={"schema": json.dumps({"type": "struct",
+                                          "fields": fields}),
+                    "partition-spec-id": "0", "content": "data",
+                    "format-version": "2"})
+    new_manifest = {
+        "manifest_path": os.path.abspath(man_path),
+        "manifest_length": man_len, "partition_spec_id": 0,
+        "content": 0, "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id, "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": nrows, "existing_rows_count": 0,
+        "deleted_rows_count": 0}
+    prior = []
+    if meta.get("current-snapshot-id") is not None and meta["snapshots"]:
+        cur = select_snapshot(meta)
+        _, prior = avro.read_container_file(_local(cur["manifest-list"]))
+    mlist_path = os.path.join(mdir, f"snap-{snap_id}.avro")
+    avro.write_container_file(
+        mlist_path, _MANIFEST_LIST_SCHEMA, prior + [new_manifest],
+        extra_meta={"snapshot-id": str(snap_id),
+                    "sequence-number": str(seq), "format-version": "2"})
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "append",
+                        "added-data-files": str(len(entries)),
+                        "added-records": str(nrows)},
+            "manifest-list": os.path.abspath(mlist_path),
+            "schema-id": meta.get("current-schema-id", 0)}
+    meta = dict(meta)
+    meta["snapshots"] = meta["snapshots"] + [snap]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+    _write_metadata(table_path, version + 1, meta)
+    return snap
+
+
+def _current_version(table_path: str) -> int:
+    hint = os.path.join(table_path, "metadata", "version-hint.text")
+    with open(hint) as f:
+        return int(f.read().strip())
+
+
+def _write_metadata(table_path: str, version: int, meta: dict) -> None:
+    mdir = os.path.join(table_path, "metadata")
+    mpath = os.path.join(mdir, f"v{version}.metadata.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, mpath)
+    hint = os.path.join(mdir, "version-hint.text")
+    with open(hint + ".tmp", "w") as f:
+        f.write(str(version))
+    os.replace(hint + ".tmp", hint)        # hint flips LAST: torn-commit safe

@@ -150,8 +150,8 @@ PLANNER_VERSION = "lpt-v2"
 
 
 def parquet_splits_df(spark: SparkSession, path: str,
-                      ranges=None, num_partitions: int | None = None
-                      ) -> DataFrame:
+                      ranges=None, num_partitions: int | None = None,
+                      files: list[str] | None = None) -> DataFrame:
     """DataFrame of parquet row-group splits (file, rg, nbytes, nrows),
     balanced across ``num_partitions`` tasks.
 
@@ -175,8 +175,14 @@ def parquet_splits_df(spark: SparkSession, path: str,
     the file list then comes from the table's current snapshot via
     Spark's inputFiles(), so the fused scan composes with catalog
     tables without any engine change — the north rule's input shape.
+
+    ``files`` bypasses listing entirely with an explicit file set — the
+    hook `iceberg.py` uses after snapshot selection + partition/bounds
+    pruning against the table's own metadata (no catalog jar needed).
     """
-    if "/" not in path and "\\" not in path:
+    if files is not None:
+        files = sorted(files)
+    elif "/" not in path and "\\" not in path:
         try:
             files = sorted(f for f in spark.read.table(path).inputFiles()
                            if f.endswith(".parquet"))

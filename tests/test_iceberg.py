@@ -1,0 +1,305 @@
+"""Iceberg table format (iceberg.py) + the Avro codec under it (avro.py).
+
+The north rule's canonical input is an Iceberg table of web pages; no
+iceberg runtime exists in the sandbox, so the metadata layer is ours
+and these tests are its spec gate: container roundtrips, snapshot
+commits, time travel, torn-commit safety, partition/bounds pruning,
+and end-to-end Spark reads + fused encodes over a committed table."""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from orc_haskell_spark import avro, iceberg
+
+# ---------------------------------------------------------------------------
+# avro
+
+
+REC = {"type": "record", "name": "t", "fields": [
+    {"name": "s", "type": "string"},
+    {"name": "n", "type": "long"},
+    {"name": "f", "type": "double"},
+    {"name": "ob", "type": ["null", "bytes"], "default": None},
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+    {"name": "m", "type": {"type": "map", "values": "long"}},
+    {"name": "flag", "type": "boolean"},
+]}
+
+ROWS = [
+    {"s": "héllo", "n": -1, "f": 2.5, "ob": b"\x00\xff", "tags": ["a"],
+     "m": {"x": 9, "y": -(2 ** 62)}, "flag": True},
+    {"s": "", "n": 2 ** 62, "f": -0.0, "ob": None, "tags": [],
+     "m": {}, "flag": False},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_container_roundtrip(codec):
+    blob = avro.write_container(REC, ROWS, codec=codec)
+    meta, out = avro.read_container(blob)
+    assert out == ROWS
+    assert meta["avro.codec"] == codec.encode()
+    assert meta["avro.schema"]["name"] == "t"
+
+
+def test_avro_zigzag_long_goldens():
+    """Wire bytes for known longs (Avro spec examples)."""
+    out = bytearray()
+    for v, expect in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                      (-2, b"\x03"), (2, b"\x04"), (-64, b"\x7f"),
+                      (64, b"\x80\x01")]:
+        out.clear()
+        avro._write_long(out, v)
+        assert bytes(out) == expect, v
+        import io
+        assert avro._read_long(io.BytesIO(bytes(out))) == v
+
+
+def test_avro_named_type_reference():
+    """A schema that refers to a named record by string (Java Iceberg's
+    habit for repeated partition types) resolves on read."""
+    schema = {"type": "record", "name": "outer", "fields": [
+        {"name": "a", "type": {"type": "record", "name": "pt",
+                               "fields": [{"name": "v", "type": "int"}]}},
+        {"name": "b", "type": "pt"}]}
+    rows = [{"a": {"v": 1}, "b": {"v": 2}}]
+    _, out = avro.read_container(avro.write_container(schema, rows))
+    assert out == rows
+
+
+def test_avro_corrupt_raises():
+    blob = avro.write_container(REC, ROWS)
+    with pytest.raises(ValueError):
+        avro.read_container(b"NOPE" + blob[4:])
+    with pytest.raises(ValueError):
+        avro.read_container(blob[:-10])          # sync truncated
+    bad = bytearray(blob)
+    bad[-8] ^= 0xFF                              # corrupt sync marker
+    with pytest.raises(ValueError):
+        avro.read_container(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# iceberg fixtures
+
+
+def _write_part(dirpath, name, langs, ids):
+    t = pa.table({
+        "url": pa.array([f"https://{l}.site/{i}" for l, i in
+                         zip(langs, ids)]),
+        "warc_ts": pa.array(
+            np.array(ids, np.int64) * 1_000_000 + 1_600_000_000_000_000,
+            pa.timestamp("us")),
+        "text": pa.array([f"text {l} {i}" for l, i in zip(langs, ids)]),
+        "lang": pa.array(langs),
+        "views": pa.array(ids, pa.int64()),
+    })
+    p = os.path.join(dirpath, "data", name)
+    pq.write_table(t, p)
+    return p, t
+
+
+@pytest.fixture()
+def table(tmp_path):
+    """Two-snapshot partitioned table: snap1 = en+de, snap2 adds fr."""
+    root = str(tmp_path / "pages_ice")
+    _, t0 = _write_part_schema_probe(root)
+    p_en, t_en = _write_part(root, "en-0.parquet", ["en"] * 4, [0, 1, 2, 3])
+    p_de, t_de = _write_part(root, "de-0.parquet", ["de"] * 3, [10, 11, 12])
+    iceberg.append_files(root, [p_en, p_de],
+                         [{"lang": "en"}, {"lang": "de"}])
+    p_fr, t_fr = _write_part(root, "fr-0.parquet", ["fr"] * 2, [20, 21])
+    iceberg.append_files(root, [p_fr], [{"lang": "fr"}])
+    return root, {"en": t_en, "de": t_de, "fr": t_fr}
+
+
+def _write_part_schema_probe(root):
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    probe = pa.table({
+        "url": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.timestamp("us")),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "views": pa.array([], pa.int64())})
+    iceberg.create_table(root, probe.schema, partition_by=["lang"])
+    return root, probe
+
+
+def test_create_commit_read_current(table):
+    root, parts = table
+    files = iceberg.plan_files(root)
+    assert [os.path.basename(f["file_path"]) for f in files] == \
+        ["de-0.parquet", "en-0.parquet", "fr-0.parquet"]
+    assert sum(f["record_count"] for f in files) == 9
+    # bounds decoded back to python values
+    en = next(f for f in files if "en-" in f["file_path"])
+    assert en["lower_bounds"]["views"] == 0
+    assert en["upper_bounds"]["views"] == 3
+    assert en["partition"] == {"lang": "en"}
+
+
+def test_time_travel_and_snapshot_id(table):
+    root, _ = table
+    meta = iceberg.table_metadata(root)
+    assert len(meta["snapshots"]) == 2
+    first = meta["snapshots"][0]
+    files1 = iceberg.plan_files(root, snapshot_id=first["snapshot-id"])
+    assert len(files1) == 2 and \
+        not any("fr-" in f["file_path"] for f in files1)
+    files_t = iceberg.plan_files(root, as_of_ms=first["timestamp-ms"])
+    assert files_t == files1
+    with pytest.raises(ValueError):
+        iceberg.plan_files(root, as_of_ms=first["timestamp-ms"] - 10_000)
+    with pytest.raises(ValueError):
+        iceberg.plan_files(root, snapshot_id=424242)
+
+
+def test_partition_and_bounds_pruning(table):
+    root, _ = table
+    only_de = iceberg.plan_files(root, where=[("lang", "=", "de")])
+    assert [os.path.basename(f["file_path"]) for f in only_de] == \
+        ["de-0.parquet"]
+    # bounds pruning on a non-partition column: views in en=0..3,
+    # de=10..12, fr=20..21
+    hi = iceberg.plan_files(root, where=[("views", ">=", 15)])
+    assert [os.path.basename(f["file_path"]) for f in hi] == \
+        ["fr-0.parquet"]
+    both = iceberg.plan_files(root, where=[("views", ">", 2),
+                                           ("views", "<", 12)])
+    assert {os.path.basename(f["file_path"]) for f in both} == \
+        {"en-0.parquet", "de-0.parquet"}
+    none = iceberg.plan_files(root, where=[("views", ">", 99)])
+    assert none == []
+    # string bounds prune too (url is partition-independent)
+    fr = iceberg.plan_files(root, where=[("url", ">=", "https://fr")])
+    assert [os.path.basename(f["file_path"]) for f in fr] == \
+        ["fr-0.parquet"]
+
+
+def test_torn_commit_leaves_previous_version_readable(table):
+    """Crash between metadata-json write and hint flip: readers keep
+    the OLD version (hint still points there) and a retried commit is
+    possible. The hint file is the atomic commit point."""
+    root, _ = table
+    mdir = os.path.join(root, "metadata")
+    before = iceberg.plan_files(root)
+    # simulate: next version's metadata json exists, hint NOT flipped
+    meta = iceberg.table_metadata(root)
+    iceberg._write_metadata(root, 99, meta)   # orphan future version
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("3")                          # hint still at v3
+    assert iceberg.plan_files(root) == before
+
+
+def test_reader_accepts_avro_map_wire_shape(tmp_path):
+    """Bounds written as a plain Avro map (string keys) — the other
+    legal wire shape — normalize identically."""
+    root = str(tmp_path / "t2")
+    _write_part_schema_probe(root)
+    p, _ = _write_part(root, "x.parquet", ["en"] * 2, [5, 6])
+    iceberg.append_files(root, [p], [{"lang": "en"}])
+    # rewrite the manifest with map-typed bounds
+    meta = iceberg.table_metadata(root)
+    snap = iceberg.select_snapshot(meta)
+    _, mans = avro.read_container_file(snap["manifest-list"])
+    mpath = mans[0]["manifest_path"]
+    _, entries = avro.read_container_file(mpath)
+    schema = json.loads(json.dumps(
+        iceberg._manifest_schema(iceberg._partition_schema(
+            [{"name": "lang"}], {"lang": "string"}))))
+    for f in schema["fields"]:
+        if f["name"] != "data_file":
+            continue
+        for g in f["type"]["fields"]:
+            if g["name"] in ("lower_bounds", "upper_bounds"):
+                g["type"] = ["null", {"type": "map", "values": "bytes"}]
+            if g["name"] in ("value_counts", "null_value_counts"):
+                g["type"] = ["null", {"type": "map", "values": "long"}]
+    for e in entries:
+        df = e["data_file"]
+        for k in ("lower_bounds", "upper_bounds"):
+            df[k] = {str(x["key"]): x["value"] for x in df[k]}
+        for k in ("value_counts", "null_value_counts"):
+            df[k] = {str(x["key"]): x["value"] for x in df[k]}
+    avro.write_container_file(mpath, schema, entries)
+    files = iceberg.plan_files(root, where=[("views", "=", 6)])
+    assert len(files) == 1 and files[0]["lower_bounds"]["views"] == 5
+
+
+def test_delete_files_raise(tmp_path):
+    root = str(tmp_path / "t3")
+    _write_part_schema_probe(root)
+    p, _ = _write_part(root, "x.parquet", ["en"], [1])
+    iceberg.append_files(root, [p], [{"lang": "en"}])
+    meta = iceberg.table_metadata(root)
+    snap = iceberg.select_snapshot(meta)
+    mlist = snap["manifest-list"]
+    _, mans = avro.read_container_file(mlist)
+    mans[0]["content"] = 1                     # delete manifest
+    avro.write_container_file(mlist, iceberg._MANIFEST_LIST_SCHEMA, mans)
+    with pytest.raises(NotImplementedError):
+        iceberg.plan_files(root)
+
+
+def test_single_value_serialization_goldens():
+    """Spec: little-endian fixed width; strings are raw UTF-8."""
+    assert iceberg.encode_bound("int", 1) == b"\x01\x00\x00\x00"
+    assert iceberg.encode_bound("long", -1) == b"\xff" * 8
+    assert iceberg.encode_bound("double", 1.0) == struct.pack("<d", 1.0)
+    assert iceberg.encode_bound("string", "naïve") == "naïve".encode()
+    assert iceberg.decode_bound("timestamptz", struct.pack("<q", 77)) == 77
+
+
+# ---------------------------------------------------------------------------
+# spark integration
+
+
+def test_read_iceberg_matches_duckdb_union(spark, table):
+    root, parts = table
+    import duckdb
+
+    got = sorted((r.url, r.lang, r.views) for r in
+                 iceberg.read_iceberg(spark, root).collect())
+    con = duckdb.connect()
+    want = sorted(con.execute(
+        f"SELECT url, lang, views FROM "
+        f"read_parquet('{root}/data/*.parquet')").fetchall())
+    assert got == want
+    # predicate path: pruned read + residual filter
+    de = iceberg.read_iceberg(spark, root,
+                              where=[("lang", "=", "de")],
+                              columns=["url", "views"]).collect()
+    assert len(de) == 3 and all("de.site" in r.url for r in de)
+
+
+def test_iceberg_fused_encode_roundtrip(spark, table):
+    """Snapshot-pruned Iceberg planning feeding the fused Python-side
+    encode: the split planner must see ONLY the surviving file, and the
+    encoded stripes must decode bit-identical to that partition."""
+    from orc_haskell_spark import engine
+
+    root, parts = table
+    splits = iceberg.iceberg_splits_df(
+        spark, root, where=[("lang", "=", "en")], num_partitions=2)
+    files = {r.file for r in splits.select("file").distinct().collect()}
+    assert len(files) == 1 and "en-0" in next(iter(files))
+    enc = iceberg.encode_iceberg(spark, root,
+                                 where=[("lang", "=", "en")],
+                                 num_partitions=2)
+    schema = spark.read.parquet(
+        os.path.join(root, "data", "en-0.parquet")).schema
+    dec = engine.decode_table(enc, schema)
+    got = sorted((r.url, r.lang, r.views, r.text, r.warc_ts)
+                 for r in dec.collect())
+    want = sorted(zip(*(parts["en"].column(c).to_pylist()
+                        for c in ["url", "lang", "views", "text",
+                                  "warc_ts"])))
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    assert [g[4].replace(tzinfo=None) for g in got] == \
+        [w[4] for w in want]
