@@ -488,6 +488,11 @@ def create_table(table_path: str, arrow_schema,
                "type": _pa_to_iceberg_type(f.type)}
               for i, f in enumerate(arrow_schema)]
     by_name = {f["name"]: f for f in fields}
+    for c in partition_by or []:
+        if c not in by_name:
+            raise ValueError(
+                f"partition column {c!r} not in schema "
+                f"(Iceberg identity transforms need a source column)")
     spec_fields = [{"name": c, "transform": "identity",
                     "source-id": by_name[c]["id"],
                     "field-id": 1000 + k}
@@ -596,6 +601,43 @@ def append_files(table_path: str, parquet_paths: list[str],
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
     _write_metadata(table_path, version + 1, meta)
     return snap
+
+
+def commit_parquet_dir(table_path: str, data_dir: str,
+                       partition_values: dict | None = None,
+                       now_ms: int | None = None) -> dict | None:
+    """Commit every not-yet-committed parquet part under ``data_dir``
+    as ONE append snapshot — the Iceberg face of the fused sinks.
+
+    `manifest.encode_parquet_to_dir` / `engine.decode_parquet_to_dir`
+    already write rename-committed parts with ledgered visibility; this
+    adds table-format semantics on top: readers get snapshot isolation
+    (a half-finished re-run is invisible until its commit), and resumed
+    runs commit only their NEW parts — already-committed file paths are
+    skipped, so calling this after every (re)run is idempotent. Creates
+    the table (schema from the first part's parquet footer) when
+    missing. Returns the new snapshot, or None if nothing new."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        p for p in _glob.glob(os.path.join(data_dir, "*.parquet"))
+        if not os.path.basename(p).startswith((".", "_")))
+    if not parts:
+        raise ValueError(f"no parquet parts under {data_dir}")
+    if not os.path.exists(os.path.join(table_path, "metadata")):
+        create_table(table_path, pq.read_schema(parts[0]),
+                     partition_by=sorted(partition_values or {}))
+    meta = table_metadata(table_path)
+    already: set[str] = set()
+    if meta.get("current-snapshot-id") is not None:
+        already = {f["file_path"] for f in plan_files(table_path)}
+    new = [p for p in parts if os.path.abspath(p) not in already]
+    if not new:
+        return None
+    pv = [dict(partition_values or {}) for _ in new]
+    return append_files(table_path, new, pv, now_ms=now_ms)
 
 
 def _current_version(table_path: str) -> int:

@@ -256,6 +256,55 @@ def test_single_value_serialization_goldens():
     assert iceberg.decode_bound("timestamptz", struct.pack("<q", 77)) == 77
 
 
+def test_commit_parquet_dir_idempotent_and_incremental(spark, tmp_path):
+    """The fused encode sink's output dir committed as Iceberg
+    snapshots: first commit = all parts, re-commit with nothing new =
+    None (idempotent), a new part = incremental snapshot holding BOTH;
+    the old snapshot still reads exactly the first part set."""
+    from orc_haskell_spark import manifest
+
+    src = str(tmp_path / "src")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .write.parquet(src)
+    out = str(tmp_path / "enc_out")
+    manifest.encode_parquet_to_dir(spark, src, out, num_partitions=2,
+                                   source="ice-test")
+    ice = str(tmp_path / "enc_ice")
+    stripes = os.path.join(out, "stripes")   # sink layout: parts live here
+    snap1 = iceberg.commit_parquet_dir(ice, stripes)
+    assert snap1 is not None
+    files1 = iceberg.plan_files(ice)
+    assert files1 and all(f["record_count"] > 0 for f in files1)
+    # idempotent: nothing new -> no snapshot
+    assert iceberg.commit_parquet_dir(ice, stripes) is None
+    # "resumed run" drops one more committed part into the dir
+    extra_rows = spark.read.parquet(stripes).limit(1)
+    extra = str(tmp_path / "extra.parquet")
+    extra_rows.toPandas().to_parquet(extra)
+    import shutil
+
+    shutil.copy(extra, os.path.join(stripes, "part-extra.parquet"))
+    snap2 = iceberg.commit_parquet_dir(ice, stripes)
+    assert snap2 is not None and snap2["snapshot-id"] != \
+        snap1["snapshot-id"]
+    files2 = iceberg.plan_files(ice)
+    assert len(files2) == len(files1) + 1
+    # snapshot isolation: the first snapshot still sees only its files
+    old = iceberg.plan_files(ice, snapshot_id=snap1["snapshot-id"])
+    assert {f["file_path"] for f in old} == \
+        {f["file_path"] for f in files1}
+    # and the committed encoded table decodes through the normal path
+    from orc_haskell_spark import engine
+
+    enc_df = iceberg.read_iceberg(
+        spark, ice, snapshot_id=snap1["snapshot-id"])
+    dec = engine.decode_table(
+        enc_df.select("part_id", "stripe_id", "n_rows", "n_cols",
+                      "raw_bytes", "enc_bytes", "footer", "data"),
+        spark.read.parquet(src).schema)
+    assert dec.count() == spark.read.parquet(src).count()
+
+
 # ---------------------------------------------------------------------------
 # spark integration
 
