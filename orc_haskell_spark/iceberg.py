@@ -328,6 +328,25 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
     return df
 
 
+def ranges_from_where(where: list | Predicate | None):
+    """Conservative (col, lo, hi) row-group ranges from predicate terms
+    — the file-level prune continues INTO parquet row groups: = pins
+    both bounds, >/>= set lo, </<= set hi, `in` spans its min..max.
+    Strict bounds relax to inclusive (pruning may only over-keep)."""
+    terms = where.terms if isinstance(where, Predicate) else (where or [])
+    out = []
+    for col, op, val in terms:
+        if op == "=":
+            out.append((col, val, val))
+        elif op in (">", ">="):
+            out.append((col, val, None))
+        elif op in ("<", "<="):
+            out.append((col, None, val))
+        elif op == "in" and val:
+            out.append((col, min(val), max(val)))
+    return out or None
+
+
 def iceberg_splits_df(spark, table_path: str,
                       snapshot_id: int | None = None,
                       as_of_ms: int | None = None,
@@ -335,11 +354,15 @@ def iceberg_splits_df(spark, table_path: str,
                       ranges=None, num_partitions: int | None = None):
     """Snapshot-pruned (file, row_group) splits for the fused Python-
     side scan/encode paths: Iceberg planning on top, the existing
-    LPT-balanced parquet split planner below."""
+    LPT-balanced parquet split planner below. ``where`` prunes twice —
+    whole files from manifest bounds here, then row groups from parquet
+    stats inside the planner (ranges_from_where), merged with any
+    explicit ``ranges``."""
     from .sources import parquet_splits_df
 
     files = plan_files(table_path, snapshot_id, as_of_ms, where, spark)
-    return parquet_splits_df(spark, table_path, ranges=ranges,
+    ranges = list(ranges or []) + list(ranges_from_where(where) or [])
+    return parquet_splits_df(spark, table_path, ranges=ranges or None,
                              num_partitions=num_partitions,
                              files=[f["file_path"] for f in files])
 
@@ -363,6 +386,7 @@ def encode_iceberg(spark, table_path: str,
     return engine.encode_parquet(
         spark, table_path, columns=columns,
         num_partitions=num_partitions,
+        ranges=encode_kw.pop("ranges", None) or ranges_from_where(where),
         files=[f["file_path"] for f in files], **encode_kw)
 
 

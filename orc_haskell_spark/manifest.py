@@ -294,7 +294,8 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
                           config: dict | None = None,
                           num_partitions: int | None = None,
                           batch_rows: int = 16384,
-                          source: str = "unknown") -> dict:
+                          source: str = "unknown",
+                          files: list[str] | None = None) -> dict:
     """Fused resumable encode job: parquet table -> encoded-stripe files
     + manifest, with ZERO payload bytes crossing the JVM boundary.
 
@@ -312,7 +313,8 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
     from . import sources
 
     all_splits = sources.parquet_splits_df(spark, in_path,
-                                           num_partitions=num_partitions)
+                                           num_partitions=num_partitions,
+                                           files=files)
     all_splits.persist()
     splits = all_splits
     cfg_hash = _config_hash(config, stripe_rows)

@@ -1,18 +1,60 @@
 """Cluster encode job: spark-submit entry point.
 
     spark-submit --py-files dist/orc_haskell_spark.zip scripts/encode_job.py \
-        --input <parquet/iceberg path> --output <dir> --partitions 4096 \
-        [--key url] [--stripe-rows 65536] [--resume]
+        --input <parquet dir | iceberg table dir> --output <dir> \
+        --partitions 4096 [--key url] [--stripe-rows 65536] \
+        [--fused] [--snapshot-id N | --as-of-ms MS] \
+        [--where lang=en] [--commit-iceberg <table dir>]
 
 Encodes the input table into output/stripes with a checkpointed
-manifest; re-running with --resume skips completed partitions
+manifest; re-running skips completed partitions/splits
 (BASELINE.json north_rule: resumable from checkpoint with per-partition
 lineage + metrics).
+
+Input resolution:
+- a directory with ``metadata/version-hint.text`` is an ICEBERG table:
+  the snapshot (current, --snapshot-id or --as-of-ms) is planned from
+  its own Avro manifests with partition/bounds pruning (--where
+  col=val / col>=val / col<=val, comma-separated conjunction)
+- anything else is a parquet path (or catalog table name)
+
+Modes:
+- default: shuffle-partitioned encode (repartition by --key hash) via
+  manifest.encode_to_dir — re-layouts the table, hash-resumable
+- --fused: zero-crossing Python-side scan+encode via
+  manifest.encode_parquet_to_dir — keeps input layout, (file,row_group)
+  resumable; Iceberg snapshots feed it through the pruned file list
+
+--commit-iceberg additionally commits the output stripes dir as an
+append snapshot of an Iceberg table (idempotent per part file), giving
+downstream readers snapshot isolation over the encoded output.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+
+
+def parse_where(s: str | None):
+    if not s:
+        return None
+    terms = []
+    for raw in s.split(","):
+        for op in (">=", "<=", "=", ">", "<"):
+            if op in raw:
+                col, val = raw.split(op, 1)
+                for cast in (int, float, str):
+                    try:
+                        v = cast(val)
+                        break
+                    except ValueError:
+                        continue
+                terms.append((col.strip(), op, v))
+                break
+        else:
+            raise SystemExit(f"cannot parse --where term {raw!r}")
+    return terms
 
 
 def main() -> None:
@@ -24,25 +66,64 @@ def main() -> None:
     ap.add_argument("--stripe-rows", type=int, default=65536)
     ap.add_argument("--compression", default="zstd")
     ap.add_argument("--string-codec", default="auto")
+    ap.add_argument("--fused", action="store_true",
+                    help="zero-crossing Python-side scan+encode "
+                         "(keeps input layout; no row shuffle)")
+    ap.add_argument("--snapshot-id", type=int, default=None)
+    ap.add_argument("--as-of-ms", type=int, default=None)
+    ap.add_argument("--where", default=None,
+                    help="comma-separated conjunction, e.g. "
+                         "'lang=en,views>=100' (iceberg input only)")
+    ap.add_argument("--commit-iceberg", default=None, metavar="TABLE",
+                    help="commit output stripes as an Iceberg append "
+                         "snapshot of TABLE (idempotent)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from orc_haskell_spark import manifest
+    from orc_haskell_spark import iceberg, manifest
 
     spark = (SparkSession.builder.appName("orc-haskell-spark-encode")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
-    df = spark.read.parquet(args.input)
-    summary = manifest.encode_to_dir(
-        df, args.output, partition_key=args.key,
-        num_partitions=args.partitions, stripe_rows=args.stripe_rows,
-        config={"compression": args.compression,
-                "string_codec": args.string_codec},
-        source=args.input)
+    is_iceberg = os.path.exists(
+        os.path.join(args.input, "metadata", "version-hint.text"))
+    where = parse_where(args.where)
+    config = {"compression": args.compression,
+              "string_codec": args.string_codec}
+
+    if args.fused:
+        files = None
+        if is_iceberg:
+            files = [f["file_path"] for f in iceberg.plan_files(
+                args.input, args.snapshot_id, args.as_of_ms, where,
+                spark)]
+            print(f"iceberg snapshot planned: {len(files)} data files")
+        summary = manifest.encode_parquet_to_dir(
+            spark, args.input, args.output,
+            stripe_rows=args.stripe_rows, config=config,
+            num_partitions=args.partitions, source=args.input,
+            **({"files": files} if files is not None else {}))
+    else:
+        if is_iceberg:
+            df = iceberg.read_iceberg(spark, args.input,
+                                      args.snapshot_id, args.as_of_ms,
+                                      where)
+        else:
+            df = spark.read.parquet(args.input)
+        summary = manifest.encode_to_dir(
+            df, args.output, partition_key=args.key,
+            num_partitions=args.partitions,
+            stripe_rows=args.stripe_rows, config=config,
+            source=args.input)
     m = manifest.metrics(spark, args.output)
     m.orderBy("part_id").show(20, truncate=False)
     print("summary:", summary)
+    if args.commit_iceberg:
+        snap = iceberg.commit_parquet_dir(
+            args.commit_iceberg, os.path.join(args.output, "stripes"))
+        print("iceberg commit:",
+              snap["snapshot-id"] if snap else "nothing new")
     spark.stop()
 
 

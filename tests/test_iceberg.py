@@ -256,6 +256,38 @@ def test_single_value_serialization_goldens():
     assert iceberg.decode_bound("timestamptz", struct.pack("<q", 77)) == 77
 
 
+def test_where_prunes_row_groups_inside_kept_files(spark, tmp_path):
+    """The manifest-bounds file prune continues into parquet row
+    groups: a range predicate drops whole 100-row groups of the
+    surviving file before any data IO."""
+    root = str(tmp_path / "t_rg")
+    os.makedirs(os.path.join(root, "data"))
+    ids = list(range(1000))
+    t = pa.table({
+        "url": pa.array([f"u{i:05d}" for i in ids]),
+        "warc_ts": pa.array(
+            np.array(ids, np.int64) * 1_000, pa.timestamp("us")),
+        "text": pa.array([f"t{i}" for i in ids]),
+        "lang": pa.array(["en"] * 1000),
+        "views": pa.array(ids, pa.int64())})
+    p = os.path.join(root, "data", "big.parquet")
+    pq.write_table(t, p, row_group_size=100)
+    iceberg.create_table(root, t.schema, partition_by=["lang"])
+    iceberg.append_files(root, [p], [{"lang": "en"}])
+    all_splits = iceberg.iceberg_splits_df(spark, root,
+                                           num_partitions=2).collect()
+    assert len(all_splits) == 10
+    pruned = iceberg.iceberg_splits_df(
+        spark, root, where=[("views", ">=", 800)],
+        num_partitions=2).collect()
+    assert len(pruned) == 2 and all(r.rg >= 8 for r in pruned)
+    # equality predicate pins one group
+    one = iceberg.iceberg_splits_df(
+        spark, root, where=[("views", "=", 555)],
+        num_partitions=2).collect()
+    assert len(one) == 1 and one[0].rg == 5
+
+
 def test_commit_parquet_dir_idempotent_and_incremental(spark, tmp_path):
     """The fused encode sink's output dir committed as Iceberg
     snapshots: first commit = all parts, re-commit with nothing new =
