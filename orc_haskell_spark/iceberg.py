@@ -322,7 +322,33 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
     files = plan_files(table_path, snapshot_id, as_of_ms, where, spark)
     if not files:
         raise ValueError(f"no live data files in {table_path}")
-    df = spark.read.parquet(*[f["file_path"] for f in files])
+    meta = table_metadata(table_path)
+    fields = _schema_of(meta)
+    df = spark.read.option("mergeSchema", "true") \
+        .parquet(*[f["file_path"] for f in files])
+    # Iceberg read semantics: the table's CURRENT schema governs.
+    # Files from before an add-column read as null (name-aligned — a
+    # documented deviation from field-id resolution); columns dropped
+    # from the schema disappear even if old files still carry them.
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    _SPARK_T = {"boolean": "boolean", "int": "int", "long": "bigint",
+                "float": "float", "double": "double", "string": "string",
+                "binary": "binary", "date": "date",
+                "timestamp": "timestamp", "timestamptz": "timestamp"}
+    sel = []
+    for f in fields:
+        if f["name"] in have:
+            sel.append(F.col(f["name"]))
+        elif isinstance(f["type"], str) and f["type"] in _SPARK_T:
+            sel.append(F.lit(None).cast(_SPARK_T[f["type"]])
+                       .alias(f["name"]))
+        else:
+            raise NotImplementedError(
+                f"cannot null-fill missing column {f['name']!r} of "
+                f"type {f['type']!r}")
+    df = df.select(*sel)
     if columns:
         df = df.select(*columns)
     return df
@@ -365,6 +391,31 @@ def iceberg_splits_df(spark, table_path: str,
     return parquet_splits_df(spark, table_path, ranges=ranges or None,
                              num_partitions=num_partitions,
                              files=[f["file_path"] for f in files])
+
+
+def incremental_files(table_path: str,
+                      after_snapshot_id: int,
+                      to_snapshot_id: int | None = None,
+                      where: list | Predicate | None = None,
+                      spark=None) -> list[dict]:
+    """Data files APPENDED strictly after ``after_snapshot_id`` (up to
+    ``to_snapshot_id``/current) — the incremental-consumption shape a
+    training pipeline runs nightly: encode/dedup only what the last run
+    hasn't seen, with the same partition/bounds pruning as plan_files.
+
+    Append-only tables make this an exact delta (our writer only
+    appends; anything else raised at plan time already). Files are
+    attributed by the manifest's own sequence_number, so a delta never
+    re-reads rewritten metadata."""
+    meta = table_metadata(table_path)
+    base = select_snapshot(meta, after_snapshot_id)
+    head = select_snapshot(meta, to_snapshot_id)
+    if head["sequence-number"] < base["sequence-number"]:
+        raise ValueError("to_snapshot precedes after_snapshot")
+    new = plan_files(table_path, head["snapshot-id"], None, where, spark)
+    old_paths = {f["file_path"] for f in plan_files(
+        table_path, base["snapshot-id"], None, None, spark)}
+    return [f for f in new if f["file_path"] not in old_paths]
 
 
 def encode_iceberg(spark, table_path: str,
@@ -625,6 +676,33 @@ def append_files(table_path: str, parquet_paths: list[str],
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
     _write_metadata(table_path, version + 1, meta)
     return snap
+
+
+def add_column(table_path: str, name: str, ice_type: str,
+               now_ms: int | None = None) -> dict:
+    """Schema evolution: ADD COLUMN (always optional/nullable, as the
+    spec requires for added fields). Commits a new schema with a fresh
+    field-id and bumped schema-id; existing data files read the new
+    column as null. Dropping/renaming is out of scope (documented)."""
+    if ice_type not in _BOUND_CODECS and ice_type != "binary":
+        raise NotImplementedError(f"Iceberg type {ice_type!r}")
+    meta = dict(table_metadata(table_path))
+    version = _current_version(table_path)
+    fields = list(_schema_of(meta))
+    if any(f["name"] == name for f in fields):
+        raise ValueError(f"column {name!r} already exists")
+    fid = meta["last-column-id"] + 1
+    fields = fields + [{"id": fid, "name": name, "required": False,
+                        "type": ice_type}]
+    sid = meta.get("current-schema-id", 0) + 1
+    meta["schemas"] = meta.get("schemas", []) + [
+        {"type": "struct", "schema-id": sid, "fields": fields}]
+    meta["current-schema-id"] = sid
+    meta["last-column-id"] = fid
+    meta["last-updated-ms"] = now_ms if now_ms is not None else \
+        meta["last-updated-ms"] + 1000
+    _write_metadata(table_path, version + 1, meta)
+    return meta
 
 
 def commit_parquet_dir(table_path: str, data_dir: str,

@@ -256,6 +256,51 @@ def test_single_value_serialization_goldens():
     assert iceberg.decode_bound("timestamptz", struct.pack("<q", 77)) == 77
 
 
+def test_incremental_files_between_snapshots(table):
+    """Nightly-delta shape: only files appended after a snapshot."""
+    root, _ = table
+    meta = iceberg.table_metadata(root)
+    s1, s2 = (s["snapshot-id"] for s in meta["snapshots"])
+    delta = iceberg.incremental_files(root, after_snapshot_id=s1)
+    assert [os.path.basename(f["file_path"]) for f in delta] == \
+        ["fr-0.parquet"]
+    assert iceberg.incremental_files(root, s1, to_snapshot_id=s1) == []
+    # pruning composes with the delta
+    none = iceberg.incremental_files(root, s1,
+                                     where=[("lang", "=", "en")])
+    assert none == []
+    with pytest.raises(ValueError):
+        iceberg.incremental_files(root, s2, to_snapshot_id=s1)
+
+
+def test_schema_evolution_add_column(spark, table):
+    """ADD COLUMN: old files read the new column as null; new files
+    carry values; the pre-evolution snapshot still reads with whatever
+    schema is CURRENT (Iceberg semantics: current schema governs)."""
+    root, _ = table
+    iceberg.add_column(root, "views2", "long")
+    # new file carries the new column
+    t = pa.table({
+        "url": pa.array(["https://it.site/30"]),
+        "warc_ts": pa.array(np.array([0], np.int64), pa.timestamp("us")),
+        "text": pa.array(["text it 30"]),
+        "lang": pa.array(["it"]),
+        "views": pa.array([30], pa.int64()),
+        "views2": pa.array([300], pa.int64())})
+    p = os.path.join(root, "data", "it-0.parquet")
+    pq.write_table(t, p)
+    iceberg.append_files(root, [p], [{"lang": "it"}])
+    df = iceberg.read_iceberg(spark, root)
+    assert "views2" in df.columns
+    rows = {r.url: r.views2 for r in df.collect()}
+    assert rows["https://it.site/30"] == 300
+    assert rows["https://en.site/0"] is None
+    with pytest.raises(ValueError):
+        iceberg.add_column(root, "views2", "long")
+    with pytest.raises(NotImplementedError):
+        iceberg.add_column(root, "bad", "struct<a:int>")
+
+
 def test_where_prunes_row_groups_inside_kept_files(spark, tmp_path):
     """The manifest-bounds file prune continues into parquet row
     groups: a range predicate drops whole 100-row groups of the
