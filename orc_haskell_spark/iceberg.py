@@ -227,17 +227,20 @@ DISTRIBUTED_MANIFESTS_MIN = 64
 
 
 def _read_manifest(path: str, field_types: dict, id_of: dict,
-                   pred: Predicate | None):
-    """One manifest -> list of surviving live data-file dicts."""
+                   pred: Predicate | None, content: int = 0):
+    """One manifest -> list of surviving live file dicts (``content``
+    0 = data files, 1 = position-delete files)."""
     _, entries = avro.read_container_file(_local(path))
     out = []
     for e in entries:
         if e.get("status") == 2:          # DELETED entry: file is gone
             continue
         df = e["data_file"]
-        if df.get("content", 0) != 0:
+        if df.get("content", 0) != content:
             raise NotImplementedError(
-                "Iceberg v2 delete files are not supported")
+                f"unexpected content={df.get('content')} entry in a "
+                f"content={content} manifest (equality deletes are "
+                f"not supported)")
         part = df.get("partition") or {}
         lowers_raw = _normalize_kv(df.get("lower_bounds"))
         uppers_raw = _normalize_kv(df.get("upper_bounds"))
@@ -265,17 +268,22 @@ def _read_manifest(path: str, field_types: dict, id_of: dict,
     return out
 
 
-def plan_files(table_path: str, snapshot_id: int | None = None,
-               as_of_ms: int | None = None,
-               where: list | Predicate | None = None,
-               spark=None) -> list[dict]:
-    """Snapshot's live data files after partition/bounds pruning.
+def plan_scan(table_path: str, snapshot_id: int | None = None,
+              as_of_ms: int | None = None,
+              where: list | Predicate | None = None,
+              spark=None) -> tuple[list[dict], list[dict]]:
+    """Snapshot's live (data_files, position_delete_files) after
+    partition/bounds pruning of the data side.
 
     Driver reads the manifest LIST (one Avro row per manifest); the
     per-manifest entry reads fan out to a Spark stage when the snapshot
     has >= DISTRIBUTED_MANIFESTS_MIN manifests and a session is given —
     the same two-mode planning as sources.parquet_splits_df, so a
-    million-file table never serializes planning on the driver."""
+    million-file table never serializes planning on the driver.
+
+    Delete files are NEVER pruned by the data predicate (a position
+    delete may target any file); path-scoped application happens at
+    read time."""
     meta = table_metadata(table_path)
     snap = select_snapshot(meta, snapshot_id, as_of_ms)
     fields = _schema_of(meta)
@@ -286,26 +294,50 @@ def plan_files(table_path: str, snapshot_id: int | None = None,
             else Predicate(where) if where else None)
     mlist_path = _local(snap["manifest-list"])
     _, manifests = avro.read_container_file(mlist_path)
-    data_manifests = [m for m in manifests if m.get("content", 0) == 0]
-    if len(data_manifests) != len(manifests):
+    data_paths = [m["manifest_path"] for m in manifests
+                  if m.get("content", 0) == 0]
+    del_paths = [m["manifest_path"] for m in manifests
+                 if m.get("content", 0) == 1]
+    if len(data_paths) + len(del_paths) != len(manifests):
         raise NotImplementedError(
-            "Iceberg v2 delete manifests are not supported")
-    paths = [m["manifest_path"] for m in data_manifests]
-    if spark is not None and len(paths) >= DISTRIBUTED_MANIFESTS_MIN:
+            "unknown manifest content kind (not data/deletes)")
+    if spark is not None and len(data_paths) >= DISTRIBUTED_MANIFESTS_MIN:
         sc = spark.sparkContext
-        n = min(len(paths), sc.defaultParallelism * 2)
-        out = (sc.parallelize(paths, n)
+        n = min(len(data_paths), sc.defaultParallelism * 2)
+        out = (sc.parallelize(data_paths, n)
                .flatMap(lambda p: _read_manifest(p, field_types,
                                                  id_of, pred))
                .collect())
     else:
-        out = [f for p in paths
+        out = [f for p in data_paths
                for f in _read_manifest(p, field_types, id_of, pred)]
-    for f in out:
+    dels = [f for p in del_paths
+            for f in _read_manifest(p, field_types, id_of, None,
+                                    content=1)]
+    for f in out + dels:
         if f["file_format"].upper() != "PARQUET":
             raise NotImplementedError(
                 f"Iceberg data file format {f['file_format']}")
-    return sorted(out, key=lambda f: f["file_path"])
+    return (sorted(out, key=lambda f: f["file_path"]),
+            sorted(dels, key=lambda f: f["file_path"]))
+
+
+def plan_files(table_path: str, snapshot_id: int | None = None,
+               as_of_ms: int | None = None,
+               where: list | Predicate | None = None,
+               spark=None) -> list[dict]:
+    """plan_scan for delete-free consumers (the fused encode/split
+    paths): raises when the snapshot carries row-level deletes, because
+    those paths read raw parquet positions and would resurrect deleted
+    rows. Use read_iceberg (applies deletes) instead."""
+    files, dels = plan_scan(table_path, snapshot_id, as_of_ms, where,
+                            spark)
+    if dels:
+        raise NotImplementedError(
+            f"snapshot carries {len(dels)} position-delete file(s); "
+            f"this path reads raw file positions — use read_iceberg, "
+            f"which applies deletes")
+    return files
 
 
 def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
@@ -319,13 +351,36 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
     the caller's normal ``.filter`` — pruning is only ever file-granular
     so re-applying the predicate stays mandatory, exactly like the ORC
     datasource's pushed filters."""
-    files = plan_files(table_path, snapshot_id, as_of_ms, where, spark)
+    files, dels = plan_scan(table_path, snapshot_id, as_of_ms, where,
+                            spark)
     if not files:
         raise ValueError(f"no live data files in {table_path}")
     meta = table_metadata(table_path)
     fields = _schema_of(meta)
     df = spark.read.option("mergeSchema", "true") \
         .parquet(*[f["file_path"] for f in files])
+    if dels:
+        # v2 position deletes, Spark-first: anti-join on the scan's own
+        # (_metadata.file_path, _metadata.row_index) against the delete
+        # files — no per-row Python, broadcast when small (deletes are
+        # tombstones, orders of magnitude smaller than data). Paths are
+        # never reused by the writer, so path+pos identify a row across
+        # snapshots without sequence-number bookkeeping.
+        from pyspark.sql import functions as F
+
+        ddf = spark.read.parquet(*[d["file_path"] for d in dels]) \
+            .select(F.regexp_replace("file_path", "^file:", "")
+                    .alias("_del_path"),
+                    F.col("pos").alias("_del_pos")).distinct()
+        n_dels = sum(d["record_count"] or 0 for d in dels)
+        if n_dels <= 10_000_000:
+            ddf = F.broadcast(ddf)
+        df = (df.withColumn("_fp", F.regexp_replace(
+                  F.col("_metadata.file_path"), "^file:", ""))
+              .withColumn("_ri", F.col("_metadata.row_index"))
+              .join(ddf, (F.col("_fp") == F.col("_del_path"))
+                    & (F.col("_ri") == F.col("_del_pos")), "left_anti")
+              .drop("_fp", "_ri"))
     # Iceberg read semantics: the table's CURRENT schema governs.
     # Files from before an add-column read as null (name-aligned — a
     # documented deviation from field-id resolution); columns dropped
@@ -665,6 +720,88 @@ def append_files(table_path: str, parquet_paths: list[str],
             "summary": {"operation": "append",
                         "added-data-files": str(len(entries)),
                         "added-records": str(nrows)},
+            "manifest-list": os.path.abspath(mlist_path),
+            "schema-id": meta.get("current-schema-id", 0)}
+    meta = dict(meta)
+    meta["snapshots"] = meta["snapshots"] + [snap]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+    _write_metadata(table_path, version + 1, meta)
+    return snap
+
+
+def delete_rows(table_path: str, deletes: list[tuple[str, int]],
+                now_ms: int | None = None) -> dict:
+    """COMMIT a position-delete snapshot: tombstone (data_file_path,
+    row_position) pairs without rewriting data files — the spec's v2
+    row-level delete, the cheap shape for GDPR/dedup removals at
+    corpus scale.
+
+    Writes one parquet delete file (columns file_path, pos — the
+    spec's reserved schema), a content=1 delete manifest, and a new
+    manifest list carrying all prior manifests plus it; same
+    rename-on-commit + hint-flip protocol as append_files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not deletes:
+        raise ValueError("no delete positions given")
+    meta = table_metadata(table_path)
+    version = _current_version(table_path)
+    seq = meta["last-sequence-number"] + 1
+    snap_id = seq
+    now_ms = now_ms if now_ms is not None else \
+        meta["last-updated-ms"] + 1000
+    rows = sorted((os.path.abspath(p), int(pos)) for p, pos in deletes)
+    t = pa.table({"file_path": pa.array([r[0] for r in rows]),
+                  "pos": pa.array([r[1] for r in rows], pa.int64())})
+    dpath = os.path.join(table_path, "data",
+                         f"delete-{seq}-{snap_id}.parquet")
+    pq.write_table(t, dpath)
+    spec = next(s for s in meta["partition-specs"]
+                if s["spec-id"] == meta["default-spec-id"])["fields"]
+    fields = _schema_of(meta)
+    field_types = {f["name"]: f["type"] for f in fields}
+    part_schema = _partition_schema(spec, field_types)
+    entry = {"status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+             "file_sequence_number": seq,
+             "data_file": {
+                 "content": 1, "file_path": os.path.abspath(dpath),
+                 "file_format": "PARQUET",
+                 "partition": {f["name"]: None for f in spec},
+                 "record_count": len(rows),
+                 "file_size_in_bytes": os.path.getsize(dpath)}}
+    mdir = os.path.join(table_path, "metadata")
+    man_path = os.path.join(mdir, f"d{seq}-{snap_id}.avro")
+    man_len = avro.write_container_file(
+        man_path, _manifest_schema(part_schema), [entry],
+        extra_meta={"partition-spec-id": "0", "content": "deletes",
+                    "format-version": "2"})
+    new_manifest = {
+        "manifest_path": os.path.abspath(man_path),
+        "manifest_length": man_len, "partition_spec_id": 0,
+        "content": 1, "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id, "added_files_count": 1,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": len(rows), "existing_rows_count": 0,
+        "deleted_rows_count": 0}
+    prior = []
+    if meta.get("current-snapshot-id") is not None and meta["snapshots"]:
+        cur = select_snapshot(meta)
+        _, prior = avro.read_container_file(_local(cur["manifest-list"]))
+    mlist_path = os.path.join(mdir, f"snap-{snap_id}.avro")
+    avro.write_container_file(
+        mlist_path, _MANIFEST_LIST_SCHEMA, prior + [new_manifest],
+        extra_meta={"snapshot-id": str(snap_id),
+                    "sequence-number": str(seq), "format-version": "2"})
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "delete",
+                        "added-delete-files": "1",
+                        "added-position-deletes": str(len(rows))},
             "manifest-list": os.path.abspath(mlist_path),
             "schema-id": meta.get("current-schema-id", 0)}
     meta = dict(meta)

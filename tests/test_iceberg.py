@@ -232,6 +232,50 @@ def test_reader_accepts_avro_map_wire_shape(tmp_path):
     assert len(files) == 1 and files[0]["lower_bounds"]["views"] == 5
 
 
+def test_position_deletes_end_to_end(spark, table):
+    """v2 position deletes: tombstoned rows disappear from reads, the
+    pre-delete snapshot still sees them (time travel), delete-blind
+    paths refuse to run, and the result matches a DuckDB anti-join."""
+    import duckdb
+
+    root, _ = table
+    files = iceberg.plan_files(root)
+    en = next(f["file_path"] for f in files if "en-0" in f["file_path"])
+    de = next(f["file_path"] for f in files if "de-0" in f["file_path"])
+    before = iceberg.select_snapshot(iceberg.table_metadata(root))
+    snap = iceberg.delete_rows(root, [(en, 1), (en, 3), (de, 0)])
+    assert snap["summary"]["operation"] == "delete"
+    got = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                 .select("url").collect())
+    con = duckdb.connect()
+    want = sorted(r[0] for r in con.execute(f"""
+        WITH d AS (SELECT * FROM read_parquet('{root}/data/*.parquet',
+                                              filename=true)
+                   WHERE filename NOT LIKE '%delete-%')
+        SELECT url FROM (
+          SELECT url, filename,
+                 row_number() OVER (PARTITION BY filename
+                                    ORDER BY views) - 1 AS pos
+          FROM d)
+        WHERE NOT (filename LIKE '%en-0%' AND pos IN (1, 3))
+          AND NOT (filename LIKE '%de-0%' AND pos = 0)
+        """).fetchall())
+    assert got == want and len(got) == 6
+    # time travel to the pre-delete snapshot sees all 9 rows
+    old = iceberg.read_iceberg(spark, root,
+                               snapshot_id=before["snapshot-id"])
+    assert old.count() == 9
+    # delete-blind planners refuse
+    with pytest.raises(NotImplementedError):
+        iceberg.plan_files(root)
+    with pytest.raises(NotImplementedError):
+        iceberg.iceberg_splits_df(spark, root)
+    # predicate + deletes compose (en file pruned away, its deletes moot)
+    de_rows = iceberg.read_iceberg(spark, root,
+                                   where=[("lang", "=", "de")])
+    assert sorted(r.views for r in de_rows.collect()) == [11, 12]
+
+
 def test_delete_files_raise(tmp_path):
     root = str(tmp_path / "t3")
     _write_part_schema_probe(root)
