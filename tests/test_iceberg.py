@@ -426,6 +426,70 @@ def test_commit_parquet_dir_idempotent_and_incremental(spark, tmp_path):
     assert dec.count() == spark.read.parquet(src).count()
 
 
+def test_distributed_manifest_planning_matches_driver(spark, tmp_path,
+                                                      monkeypatch):
+    """Beyond DISTRIBUTED_MANIFESTS_MIN manifests the per-manifest
+    reads fan out to a Spark stage; the plan must be identical to the
+    driver-side walk (same files, same pruning)."""
+    root = str(tmp_path / "many")
+    os.makedirs(os.path.join(root, "data"))
+    first = pa.table({
+        "url": pa.array(["u"]), "warc_ts": pa.array(
+            np.array([0], np.int64), pa.timestamp("us")),
+        "text": pa.array(["t"]), "lang": pa.array(["aa"]),
+        "views": pa.array([0], pa.int64())})
+    iceberg.create_table(root, first.schema, partition_by=["lang"])
+    for k in range(6):                     # 6 snapshots -> 6 manifests
+        lang = f"l{k}"
+        p = os.path.join(root, "data", f"{lang}.parquet")
+        pq.write_table(pa.table({
+            "url": pa.array([f"https://{lang}/{i}" for i in range(3)]),
+            "warc_ts": pa.array(np.arange(3, dtype=np.int64),
+                                pa.timestamp("us")),
+            "text": pa.array(["x"] * 3), "lang": pa.array([lang] * 3),
+            "views": pa.array(np.arange(3) + 10 * k, pa.int64())}), p)
+        iceberg.append_files(root, [p], [{"lang": lang}])
+    driver_plan = iceberg.plan_files(root, where=[("views", ">=", 20)])
+    monkeypatch.setattr(iceberg, "DISTRIBUTED_MANIFESTS_MIN", 2)
+    dist_plan = iceberg.plan_files(root, where=[("views", ">=", 20)],
+                                   spark=spark)
+    assert dist_plan == driver_plan
+    assert [os.path.basename(f["file_path"]) for f in dist_plan] == \
+        ["l2.parquet", "l3.parquet", "l4.parquet", "l5.parquet"]
+
+
+def test_avro_value_roundtrip_property():
+    """Hypothesis: arbitrary values matching a nested schema roundtrip
+    through the container codec."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "ob", "type": ["null", "bytes"], "default": None},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "kv", "type": {"type": "map", "values": "string"}}]}
+    row = st.fixed_dictionaries({
+        "i": st.integers(-(2 ** 63), 2 ** 63 - 1),
+        "s": st.text(max_size=40),
+        "d": st.floats(allow_nan=False),
+        "ob": st.none() | st.binary(max_size=20),
+        "xs": st.lists(st.integers(-(2 ** 40), 2 ** 40), max_size=8),
+        "kv": st.dictionaries(st.text(max_size=8),
+                              st.text(max_size=8), max_size=5)})
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(row, max_size=6), st.sampled_from(["null", "deflate"]))
+    def check(rows, codec):
+        _, out = avro.read_container(
+            avro.write_container(schema, rows, codec=codec))
+        assert out == rows
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # spark integration
 
