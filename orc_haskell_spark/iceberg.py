@@ -262,6 +262,7 @@ def _read_manifest(path: str, field_types: dict, id_of: dict,
             "record_count": df.get("record_count"),
             "file_size_in_bytes": df.get("file_size_in_bytes"),
             "partition": part,
+            "sequence_number": e.get("sequence_number"),
             "lower_bounds": lowers,
             "upper_bounds": uppers,
         })

@@ -490,6 +490,51 @@ def test_avro_value_roundtrip_property():
     check()
 
 
+def test_iceberg_streaming_source(spark, table, tmp_path):
+    """readStream over an Iceberg table: snapshot sequence numbers are
+    the offsets. Drain 1 sees both existing snapshots' rows; a new
+    append committed afterwards is delivered by drain 2 from the SAME
+    checkpoint, exactly once; start_seq tails from a later offset."""
+    from orc_haskell_spark.iceberg_stream import IcebergStreamDataSource
+
+    root, _ = table
+    spark.dataSource.register(IcebergStreamDataSource)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("iceberg_stream").load(root)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 9
+    assert sorted(r.lang for r in got.select("lang").distinct()
+                  .collect()) == ["de", "en", "fr"]
+    # new snapshot appended AFTER the first drain
+    p, t_it = _write_part(root, "it-0.parquet", ["it"] * 2, [30, 31])
+    iceberg.append_files(root, [p], [{"lang": "it"}])
+    drain()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 11                       # exactly once
+    assert got2.filter("lang = 'it'").count() == 2
+    vals = {(r.url, r.views) for r in got2.filter("lang='it'").collect()}
+    assert vals == {("https://it.site/30", 30), ("https://it.site/31", 31)}
+    # tail-only mode: start_seq = current sequence number -> no rows
+    meta = iceberg.table_metadata(root)
+    out2, ckpt2 = str(tmp_path / "s2"), str(tmp_path / "c2")
+    q = (spark.readStream.format("iceberg_stream")
+         .option("start_seq", meta["last-sequence-number"]).load(root)
+         .writeStream.format("parquet")
+         .option("path", out2).option("checkpointLocation", ckpt2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # spark integration
 
