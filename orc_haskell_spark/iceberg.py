@@ -26,10 +26,17 @@ O(data-files) serial driver work. Data files are untouched at plan
 time; the surviving file list feeds ``sources.parquet_splits_df`` and
 from there every existing scan/encode path.
 
+Row-level deletes (v2) are fully supported on the READ path:
+position deletes apply via an anti-join on the scan's own
+(_metadata.file_path, row_index), equality deletes via per-column-set
+anti-joins honoring the strict sequence-number rule (re-appends after
+the delete survive); `delete_rows` / `delete_where` COMMIT them. The
+fused raw-position paths (plan_files / splits / encode) refuse
+delete-bearing snapshots loudly instead of resurrecting rows.
+
 Honest deviations from the full spec (each raises or documents):
 - columns resolve by NAME, not field-id (our data files are plain
   parquet without field-id metadata)
-- v2 row-level delete files raise NotImplementedError at plan time
 - only identity partition transforms are *evaluated* for pruning;
   other transforms keep their files (conservative, never wrong)
 """
@@ -232,15 +239,15 @@ def _read_manifest(path: str, field_types: dict, id_of: dict,
     0 = data files, 1 = position-delete files)."""
     _, entries = avro.read_container_file(_local(path))
     out = []
+    ok_content = {0} if content == 0 else {1, 2}   # pos + eq deletes
     for e in entries:
         if e.get("status") == 2:          # DELETED entry: file is gone
             continue
         df = e["data_file"]
-        if df.get("content", 0) != content:
+        if df.get("content", 0) not in ok_content:
             raise NotImplementedError(
                 f"unexpected content={df.get('content')} entry in a "
-                f"content={content} manifest (equality deletes are "
-                f"not supported)")
+                f"content={content} manifest")
         part = df.get("partition") or {}
         lowers_raw = _normalize_kv(df.get("lower_bounds"))
         uppers_raw = _normalize_kv(df.get("upper_bounds"))
@@ -259,10 +266,12 @@ def _read_manifest(path: str, field_types: dict, id_of: dict,
         out.append({
             "file_path": _local(df["file_path"]),
             "file_format": df.get("file_format", "PARQUET"),
+            "content": df.get("content", 0),
             "record_count": df.get("record_count"),
             "file_size_in_bytes": df.get("file_size_in_bytes"),
             "partition": part,
             "sequence_number": e.get("sequence_number"),
+            "equality_ids": df.get("equality_ids"),
             "lower_bounds": lowers,
             "upper_bounds": uppers,
         })
@@ -335,8 +344,8 @@ def plan_files(table_path: str, snapshot_id: int | None = None,
                             spark)
     if dels:
         raise NotImplementedError(
-            f"snapshot carries {len(dels)} position-delete file(s); "
-            f"this path reads raw file positions — use read_iceberg, "
+            f"snapshot carries {len(dels)} row-level delete file(s); "
+            f"this path reads raw file rows — use read_iceberg, "
             f"which applies deletes")
     return files
 
@@ -360,7 +369,9 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
     fields = _schema_of(meta)
     df = spark.read.option("mergeSchema", "true") \
         .parquet(*[f["file_path"] for f in files])
-    if dels:
+    pos_dels = [d for d in dels if d["content"] == 1]
+    eq_dels = [d for d in dels if d["content"] == 2]
+    if pos_dels:
         # v2 position deletes, Spark-first: anti-join on the scan's own
         # (_metadata.file_path, _metadata.row_index) against the delete
         # files — no per-row Python, broadcast when small (deletes are
@@ -369,11 +380,11 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
         # snapshots without sequence-number bookkeeping.
         from pyspark.sql import functions as F
 
-        ddf = spark.read.parquet(*[d["file_path"] for d in dels]) \
+        ddf = spark.read.parquet(*[d["file_path"] for d in pos_dels]) \
             .select(F.regexp_replace("file_path", "^file:", "")
                     .alias("_del_path"),
                     F.col("pos").alias("_del_pos")).distinct()
-        n_dels = sum(d["record_count"] or 0 for d in dels)
+        n_dels = sum(d["record_count"] or 0 for d in pos_dels)
         if n_dels <= 10_000_000:
             ddf = F.broadcast(ddf)
         df = (df.withColumn("_fp", F.regexp_replace(
@@ -382,6 +393,46 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
               .join(ddf, (F.col("_fp") == F.col("_del_path"))
                     & (F.col("_ri") == F.col("_del_pos")), "left_anti")
               .drop("_fp", "_ri"))
+    if eq_dels:
+        # v2 equality deletes: a row dies when its equality columns
+        # match a delete row whose sequence number is STRICTLY greater
+        # than the row's data file's — re-appends after the delete
+        # survive. One anti-join: data rows carry their file's seq
+        # (broadcast path->seq lookup on _metadata.file_path), delete
+        # rows carry theirs; all in one shot for a shared column set.
+        from pyspark.sql import functions as F
+
+        name_of = {f["id"]: f["name"] for f in fields}
+        seq_rows = [(f["file_path"], f["sequence_number"] or 0)
+                    for f in files]
+        seq_df = F.broadcast(spark.createDataFrame(
+            seq_rows, "_sq_path string, _fseq bigint"))
+        df = (df.withColumn("_fp2", F.regexp_replace(
+                  F.col("_metadata.file_path"), "^file:", ""))
+              .join(seq_df, F.col("_fp2") == F.col("_sq_path"), "left"))
+        groups: dict[tuple, list] = {}
+        for d in eq_dels:
+            ids = tuple(sorted(d["equality_ids"] or []))
+            if not ids:
+                raise ValueError(
+                    f"equality-delete file {d['file_path']} has no "
+                    f"equality_ids")
+            groups.setdefault(ids, []).append(d)
+        for ids, group in sorted(groups.items()):
+            eq_cols = sorted(name_of[i] for i in ids)
+            parts = [
+                spark.read.parquet(d["file_path"]).select(
+                    *[F.col(c).alias(f"_eq_{c}") for c in eq_cols])
+                .withColumn("_dseq", F.lit(d["sequence_number"] or 0))
+                for d in group]
+            ddf = parts[0]
+            for p in parts[1:]:
+                ddf = ddf.unionAll(p)
+            cond = F.col("_fseq") < F.col("_dseq")
+            for c in eq_cols:
+                cond = cond & (F.col(c) == F.col(f"_eq_{c}"))
+            df = df.join(F.broadcast(ddf), cond, "left_anti")
+        df = df.drop("_fp2", "_sq_path", "_fseq")
     # Iceberg read semantics: the table's CURRENT schema governs.
     # Files from before an add-column read as null (name-aligned — a
     # documented deviation from field-id resolution); columns dropped
@@ -545,6 +596,9 @@ def _manifest_schema(part_schema) -> dict:
                 {"name": "lower_bounds", "type": ["null", _MANIFEST_KV],
                  "default": None},
                 {"name": "upper_bounds", "type": ["null", _MANIFEST_KV],
+                 "default": None},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
                  "default": None}]}}]}
 
 
@@ -762,6 +816,59 @@ def delete_rows(table_path: str, deletes: list[tuple[str, int]],
     dpath = os.path.join(table_path, "data",
                          f"delete-{seq}-{snap_id}.parquet")
     pq.write_table(t, dpath)
+    return _commit_delete_file(
+        table_path, meta, version, seq, snap_id, now_ms, dpath,
+        content=1, n_rows=len(rows),
+        summary_key="added-position-deletes")
+
+
+def delete_where(table_path: str, values: list[dict],
+                 now_ms: int | None = None) -> dict:
+    """COMMIT an equality-delete snapshot: every live row whose
+    equality columns match ANY of ``values`` (a list of same-keyed
+    dicts, e.g. [{"url": ...}, ...]) is deleted — the upsert/GDPR
+    shape when positions are unknown.
+
+    Spec semantics honored at read time: an equality delete applies
+    only to rows in data files with sequence_number STRICTLY LESS than
+    the delete's — rows re-appended after the delete survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not values:
+        raise ValueError("no delete values given")
+    cols = sorted(values[0])
+    if any(sorted(v) != cols for v in values):
+        raise ValueError("equality-delete rows must share one key set")
+    meta = table_metadata(table_path)
+    fields = _schema_of(meta)
+    by_name = {f["name"]: f for f in fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"unknown equality columns {missing}")
+    version = _current_version(table_path)
+    seq = meta["last-sequence-number"] + 1
+    snap_id = seq
+    now_ms = now_ms if now_ms is not None else \
+        meta["last-updated-ms"] + 1000
+    t = pa.table({c: [v[c] for v in values] for c in cols})
+    dpath = os.path.join(table_path, "data",
+                         f"eq-delete-{seq}-{snap_id}.parquet")
+    pq.write_table(t, dpath)
+    return _commit_delete_file(
+        table_path, meta, version, seq, snap_id, now_ms, dpath,
+        content=2, n_rows=len(values),
+        summary_key="added-equality-deletes",
+        equality_ids=[by_name[c]["id"] for c in cols])
+
+
+def _commit_delete_file(table_path: str, meta: dict, version: int,
+                        seq: int, snap_id: int, now_ms: int,
+                        dpath: str, content: int, n_rows: int,
+                        summary_key: str,
+                        equality_ids: list[int] | None = None) -> dict:
+    """Shared tail of delete_rows/delete_where: delete manifest +
+    manifest list + metadata, hint flipped last."""
     spec = next(s for s in meta["partition-specs"]
                 if s["spec-id"] == meta["default-spec-id"])["fields"]
     fields = _schema_of(meta)
@@ -770,11 +877,12 @@ def delete_rows(table_path: str, deletes: list[tuple[str, int]],
     entry = {"status": 1, "snapshot_id": snap_id, "sequence_number": seq,
              "file_sequence_number": seq,
              "data_file": {
-                 "content": 1, "file_path": os.path.abspath(dpath),
+                 "content": content, "file_path": os.path.abspath(dpath),
                  "file_format": "PARQUET",
                  "partition": {f["name"]: None for f in spec},
-                 "record_count": len(rows),
-                 "file_size_in_bytes": os.path.getsize(dpath)}}
+                 "record_count": n_rows,
+                 "file_size_in_bytes": os.path.getsize(dpath),
+                 "equality_ids": equality_ids}}
     mdir = os.path.join(table_path, "metadata")
     man_path = os.path.join(mdir, f"d{seq}-{snap_id}.avro")
     man_len = avro.write_container_file(
@@ -787,7 +895,7 @@ def delete_rows(table_path: str, deletes: list[tuple[str, int]],
         "content": 1, "sequence_number": seq, "min_sequence_number": seq,
         "added_snapshot_id": snap_id, "added_files_count": 1,
         "existing_files_count": 0, "deleted_files_count": 0,
-        "added_rows_count": len(rows), "existing_rows_count": 0,
+        "added_rows_count": n_rows, "existing_rows_count": 0,
         "deleted_rows_count": 0}
     prior = []
     if meta.get("current-snapshot-id") is not None and meta["snapshots"]:
@@ -802,7 +910,7 @@ def delete_rows(table_path: str, deletes: list[tuple[str, int]],
             "timestamp-ms": now_ms,
             "summary": {"operation": "delete",
                         "added-delete-files": "1",
-                        "added-position-deletes": str(len(rows))},
+                        summary_key: str(n_rows)},
             "manifest-list": os.path.abspath(mlist_path),
             "schema-id": meta.get("current-schema-id", 0)}
     meta = dict(meta)

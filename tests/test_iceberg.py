@@ -582,3 +582,42 @@ def test_iceberg_fused_encode_roundtrip(spark, table):
     assert [g[:4] for g in got] == [w[:4] for w in want]
     assert [g[4].replace(tzinfo=None) for g in got] == \
         [w[4] for w in want]
+
+
+def test_equality_deletes_sequence_rule(spark, table):
+    """v2 equality deletes: matching rows in EARLIER-sequence files
+    die; a row with the same key re-appended AFTER the delete survives
+    (the spec's strict-inequality rule — the upsert pattern)."""
+    root, _ = table
+    snap = iceberg.delete_where(root, [{"url": "https://en.site/1"},
+                                       {"url": "https://de.site/11"}])
+    assert snap["summary"]["operation"] == "delete"
+    got = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                 .select("url").collect())
+    assert "https://en.site/1" not in got
+    assert "https://de.site/11" not in got
+    assert len(got) == 7
+    # re-append one of the deleted keys AFTER the delete commit
+    p, _t = _write_part(root, "en-1.parquet", ["en"], [1])
+    iceberg.append_files(root, [p], [{"lang": "en"}])
+    got2 = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                  .select("url").collect())
+    assert got2.count("https://en.site/1") == 1     # resurrected row
+    assert len(got2) == 8
+    # a SECOND equality delete kills the resurrected row too
+    iceberg.delete_where(root, [{"url": "https://en.site/1"}])
+    got3 = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                  .select("url").collect())
+    assert "https://en.site/1" not in got3 and len(got3) == 7
+    # composite-key deletes and validation
+    with pytest.raises(ValueError):
+        iceberg.delete_where(root, [{"nope": 1}])
+    with pytest.raises(ValueError):
+        iceberg.delete_where(root, [])
+    snap4 = iceberg.delete_where(root, [{"lang": "fr", "views": 20}])
+    got4 = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                  .select("url").collect())
+    assert "https://fr.site/20" not in got4 and len(got4) == 6
+    # delete-blind planners still refuse
+    with pytest.raises(NotImplementedError):
+        iceberg.plan_files(root)
