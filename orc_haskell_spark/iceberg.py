@@ -988,6 +988,114 @@ def commit_parquet_dir(table_path: str, data_dir: str,
     return append_files(table_path, new, pv, now_ms=now_ms)
 
 
+def compact(spark, table_path: str, now_ms: int | None = None,
+            target_file_rows: int = 1_000_000) -> dict:
+    """Rewrite the current snapshot: apply all row-level deletes, merge
+    files per partition, and COMMIT a REPLACE snapshot whose manifest
+    list carries ONLY the rewritten files — delete files and old data
+    files drop out of the live view (still reachable by time travel).
+
+    This is the maintenance pass a 100 TB pipeline schedules anyway
+    (small-file compaction); here it also restores the fused raw-
+    position paths after deletes, since the rewritten snapshot is
+    tombstone-free. Executors write the data (one Spark write,
+    partitionBy on the identity partition columns); only footer stats
+    and Avro metadata touch the driver."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    meta = table_metadata(table_path)
+    version = _current_version(table_path)
+    fields = _schema_of(meta)
+    spec = next(s for s in meta["partition-specs"]
+                if s["spec-id"] == meta["default-spec-id"])["fields"]
+    part_cols = [f["name"] for f in spec]
+    seq = meta["last-sequence-number"] + 1
+    snap_id = seq
+    now_ms = now_ms if now_ms is not None else \
+        meta["last-updated-ms"] + 1000
+    df = read_iceberg(spark, table_path)      # deletes applied here
+    out_dir = os.path.join(table_path, "data", f"compact-{seq}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(out_dir)
+    # enumerate written parts; partition values come from the hive dirs
+    paths, parts = [], []
+    for p in sorted(_glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                               recursive=True)):
+        rel = os.path.relpath(p, out_dir)
+        pv = {}
+        for seg in rel.split(os.sep)[:-1]:
+            k, _, v = seg.partition("=")
+            pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        # hive dirs stringify values; cast back via the schema type
+        for f in fields:
+            if f["name"] in pv and pv[f["name"]] is not None and \
+                    f["type"] in ("int", "long"):
+                pv[f["name"]] = int(pv[f["name"]])
+        if pq.ParquetFile(p).metadata.num_rows == 0:
+            continue
+        paths.append(p)
+        parts.append(pv)
+    if not paths:
+        raise ValueError("compaction produced no data files")
+    # build the replace snapshot: ONLY the new manifest in the list
+    field_types = {f["name"]: f["type"] for f in fields}
+    part_schema = _partition_schema(spec, field_types)
+    entries, nrows = [], 0
+    for p, part in zip(paths, parts):
+        cnt, size, lo, hi, vc, nc = _file_stats(p, fields)
+        nrows += cnt
+        entries.append({
+            "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": os.path.abspath(p),
+                "file_format": "PARQUET",
+                "partition": {f["name"]: part.get(f["name"])
+                              for f in spec},
+                "record_count": cnt, "file_size_in_bytes": size,
+                "value_counts": vc, "null_value_counts": nc,
+                "lower_bounds": lo, "upper_bounds": hi}})
+    mdir = os.path.join(table_path, "metadata")
+    man_path = os.path.join(mdir, f"m{seq}-{snap_id}.avro")
+    man_len = avro.write_container_file(
+        man_path, _manifest_schema(part_schema), entries,
+        extra_meta={"partition-spec-id": "0", "content": "data",
+                    "format-version": "2"})
+    new_manifest = {
+        "manifest_path": os.path.abspath(man_path),
+        "manifest_length": man_len, "partition_spec_id": 0,
+        "content": 0, "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id, "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": nrows, "existing_rows_count": 0,
+        "deleted_rows_count": 0}
+    mlist_path = os.path.join(mdir, f"snap-{snap_id}.avro")
+    avro.write_container_file(
+        mlist_path, _MANIFEST_LIST_SCHEMA, [new_manifest],
+        extra_meta={"snapshot-id": str(snap_id),
+                    "sequence-number": str(seq), "format-version": "2"})
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "replace",
+                        "added-data-files": str(len(entries)),
+                        "added-records": str(nrows)},
+            "manifest-list": os.path.abspath(mlist_path),
+            "schema-id": meta.get("current-schema-id", 0)}
+    meta = dict(meta)
+    meta["snapshots"] = meta["snapshots"] + [snap]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+    _write_metadata(table_path, version + 1, meta)
+    return snap
+
+
 def _current_version(table_path: str) -> int:
     hint = os.path.join(table_path, "metadata", "version-hint.text")
     with open(hint) as f:

@@ -621,3 +621,36 @@ def test_equality_deletes_sequence_rule(spark, table):
     # delete-blind planners still refuse
     with pytest.raises(NotImplementedError):
         iceberg.plan_files(root)
+
+
+def test_compact_applies_deletes_and_restores_fused_paths(spark, table):
+    """delete -> compact: the replace snapshot is tombstone-free, holds
+    exactly the surviving rows, fused planners run again, and time
+    travel still reaches the pre-compaction (delete-bearing) state."""
+    root, _ = table
+    files0 = iceberg.plan_files(root)
+    en = next(f["file_path"] for f in files0 if "en-0" in f["file_path"])
+    iceberg.delete_rows(root, [(en, 0)])
+    iceberg.delete_where(root, [{"url": "https://fr.site/21"}])
+    pre_compact = iceberg.select_snapshot(iceberg.table_metadata(root))
+    want = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                  .select("url").collect())
+    assert len(want) == 7
+    snap = iceberg.compact(spark, root)
+    assert snap["summary"]["operation"] == "replace"
+    # fused raw-position path works again (no tombstones)
+    files = iceberg.plan_files(root)
+    assert files and all(f["content"] == 0 for f in files)
+    assert sum(f["record_count"] for f in files) == 7
+    got = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                 .select("url").collect())
+    assert got == want
+    # partition pruning still works on the rewritten layout
+    de = iceberg.plan_files(root, where=[("lang", "=", "de")])
+    assert de and all(f["partition"] == {"lang": "de"} for f in de)
+    splits = iceberg.iceberg_splits_df(spark, root, num_partitions=2)
+    assert splits.count() >= len(files)
+    # time travel: the delete-bearing snapshot still reads correctly
+    old = iceberg.read_iceberg(
+        spark, root, snapshot_id=pre_compact["snapshot-id"])
+    assert sorted(r.url for r in old.select("url").collect()) == want
