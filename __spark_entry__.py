@@ -760,7 +760,7 @@ def _iceberg_table_dir(sf_dir: str) -> str:
     from orc_haskell_spark import iceberg
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"ohs_iceberg_{key}")
+    root = os.path.join(tempfile.gettempdir(), f"ohs_iceberg2_{key}")
     ready = os.path.join(root, "_READY")
     if os.path.exists(ready):
         return root
@@ -780,6 +780,12 @@ def _iceberg_table_dir(sf_dir: str) -> str:
             parts.append({"lang": lang})
         if paths:
             iceberg.append_files(root, paths, parts)
+    # snapshot 3: v2 EQUALITY DELETE of every doc_id divisible by 13 —
+    # a static rule, so the oracle is plain SQL (doc_id % 13 <> 0); the
+    # v1 time-travel read predates it and keeps those rows
+    doomed = [d for d in t.column("doc_id").to_pylist() if d % 13 == 0]
+    if doomed:
+        iceberg.delete_where(root, [{"doc_id": d} for d in doomed])
     with open(ready, "w") as f:
         f.write("ok")
     return root
@@ -787,11 +793,14 @@ def _iceberg_table_dir(sf_dir: str) -> str:
 
 def _iceberg_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg table scans through OUR metadata layer (no catalog jar):
-    snapshot 1 via time travel + the current snapshot, each aggregated
+    snapshot 1 via time travel + the CURRENT snapshot, each aggregated
     per lang with an md5 row digest. File selection comes from Avro
     manifests with partition pruning; the v2 side also exercises a
-    bounds predicate (n_chars >= 1, re-applied as the residual filter).
-    """
+    bounds predicate (n_chars >= 1, re-applied as the residual filter)
+    AND v2 row-level deletes — the current snapshot carries an equality
+    delete of every doc_id % 13 == 0 row (applied via the sequence-rule
+    anti-join), while the v1 time-travel read predates it and keeps
+    those rows."""
     from orc_haskell_spark import iceberg
 
     root = _iceberg_table_dir(sf_dir)
@@ -825,7 +834,8 @@ _ICEBERG_ORACLE_SQL = (
     "sum(n_chars) AS chars, "
     "CAST(sum(CAST(('0x'||substr(md5(concat_ws('|', doc_id, lang, "
     "source, n_chars)),1,12)) AS BIGINT)) AS BIGINT) AS sdig "
-    "FROM documents WHERE n_chars >= 1 GROUP BY lang")
+    "FROM documents WHERE n_chars >= 1 AND doc_id % 13 <> 0 "
+    "GROUP BY lang")
 
 
 def _select_sql(table: str) -> str:
