@@ -131,6 +131,13 @@ def table_metadata(table_path: str, version: int | None = None) -> dict:
     if meta.get("format-version") not in (1, 2):
         raise NotImplementedError(
             f"Iceberg format-version {meta.get('format-version')}")
+    if meta["format-version"] == 1:
+        # v1 predates sequence numbers: normalize so every consumer
+        # (incremental deltas, streaming offsets, delete sequencing)
+        # sees 0 instead of KeyError
+        meta.setdefault("last-sequence-number", 0)
+        for s_ in meta.get("snapshots", []):
+            s_.setdefault("sequence-number", 0)
     return meta
 
 
@@ -234,9 +241,12 @@ DISTRIBUTED_MANIFESTS_MIN = 64
 
 
 def _read_manifest(path: str, field_types: dict, id_of: dict,
-                   pred: Predicate | None, content: int = 0):
+                   pred: Predicate | None, content: int = 0,
+                   manifest_seq: int = 0):
     """One manifest -> list of surviving live file dicts (``content``
-    0 = data files, 1 = position-delete files)."""
+    0 = data files, 1 = position-delete files). Entries written with
+    sequence_number=null INHERIT ``manifest_seq`` (the spec's
+    inheritance rule — Java Iceberg writes added entries that way)."""
     _, entries = avro.read_container_file(_local(path))
     out = []
     ok_content = {0} if content == 0 else {1, 2}   # pos + eq deletes
@@ -253,7 +263,9 @@ def _read_manifest(path: str, field_types: dict, id_of: dict,
         uppers_raw = _normalize_kv(df.get("upper_bounds"))
         lowers, uppers = {}, {}
         for name, fid in id_of.items():
-            t = field_types[name]
+            t = field_types.get(name)   # nested types carry no bounds
+            if t is None:
+                continue
             if fid in lowers_raw and t in _BOUND_CODECS:
                 lowers[name] = decode_bound(t, lowers_raw[fid])
             if fid in uppers_raw and t in _BOUND_CODECS:
@@ -270,7 +282,9 @@ def _read_manifest(path: str, field_types: dict, id_of: dict,
             "record_count": df.get("record_count"),
             "file_size_in_bytes": df.get("file_size_in_bytes"),
             "partition": part,
-            "sequence_number": e.get("sequence_number"),
+            "sequence_number": (e.get("sequence_number")
+                                if e.get("sequence_number") is not None
+                                else manifest_seq),
             "equality_ids": df.get("equality_ids"),
             "lower_bounds": lowers,
             "upper_bounds": uppers,
@@ -304,26 +318,28 @@ def plan_scan(table_path: str, snapshot_id: int | None = None,
             else Predicate(where) if where else None)
     mlist_path = _local(snap["manifest-list"])
     _, manifests = avro.read_container_file(mlist_path)
-    data_paths = [m["manifest_path"] for m in manifests
-                  if m.get("content", 0) == 0]
-    del_paths = [m["manifest_path"] for m in manifests
-                 if m.get("content", 0) == 1]
-    if len(data_paths) + len(del_paths) != len(manifests):
+    data_mans = [(m["manifest_path"], m.get("sequence_number", 0))
+                 for m in manifests if m.get("content", 0) == 0]
+    del_mans = [(m["manifest_path"], m.get("sequence_number", 0))
+                for m in manifests if m.get("content", 0) == 1]
+    if len(data_mans) + len(del_mans) != len(manifests):
         raise NotImplementedError(
             "unknown manifest content kind (not data/deletes)")
-    if spark is not None and len(data_paths) >= DISTRIBUTED_MANIFESTS_MIN:
+    if spark is not None and len(data_mans) >= DISTRIBUTED_MANIFESTS_MIN:
         sc = spark.sparkContext
-        n = min(len(data_paths), sc.defaultParallelism * 2)
-        out = (sc.parallelize(data_paths, n)
-               .flatMap(lambda p: _read_manifest(p, field_types,
-                                                 id_of, pred))
+        n = min(len(data_mans), sc.defaultParallelism * 2)
+        out = (sc.parallelize(data_mans, n)
+               .flatMap(lambda ms: _read_manifest(ms[0], field_types,
+                                                  id_of, pred,
+                                                  manifest_seq=ms[1]))
                .collect())
     else:
-        out = [f for p in data_paths
-               for f in _read_manifest(p, field_types, id_of, pred)]
-    dels = [f for p in del_paths
+        out = [f for p, mseq in data_mans
+               for f in _read_manifest(p, field_types, id_of, pred,
+                                       manifest_seq=mseq)]
+    dels = [f for p, mseq in del_mans
             for f in _read_manifest(p, field_types, id_of, None,
-                                    content=1)]
+                                    content=1, manifest_seq=mseq)]
     for f in out + dels:
         if f["file_format"].upper() != "PARQUET":
             raise NotImplementedError(
@@ -439,11 +455,42 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
     # from the schema disappear even if old files still carry them.
     from pyspark.sql import functions as F
 
-    have = set(df.columns)
     _SPARK_T = {"boolean": "boolean", "int": "int", "long": "bigint",
                 "float": "float", "double": "double", "string": "string",
                 "binary": "binary", "date": "date",
                 "timestamp": "timestamp", "timestamptz": "timestamp"}
+    # identity-partition columns may be ABSENT from the data files
+    # (hive-layout writes, e.g. compact()'s partitionBy output, store
+    # them only in the directory name); the manifest's own partition
+    # values restore them, joined per file — the spec's "identity
+    # transform values come from metadata" rule, not a null-fill
+    part_of: dict[str, dict] = {}
+    for f in files:
+        for k, v in (f["partition"] or {}).items():
+            part_of.setdefault(k, {})[f["file_path"]] = v
+    have = set(df.columns)
+    restore = [c for c in part_of
+               if any(v is not None for v in part_of[c].values())]
+    if restore:
+        types = {f["name"]: f["type"] for f in fields}
+        rows = [(fp,) + tuple(part_of[c].get(fp) for c in restore)
+                for fp in sorted({f["file_path"] for f in files})]
+        ddl = ", ".join(["_pt_path string"]
+                        + [f"_pt_{i} {_SPARK_T[types[c]]}"
+                           for i, c in enumerate(restore)])
+        lookup = F.broadcast(spark.createDataFrame(rows, ddl))
+        df = (df.withColumn("_pt_fp", F.regexp_replace(
+                  F.col("_metadata.file_path"), "^file:", ""))
+              .join(lookup, F.col("_pt_fp") == F.col("_pt_path"), "left")
+              .drop("_pt_fp", "_pt_path"))
+        for i, c in enumerate(restore):
+            if c in have:     # mixed layout: file value wins when stored
+                df = df.withColumn(
+                    c, F.coalesce(F.col(c), F.col(f"_pt_{i}"))) \
+                    .drop(f"_pt_{i}")
+            else:
+                df = df.withColumnRenamed(f"_pt_{i}", c)
+        have = set(df.columns)
     sel = []
     for f in fields:
         if f["name"] in have:
@@ -519,6 +566,16 @@ def incremental_files(table_path: str,
     head = select_snapshot(meta, to_snapshot_id)
     if head["sequence-number"] < base["sequence-number"]:
         raise ValueError("to_snapshot precedes after_snapshot")
+    for s_ in meta["snapshots"]:
+        seq_ = s_.get("sequence-number", 0)
+        if base["sequence-number"] < seq_ <= head["sequence-number"] \
+                and s_.get("summary", {}).get("operation", "append") \
+                not in ("append", "delete"):
+            raise ValueError(
+                f"snapshot {s_['snapshot-id']} in the range is a "
+                f"{s_['summary']['operation']} (files rewritten): the "
+                f"append-delta is no longer exact — re-baseline the "
+                f"incremental consumer after compaction")
     new = plan_files(table_path, head["snapshot-id"], None, where, spark)
     old_paths = {f["file_path"] for f in plan_files(
         table_path, base["snapshot-id"], None, None, spark)}
@@ -544,7 +601,8 @@ def encode_iceberg(spark, table_path: str,
     return engine.encode_parquet(
         spark, table_path, columns=columns,
         num_partitions=num_partitions,
-        ranges=encode_kw.pop("ranges", None) or ranges_from_where(where),
+        ranges=(list(encode_kw.pop("ranges", None) or [])
+                + list(ranges_from_where(where) or [])) or None,
         files=[f["file_path"] for f in files], **encode_kw)
 
 
@@ -619,6 +677,18 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "deleted_rows_count", "type": "long"}]}
 
 
+def _ts_micros(dt) -> int:
+    """datetime -> epoch micros. Parquet stats return NAIVE datetimes
+    that are UTC wall time; naive .timestamp() would re-interpret them
+    in the writer machine's local zone and shift every bound by the
+    UTC offset (pruning would then wrongly drop files)."""
+    from datetime import timezone
+
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
 def _file_stats(path: str, fields: list[dict]):
     """record_count + per-field-id bounds from the parquet footer —
     planning stats come from metadata already written, never a data
@@ -648,8 +718,7 @@ def _file_stats(path: str, fields: list[dict]):
             mn, mx = st.min, st.max
             if f["type"] in ("timestamp", "timestamptz") and \
                     hasattr(mn, "timestamp"):
-                mn = int(mn.timestamp() * 1_000_000)
-                mx = int(mx.timestamp() * 1_000_000)
+                mn, mx = _ts_micros(mn), _ts_micros(mx)
             if fid not in lowers or mn < decode_bound(f["type"],
                                                       lowers[fid]):
                 lowers[fid] = encode_bound(f["type"], mn)
@@ -731,6 +800,11 @@ def append_files(table_path: str, parquet_paths: list[str],
     part_schema = _partition_schema(spec, field_types)
     entries, nrows = [], 0
     partition_values = partition_values or [{} for _ in parquet_paths]
+    if len(partition_values) != len(parquet_paths):
+        raise ValueError(
+            f"{len(parquet_paths)} files but {len(partition_values)} "
+            f"partition_values — a short list would silently drop "
+            f"trailing files from the commit")
     for p, part in zip(parquet_paths, partition_values):
         cnt, size, lo, hi, vc, nc = _file_stats(p, fields)
         nrows += cnt
@@ -980,7 +1054,10 @@ def commit_parquet_dir(table_path: str, data_dir: str,
     meta = table_metadata(table_path)
     already: set[str] = set()
     if meta.get("current-snapshot-id") is not None:
-        already = {f["file_path"] for f in plan_files(table_path)}
+        # plan_scan, not plan_files: only PATHS are needed here, so a
+        # table carrying row-level deletes must not block new appends
+        already = {f["file_path"]
+                   for f in plan_scan(table_path)[0]}
     new = [p for p in parts if os.path.abspath(p) not in already]
     if not new:
         return None
@@ -1022,6 +1099,9 @@ def compact(spark, table_path: str, now_ms: int | None = None,
         writer = writer.partitionBy(*part_cols)
     writer.parquet(out_dir)
     # enumerate written parts; partition values come from the hive dirs
+    from urllib.parse import unquote
+
+    field_type = {f["name"]: f["type"] for f in fields}
     paths, parts = [], []
     for p in sorted(_glob.glob(os.path.join(out_dir, "**", "*.parquet"),
                                recursive=True)):
@@ -1029,12 +1109,20 @@ def compact(spark, table_path: str, now_ms: int | None = None,
         pv = {}
         for seg in rel.split(os.sep)[:-1]:
             k, _, v = seg.partition("=")
-            pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
-        # hive dirs stringify values; cast back via the schema type
-        for f in fields:
-            if f["name"] in pv and pv[f["name"]] is not None and \
-                    f["type"] in ("int", "long"):
-                pv[f["name"]] = int(pv[f["name"]])
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                pv[k] = None
+                continue
+            # hive dirs stringify and %-escape values; undo both
+            v = unquote(v)
+            t = field_type.get(k)
+            if t in ("int", "long"):
+                pv[k] = int(v)
+            elif t in ("float", "double"):
+                pv[k] = float(v)
+            elif t == "boolean":
+                pv[k] = v.lower() == "true"
+            else:
+                pv[k] = v
         if pq.ParquetFile(p).metadata.num_rows == 0:
             continue
         paths.append(p)

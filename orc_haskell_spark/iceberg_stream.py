@@ -134,6 +134,16 @@ class IcebergStreamReader(DataSourceStreamReader):
                  if s["sequence-number"] <= hi]
         if not snaps:
             return []
+        for s in snaps:
+            if lo < s["sequence-number"] <= hi and \
+                    s.get("summary", {}).get("operation", "append") \
+                    not in ("append", "delete"):
+                raise NotImplementedError(
+                    f"snapshot {s['snapshot-id']} is a "
+                    f"{s['summary']['operation']} (files rewritten): "
+                    f"already-emitted rows would be re-emitted — "
+                    f"restart the stream with start_seq="
+                    f"{s['sequence-number']} to re-baseline")
         files, dels = iceberg.plan_scan(
             self.table_path, snapshot_id=snaps[-1]["snapshot-id"])
         if dels:

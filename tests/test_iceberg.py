@@ -654,3 +654,117 @@ def test_compact_applies_deletes_and_restores_fused_paths(spark, table):
     old = iceberg.read_iceberg(
         spark, root, snapshot_id=pre_compact["snapshot-id"])
     assert sorted(r.url for r in old.select("url").collect()) == want
+
+
+def test_compact_restores_partition_columns(spark, table):
+    """Review fix: compact()'s hive-layout output files lack the
+    identity partition columns; reads restore them from manifest
+    partition values — and a post-compact append (files DO carry the
+    column) reads mixed layouts correctly."""
+    root, _ = table
+    iceberg.compact(spark, root)
+    df = iceberg.read_iceberg(spark, root)
+    langs = {r.lang for r in df.select("lang").distinct().collect()}
+    assert langs == {"en", "de", "fr"}          # not None
+    assert df.filter("lang IS NULL").count() == 0
+    # per-row value correctness: lang matches the url's domain
+    for r in df.select("url", "lang").collect():
+        assert f"https://{r.lang}.site/" in r.url
+    # mixed layout: append a normal (column-carrying) file after compact
+    p, _t = _write_part(root, "it-0.parquet", ["it"] * 2, [40, 41])
+    iceberg.append_files(root, [p], [{"lang": "it"}])
+    df2 = iceberg.read_iceberg(spark, root)
+    assert df2.filter("lang = 'it'").count() == 2
+    assert df2.filter("lang IS NULL").count() == 0
+    assert df2.count() == 11
+    # splits/fused planning also works on the compacted layout
+    sp = iceberg.iceberg_splits_df(spark, root,
+                                   where=[("lang", "=", "it")],
+                                   num_partitions=2)
+    assert sp.count() >= 1
+
+
+def test_ts_micros_ignores_local_timezone():
+    """Review fix: naive parquet-stat datetimes are UTC wall time; the
+    conversion must not re-interpret them in the machine's zone."""
+    from datetime import datetime, timezone
+
+    from orc_haskell_spark.iceberg import _ts_micros
+
+    naive = datetime(2024, 1, 1, 12, 0, 0)
+    aware = datetime(2024, 1, 1, 12, 0, 0, tzinfo=timezone.utc)
+    assert _ts_micros(naive) == _ts_micros(aware) == 1704110400_000_000
+
+
+def test_append_files_length_mismatch_raises(tmp_path):
+    root = str(tmp_path / "t_len")
+    _write_part_schema_probe(root)
+    p1, _ = _write_part(root, "a.parquet", ["en"], [1])
+    p2, _ = _write_part(root, "b.parquet", ["de"], [2])
+    with pytest.raises(ValueError, match="partition_values"):
+        iceberg.append_files(root, [p1, p2], [{"lang": "en"}])
+
+
+def test_incremental_and_stream_refuse_replace_range(spark, table,
+                                                     tmp_path):
+    """Review fix: a compact() replace snapshot inside the consumed
+    range breaks the append-delta — both consumers refuse instead of
+    double-processing every rewritten row."""
+    from orc_haskell_spark.iceberg_stream import IcebergStreamDataSource
+
+    root, _ = table
+    meta = iceberg.table_metadata(root)
+    s1 = meta["snapshots"][0]["snapshot-id"]
+    # drain the stream BEFORE compaction
+    spark.dataSource.register(IcebergStreamDataSource)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (spark.readStream.format("iceberg_stream").load(root)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 9
+    iceberg.compact(spark, root)
+    with pytest.raises(ValueError, match="replace"):
+        iceberg.incremental_files(root, after_snapshot_id=s1)
+    # the stream's next drain must FAIL, not re-emit the table
+    q2 = (spark.readStream.format("iceberg_stream").load(root)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    with pytest.raises(Exception):
+        q2.awaitTermination(120)
+    # re-baselined stream (start_seq at the replace) works again
+    meta2 = iceberg.table_metadata(root)
+    out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    p, _t = _write_part(root, "pt-0.parquet", ["pt"], [50])
+    iceberg.append_files(root, [p], [{"lang": "pt"}])
+    q3 = (spark.readStream.format("iceberg_stream")
+          .option("start_seq", meta2["last-sequence-number"]).load(root)
+          .writeStream.format("parquet").option("path", out2)
+          .option("checkpointLocation", ckpt2)
+          .trigger(availableNow=True).start())
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 1
+
+
+def test_manifest_entry_sequence_inheritance(spark, table):
+    """Review fix: entries with sequence_number=null inherit the
+    manifest-list entry's sequence number (Java Iceberg writes added
+    entries that way); equality deletes must still sequence correctly."""
+    root, _ = table
+    meta = iceberg.table_metadata(root)
+    snap = iceberg.select_snapshot(meta)
+    _, mans = avro.read_container_file(snap["manifest-list"])
+    # null out every entry-level sequence number in the newest manifest
+    target = mans[-1]["manifest_path"]
+    hdr, entries = avro.read_container_file(target)
+    for e in entries:
+        e["sequence_number"] = None
+        e["file_sequence_number"] = None
+    avro.write_container_file(target, hdr["avro.schema"], entries)
+    files = iceberg.plan_files(root)
+    by_name = {os.path.basename(f["file_path"]): f for f in files}
+    # fr came from snapshot/manifest 2: inherited seq == 2
+    assert by_name["fr-0.parquet"]["sequence_number"] == \
+        mans[-1]["sequence_number"]
