@@ -768,3 +768,47 @@ def test_manifest_entry_sequence_inheritance(spark, table):
     # fr came from snapshot/manifest 2: inherited seq == 2
     assert by_name["fr-0.parquet"]["sequence_number"] == \
         mans[-1]["sequence_number"]
+
+
+def test_field_id_resolution_reads_renamed_columns(spark, tmp_path):
+    """Spec field-id resolution: a column renamed in the table schema
+    still reads from older files under its OLD parquet name, matched
+    by PARQUET:field_id; id-less files fall back to name resolution."""
+    root = str(tmp_path / "t_fid")
+    os.makedirs(os.path.join(root, "data"))
+
+    def stamped(names, ids, arrays):
+        fields = [pa.field(n, a.type,
+                           metadata={b"PARQUET:field_id":
+                                     str(i).encode()})
+                  for n, i, a in zip(names, ids, arrays)]
+        return pa.table(dict(zip(names, arrays)),
+                        schema=pa.schema(fields))
+
+    # current schema names the count column "views_new" (field id 2)
+    probe = pa.table({"url": pa.array([], pa.string()),
+                      "views_new": pa.array([], pa.int64())})
+    iceberg.create_table(root, probe.schema)
+    # old file: same field ids, OLD column name "views"
+    t_old = stamped(["url", "views"], [1, 2],
+                    [pa.array(["a", "b"]), pa.array([1, 2], pa.int64())])
+    p_old = os.path.join(root, "data", "old.parquet")
+    pq.write_table(t_old, p_old)
+    # new file: current name, stamped
+    t_new = stamped(["url", "views_new"], [1, 2],
+                    [pa.array(["c"]), pa.array([3], pa.int64())])
+    p_new = os.path.join(root, "data", "new.parquet")
+    pq.write_table(t_new, p_new)
+    # id-less plain file with the current name
+    t_plain = pa.table({"url": pa.array(["d"]),
+                        "views_new": pa.array([4], pa.int64())})
+    p_plain = os.path.join(root, "data", "plain.parquet")
+    pq.write_table(t_plain, p_plain)
+    iceberg.append_files(root, [p_old, p_new, p_plain])
+    df = iceberg.read_iceberg_by_field_id(spark, root)
+    got = sorted((r.url, r.views_new) for r in df.collect())
+    assert got == [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+    # name-based read would have missed the old file's values
+    df_name = iceberg.read_iceberg(spark, root)
+    by_name = sorted((r.url, r.views_new) for r in df_name.collect())
+    assert by_name[0][1] is None and by_name[1][1] is None
