@@ -86,14 +86,23 @@ def main() -> None:
         engine.encode_parquet(spark, warm_pq, num_partitions=CPUS) \
             .agg(F.sum("enc_bytes")).collect()
 
-        def best_of(n: int, fn) -> tuple[float, list[float]]:
+        def best_of(n: int, fn, max_extra: int = 2) -> tuple[float, list[float]]:
             """min + all samples: single samples on this box vary 2-3x
-            with co-tenant noise; min-of-2 is the steadier estimator."""
+            with co-tenant noise; min-of-N is the steadier estimator.
+            When the spread exposes a burst (max > 2x min), take up to
+            ``max_extra`` additional samples — quiet runs pay nothing,
+            noisy runs get more chances to land between bursts."""
             samples = []
             for _ in range(n):
                 t0 = time.time()
                 fn()
                 samples.append(time.time() - t0)
+            extra = 0
+            while extra < max_extra and max(samples) > 2 * min(samples):
+                t0 = time.time()
+                fn()
+                samples.append(time.time() - t0)
+                extra += 1
             return min(samples), [round(s, 3) for s in samples]
 
         # ---- encode pages (the headline metric)
@@ -138,11 +147,16 @@ def main() -> None:
         extras["encode_gbps_pages_fused"] = raw_pages / dtf / 1e9
         extras["docs_per_sec_pages_fused"] = PAGES_ROWS / dtf
 
-        # ---- decode pages
-        t0 = time.time()
-        n = engine.decode_table(enc_pages, pages.schema).count()
-        queries["decode_pages"] = time.time() - t0
-        assert n == PAGES_ROWS, (n, PAGES_ROWS)
+        # ---- decode pages (best-of-2: single samples burst-prone)
+        n_holder = []
+
+        def run_decode():
+            n_holder.append(
+                engine.decode_table(enc_pages, pages.schema).count())
+
+        dtd, extras["decode_pages_samples"] = best_of(2, run_decode)
+        queries["decode_pages"] = dtd
+        assert all(n == PAGES_ROWS for n in n_holder), n_holder
 
         # ---- lineitem encode/decode (int/double/date/string mix)
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
