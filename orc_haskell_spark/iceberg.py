@@ -685,18 +685,56 @@ def encode_iceberg(spark, table_path: str,
     selection + metadata pruning here, then engine.encode_parquet's
     zero-crossing scan/encode over the surviving files (nothing else
     changes — stripes, manifests, sinks all behave as for plain
-    parquet inputs)."""
+    parquet inputs).
+
+    POSITION deletes are applied inside the scan (the worker filters
+    tombstoned row indices per row group before encoding — the GDPR
+    shape: encode the corpus minus removed rows without a compaction
+    pass). Equality deletes still require compact() or read_iceberg
+    (their value join has no position-level expression)."""
     from . import engine
 
-    files = plan_files(table_path, snapshot_id, as_of_ms, where, spark)
+    files, dels = plan_scan(table_path, snapshot_id, as_of_ms, where,
+                            spark)
     if not files:
         raise ValueError(f"no live data files in {table_path}")
+    if any(d["content"] == 2 for d in dels):
+        raise NotImplementedError(
+            "snapshot carries equality deletes: compact() first, or "
+            "read_iceberg + encode_table")
+    drop = _drop_positions(dels) if dels else None
     return engine.encode_parquet(
         spark, table_path, columns=columns,
         num_partitions=num_partitions,
         ranges=(list(encode_kw.pop("ranges", None) or [])
                 + list(ranges_from_where(where) or [])) or None,
-        files=[f["file_path"] for f in files], **encode_kw)
+        files=[f["file_path"] for f in files],
+        drop_positions=drop, **encode_kw)
+
+
+def _drop_positions(pos_dels: list[dict],
+                    max_tombstones: int = 50_000_000) -> dict:
+    """{data file path: sorted int64 positions} from position-delete
+    parquet files. Tombstone sets are metadata-scale by design (a
+    delete file row per removed row); the cap guards driver memory —
+    beyond it, compact() is the right tool anyway."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    total = sum(d["record_count"] or 0 for d in pos_dels)
+    if total > max_tombstones:
+        raise NotImplementedError(
+            f"{total} position tombstones exceed the in-memory plan "
+            f"cap ({max_tombstones}); compact() the table instead")
+    by_file: dict[str, list] = {}
+    for d in pos_dels:
+        t = pq.read_table(d["file_path"], columns=["file_path", "pos"])
+        paths = t.column("file_path").to_pylist()
+        poss = t.column("pos").to_numpy(zero_copy_only=False)
+        for p, pos in zip(paths, poss):
+            by_file.setdefault(_local(p), []).append(int(pos))
+    return {p: np.unique(np.asarray(v, dtype=np.int64))
+            for p, v in by_file.items()}
 
 
 # ---------------------------------------------------------------------------
