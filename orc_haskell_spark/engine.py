@@ -224,6 +224,44 @@ def _spark_safe_batch(b: pa.RecordBatch) -> pa.RecordBatch:
         .combine_chunks().to_batches()[0]
 
 
+def scan_row_group(pf, f: str, rg: int, batch_rows: int,
+                   columns=None, drop_positions=None,
+                   rg_offsets: dict | None = None):
+    """Yield one row group's batches with optional Iceberg position-
+    tombstone filtering: file-level positions map to row-group-local
+    indices by binary search against the file's row-group offsets
+    (cached in ``rg_offsets``), and each batch drops its slice. Shared
+    by the fused encode and the fused resumable sink so tombstone
+    semantics cannot diverge between them."""
+    local = None
+    drops = (drop_positions or {}).get(f)
+    if drops is not None:
+        if rg_offsets is None:
+            rg_offsets = {}
+        if f not in rg_offsets:
+            md = pf.metadata
+            counts = [md.row_group(i).num_rows
+                      for i in range(md.num_row_groups)]
+            rg_offsets[f] = np.concatenate(([0], np.cumsum(counts)))
+        start = int(rg_offsets[f][rg])
+        end = int(rg_offsets[f][rg + 1])
+        local = drops[np.searchsorted(drops, start):
+                      np.searchsorted(drops, end)] - start
+    cur = 0
+    for rb in pf.iter_batches(batch_size=batch_rows, row_groups=[rg],
+                              columns=columns, use_threads=False):
+        n = rb.num_rows
+        if local is not None and local.size:
+            sel = local[(local >= cur) & (local < cur + n)] - cur
+            if sel.size:
+                mask = np.ones(n, bool)
+                mask[sel] = False
+                rb = rb.filter(pa.array(mask))
+        cur += n
+        if rb.num_rows:
+            yield _spark_safe_batch(rb)
+
+
 def _scan_encode_fn(columns, stripe_rows, stripe_bytes, config, batch_rows,
                     drop_positions=None):
     """mapInArrow fn over split rows: pyarrow reads the row groups and
@@ -250,36 +288,10 @@ def _scan_encode_fn(columns, stripe_rows, stripe_bytes, config, batch_rows,
                 files = b.column("file").to_pylist()
                 rgs = b.column("rg").to_pylist()
                 for f, rg in zip(files, rgs):
-                    pf = handles.get(f)
-                    local = None
-                    drops = (drop_positions or {}).get(f)
-                    if drops is not None:
-                        if f not in rg_offsets:
-                            md = pf.metadata
-                            counts = [md.row_group(i).num_rows
-                                      for i in range(md.num_row_groups)]
-                            rg_offsets[f] = np.concatenate(
-                                ([0], np.cumsum(counts)))
-                        start = int(rg_offsets[f][rg])
-                        end = int(rg_offsets[f][rg + 1])
-                        lo = np.searchsorted(drops, start)
-                        hi = np.searchsorted(drops, end)
-                        local = drops[lo:hi] - start
-                    cur = 0
-                    for rb in pf.iter_batches(
-                            batch_size=batch_rows, row_groups=[rg],
-                            columns=columns, use_threads=False):
-                        n = rb.num_rows
-                        if local is not None and local.size:
-                            sel = local[(local >= cur)
-                                        & (local < cur + n)] - cur
-                            if sel.size:
-                                mask = np.ones(n, bool)
-                                mask[sel] = False
-                                rb = rb.filter(pa.array(mask))
-                        cur += n
-                        if rb.num_rows:
-                            yield _spark_safe_batch(rb)
+                    yield from scan_row_group(
+                        handles.get(f), f, rg, batch_rows,
+                        columns=columns, drop_positions=drop_positions,
+                        rg_offsets=rg_offsets)
 
         yield from enc(scan())
 

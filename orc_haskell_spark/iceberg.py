@@ -712,6 +712,41 @@ def encode_iceberg(spark, table_path: str,
         drop_positions=drop, **encode_kw)
 
 
+def encode_iceberg_to_dir(spark, table_path: str, out_path: str,
+                          snapshot_id: int | None = None,
+                          as_of_ms: int | None = None,
+                          where: list | Predicate | None = None,
+                          commit_to: str | None = None,
+                          **sink_kw) -> dict:
+    """The resumable fused SINK over an Iceberg snapshot: snapshot
+    planning + position-delete tombstones here, then
+    manifest.encode_parquet_to_dir's (file, row_group)-granular
+    checkpointed encode. The tombstone set is part of the resume
+    config hash — a re-run against a snapshot with different deletes
+    refuses instead of mixing outputs. ``commit_to`` additionally
+    publishes the output stripes as an Iceberg append snapshot."""
+    from . import manifest
+
+    files, dels = plan_scan(table_path, snapshot_id, as_of_ms, where,
+                            spark)
+    if not files:
+        raise ValueError(f"no live data files in {table_path}")
+    if any(d["content"] == 2 for d in dels):
+        raise NotImplementedError(
+            "snapshot carries equality deletes: compact() first")
+    drop = _drop_positions(dels) if dels else None
+    summary = manifest.encode_parquet_to_dir(
+        spark, table_path, out_path,
+        files=[f["file_path"] for f in files],
+        drop_positions=drop, source=table_path, **sink_kw)
+    if commit_to:
+        snap = commit_parquet_dir(commit_to,
+                                  os.path.join(out_path, "stripes"))
+        summary["iceberg_snapshot"] = \
+            snap["snapshot-id"] if snap else None
+    return summary
+
+
 def _drop_positions(pos_dels: list[dict],
                     max_tombstones: int = 50_000_000) -> dict:
     """{data file path: sorted int64 positions} from position-delete

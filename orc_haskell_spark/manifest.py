@@ -22,9 +22,17 @@ import os
 from . import engine
 
 
-def _config_hash(config: dict | None, stripe_rows: int) -> str:
-    blob = json.dumps({"config": config or {}, "stripe_rows": stripe_rows},
-                      sort_keys=True)
+def _config_hash(config: dict | None, stripe_rows: int,
+                 drop_positions=None) -> str:
+    extra = None
+    if drop_positions:
+        h = hashlib.sha256()
+        for k in sorted(drop_positions):
+            h.update(k.encode())
+            h.update(drop_positions[k].tobytes())
+        extra = h.hexdigest()
+    blob = json.dumps({"config": config or {}, "stripe_rows": stripe_rows,
+                       "drops": extra}, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
@@ -178,7 +186,7 @@ FUSED_MANIFEST_DDL = (
 
 
 def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
-                   config, batch_rows: int):
+                   config, batch_rows: int, drop_positions=None):
     """mapInArrow fn over split rows: scan row groups with pyarrow,
     encode stripes, and WRITE the encoded-stripes parquet part directly
     from the worker (streaming ParquetWriter, one row group per stripe
@@ -229,6 +237,7 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
         manifest_rows = []
         writer = None
         handles = sources.ParquetHandleCache()
+        rg_offsets: dict = {}
         cache: dict = {}  # per-TASK codec state (FSST tables, selector
         # trials); stripes are self-describing so reuse across splits
         # is safe and skips re-training per 25k-row split
@@ -239,10 +248,12 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
                 pf = handles.get(f)
 
                 def scan():
-                    for rb in pf.iter_batches(batch_size=batch_rows,
-                                              row_groups=[rg],
-                                              use_threads=False):
-                        yield _spark_safe_batch(rb)
+                    from .engine import scan_row_group
+
+                    yield from scan_row_group(
+                        pf, f, rg, batch_rows,
+                        drop_positions=drop_positions,
+                        rg_offsets=rg_offsets)
 
                 seq = 0
                 for sb in _rechunk(scan(), stripe_rows, stripe_bytes):
@@ -295,7 +306,8 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
                           num_partitions: int | None = None,
                           batch_rows: int = 16384,
                           source: str = "unknown",
-                          files: list[str] | None = None) -> dict:
+                          files: list[str] | None = None,
+                          drop_positions=None) -> dict:
     """Fused resumable encode job: parquet table -> encoded-stripe files
     + manifest, with ZERO payload bytes crossing the JVM boundary.
 
@@ -317,7 +329,7 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
                                            files=files)
     all_splits.persist()
     splits = all_splits
-    cfg_hash = _config_hash(config, stripe_rows)
+    cfg_hash = _config_hash(config, stripe_rows, drop_positions)
     try:
         m = read_fused_manifest(spark, out_path)
         # a resume must not silently mix layouts: stripes from an
@@ -343,7 +355,7 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
                              "left_anti")
     mdf = splits.mapInArrow(
         _fused_sink_fn(out_path, stripe_rows, stripe_bytes, config,
-                       batch_rows),
+                       batch_rows, drop_positions=drop_positions),
         FUSED_MANIFEST_DDL)
     new_manifest = (mdf.withColumn("source", F.lit(source))
                     .withColumn("config_hash", F.lit(cfg_hash)))

@@ -841,3 +841,40 @@ def test_fused_encode_applies_position_deletes(spark, table):
     iceberg.delete_where(root, [{"lang": "fr"}])
     with pytest.raises(NotImplementedError, match="equality"):
         iceberg.encode_iceberg(spark, root, num_partitions=2)
+
+
+def test_encode_iceberg_to_dir_sink_with_deletes(spark, table, tmp_path):
+    """Resumable fused sink over a tombstoned snapshot: committed
+    stripes decode to exactly the live rows; an immediate re-run
+    encodes 0 splits; a re-run after MORE deletes refuses (tombstones
+    are in the resume config hash); optional Iceberg commit of the
+    output works."""
+    from orc_haskell_spark import engine, manifest
+
+    root, _ = table
+    files = iceberg.plan_files(root)
+    en = next(f["file_path"] for f in files if "en-0" in f["file_path"])
+    iceberg.delete_rows(root, [(en, 2)])
+    out = str(tmp_path / "sink_out")
+    ice_out = str(tmp_path / "sink_ice")
+    s1 = iceberg.encode_iceberg_to_dir(
+        spark, root, out, num_partitions=2, commit_to=ice_out)
+    assert s1["splits_encoded"] > 0 and s1["iceberg_snapshot"]
+    enc = manifest.read_fused_encoded(spark, out)
+    schema = spark.read.parquet(en).schema
+    got = sorted(r.url for r in engine.decode_table(
+        enc.select("part_id", "stripe_id", "n_rows", "n_cols",
+                   "raw_bytes", "enc_bytes", "footer", "data"),
+        schema).select("url").collect())
+    want = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                  .select("url").collect())
+    assert got == want and len(got) == 8
+    # resume: nothing to do
+    s2 = iceberg.encode_iceberg_to_dir(spark, root, out,
+                                       num_partitions=2)
+    assert s2["splits_encoded"] == 0
+    # different tombstone set -> loud refusal, not silent mixing
+    iceberg.delete_rows(root, [(en, 0)])
+    with pytest.raises(ValueError, match="different config"):
+        iceberg.encode_iceberg_to_dir(spark, root, out,
+                                      num_partitions=2)
