@@ -226,13 +226,30 @@ def _spark_safe_batch(b: pa.RecordBatch) -> pa.RecordBatch:
 
 def scan_row_group(pf, f: str, rg: int, batch_rows: int,
                    columns=None, drop_positions=None,
-                   rg_offsets: dict | None = None):
-    """Yield one row group's batches with optional Iceberg position-
-    tombstone filtering: file-level positions map to row-group-local
-    indices by binary search against the file's row-group offsets
-    (cached in ``rg_offsets``), and each batch drops its slice. Shared
-    by the fused encode and the fused resumable sink so tombstone
-    semantics cannot diverge between them."""
+                   rg_offsets: dict | None = None,
+                   drop_values=None):
+    """Yield one row group's batches with optional Iceberg row-level
+    delete filtering, shared by the fused encode and the fused
+    resumable sink so tombstone semantics cannot diverge between them:
+
+    - ``drop_positions`` (position deletes): file-level positions map
+      to row-group-local indices by binary search against the file's
+      row-group offsets (cached in ``rg_offsets``); each batch drops
+      its slice.
+    - ``drop_values`` (single-column equality deletes): per-file list
+      of (column, Arrow value array); rows whose column value is in
+      the set are dropped via one vectorized ``pc.is_in`` per batch —
+      the delete-by-url/doc_id GDPR shape, no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    vals = (drop_values or {}).get(f)
+    if vals and columns is not None:
+        missing = [c for c, _ in vals if c not in columns]
+        if missing:
+            raise ValueError(
+                f"equality-delete column(s) {missing} are projected "
+                f"out; include them or compact() the table")
     local = None
     drops = (drop_positions or {}).get(f)
     if drops is not None:
@@ -258,12 +275,17 @@ def scan_row_group(pf, f: str, rg: int, batch_rows: int,
                 mask[sel] = False
                 rb = rb.filter(pa.array(mask))
         cur += n
+        if vals:
+            for col, value_arr in vals:
+                hit = pc.is_in(rb.column(rb.schema.get_field_index(col)),
+                               value_set=value_arr)
+                rb = rb.filter(pc.invert(pc.fill_null(hit, False)))
         if rb.num_rows:
             yield _spark_safe_batch(rb)
 
 
 def _scan_encode_fn(columns, stripe_rows, stripe_bytes, config, batch_rows,
-                    drop_positions=None):
+                    drop_positions=None, drop_values=None):
     """mapInArrow fn over split rows: pyarrow reads the row groups and
     the stripes are encoded in the SAME Python worker — the payload
     bytes never cross the JVM boundary (only file/row-group metadata in,
@@ -291,7 +313,7 @@ def _scan_encode_fn(columns, stripe_rows, stripe_bytes, config, batch_rows,
                     yield from scan_row_group(
                         handles.get(f), f, rg, batch_rows,
                         columns=columns, drop_positions=drop_positions,
-                        rg_offsets=rg_offsets)
+                        rg_offsets=rg_offsets, drop_values=drop_values)
 
         yield from enc(scan())
 
@@ -306,7 +328,7 @@ def encode_parquet(spark, path: str, columns: list[str] | None = None,
                    num_partitions: int | None = None,
                    batch_rows: int = 16384,
                    files: list[str] | None = None,
-                   drop_positions=None):
+                   drop_positions=None, drop_values=None):
     """Fused Python-side scan + encode over a parquet table: the fast
     path for encode jobs, measured 3-4x the DataFrame route end-to-end.
 
@@ -335,7 +357,8 @@ def encode_parquet(spark, path: str, columns: list[str] | None = None,
                                        files=files)
     return splits.mapInArrow(
         _scan_encode_fn(columns, stripe_rows, stripe_bytes, config,
-                        batch_rows, drop_positions=drop_positions),
+                        batch_rows, drop_positions=drop_positions,
+                        drop_values=drop_values),
         ENCODED_DDL)
 
 

@@ -698,18 +698,19 @@ def encode_iceberg(spark, table_path: str,
                             spark)
     if not files:
         raise ValueError(f"no live data files in {table_path}")
-    if any(d["content"] == 2 for d in dels):
-        raise NotImplementedError(
-            "snapshot carries equality deletes: compact() first, or "
-            "read_iceberg + encode_table")
-    drop = _drop_positions(dels) if dels else None
+    meta = table_metadata(table_path)
+    fields = _schema_of(meta)
+    pos = [d for d in dels if d["content"] == 1]
+    eq = [d for d in dels if d["content"] == 2]
+    drop = _drop_positions(pos) if pos else None
+    dropv = _drop_values(eq, files, fields) if eq else None
     return engine.encode_parquet(
         spark, table_path, columns=columns,
         num_partitions=num_partitions,
         ranges=(list(encode_kw.pop("ranges", None) or [])
                 + list(ranges_from_where(where) or [])) or None,
         files=[f["file_path"] for f in files],
-        drop_positions=drop, **encode_kw)
+        drop_positions=drop, drop_values=dropv, **encode_kw)
 
 
 def encode_iceberg_to_dir(spark, table_path: str, out_path: str,
@@ -731,20 +732,67 @@ def encode_iceberg_to_dir(spark, table_path: str, out_path: str,
                             spark)
     if not files:
         raise ValueError(f"no live data files in {table_path}")
-    if any(d["content"] == 2 for d in dels):
-        raise NotImplementedError(
-            "snapshot carries equality deletes: compact() first")
-    drop = _drop_positions(dels) if dels else None
+    meta = table_metadata(table_path)
+    fields = _schema_of(meta)
+    pos = [d for d in dels if d["content"] == 1]
+    eq = [d for d in dels if d["content"] == 2]
+    drop = _drop_positions(pos) if pos else None
+    dropv = _drop_values(eq, files, fields) if eq else None
     summary = manifest.encode_parquet_to_dir(
         spark, table_path, out_path,
         files=[f["file_path"] for f in files],
-        drop_positions=drop, source=table_path, **sink_kw)
+        drop_positions=drop, drop_values=dropv,
+        source=table_path, **sink_kw)
     if commit_to:
         snap = commit_parquet_dir(commit_to,
                                   os.path.join(out_path, "stripes"))
         summary["iceberg_snapshot"] = \
             snap["snapshot-id"] if snap else None
     return summary
+
+
+def _drop_values(eq_dels: list[dict], files: list[dict],
+                 fields: list[dict],
+                 max_tombstones: int = 50_000_000) -> dict:
+    """{data file path: [(column, Arrow value array)]} for SINGLE-
+    column equality deletes, honoring the strict sequence rule: a
+    delete applies only to files whose sequence number is LESS than
+    the delete's. Multi-column sets raise (no vectorized positional
+    expression) — compact() or read_iceberg handle those."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    total = sum(d["record_count"] or 0 for d in eq_dels)
+    if total > max_tombstones:
+        raise NotImplementedError(
+            f"{total} equality tombstones exceed the in-memory plan "
+            f"cap ({max_tombstones}); compact() the table instead")
+    name_of = {f["id"]: f["name"] for f in fields}
+    groups: dict[tuple, list] = {}          # (col,) -> [(dseq, values)]
+    for d in eq_dels:
+        ids = tuple(sorted(d["equality_ids"] or []))
+        if len(ids) != 1:
+            raise NotImplementedError(
+                "multi-column equality deletes on the fused path: "
+                "compact() first, or read_iceberg + encode_table")
+        col = name_of[ids[0]]
+        t = pq.read_table(d["file_path"], columns=[col])
+        groups.setdefault(col, []).append(
+            (d["sequence_number"] or 0, t.column(col).combine_chunks()))
+    out: dict = {}
+    for f in files:
+        fseq = f["sequence_number"] or 0
+        filters = []
+        for col, dels in groups.items():
+            vals = [v for dseq, v in dels if fseq < dseq]
+            if vals:
+                merged = pa.concat_arrays(
+                    [v.chunk(0) if isinstance(v, pa.ChunkedArray) else v
+                     for v in vals]).unique()
+                filters.append((col, merged))
+        if filters:
+            out[f["file_path"]] = filters
+    return out
 
 
 def _drop_positions(pos_dels: list[dict],

@@ -23,16 +23,24 @@ from . import engine
 
 
 def _config_hash(config: dict | None, stripe_rows: int,
-                 drop_positions=None) -> str:
-    extra = None
+                 drop_positions=None, drop_values=None) -> str:
+    extra = vextra = None
     if drop_positions:
         h = hashlib.sha256()
         for k in sorted(drop_positions):
             h.update(k.encode())
             h.update(drop_positions[k].tobytes())
         extra = h.hexdigest()
+    if drop_values:
+        h = hashlib.sha256()
+        for k in sorted(drop_values):
+            h.update(k.encode())
+            for col, arr in drop_values[k]:
+                h.update(col.encode())
+                h.update(str(arr.to_pylist()).encode())
+        vextra = h.hexdigest()
     blob = json.dumps({"config": config or {}, "stripe_rows": stripe_rows,
-                       "drops": extra}, sort_keys=True)
+                       "drops": extra, "vdrops": vextra}, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
@@ -186,7 +194,8 @@ FUSED_MANIFEST_DDL = (
 
 
 def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
-                   config, batch_rows: int, drop_positions=None):
+                   config, batch_rows: int, drop_positions=None,
+                   drop_values=None):
     """mapInArrow fn over split rows: scan row groups with pyarrow,
     encode stripes, and WRITE the encoded-stripes parquet part directly
     from the worker (streaming ParquetWriter, one row group per stripe
@@ -253,7 +262,7 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
                     yield from scan_row_group(
                         pf, f, rg, batch_rows,
                         drop_positions=drop_positions,
-                        rg_offsets=rg_offsets)
+                        rg_offsets=rg_offsets, drop_values=drop_values)
 
                 seq = 0
                 for sb in _rechunk(scan(), stripe_rows, stripe_bytes):
@@ -307,7 +316,7 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
                           batch_rows: int = 16384,
                           source: str = "unknown",
                           files: list[str] | None = None,
-                          drop_positions=None) -> dict:
+                          drop_positions=None, drop_values=None) -> dict:
     """Fused resumable encode job: parquet table -> encoded-stripe files
     + manifest, with ZERO payload bytes crossing the JVM boundary.
 
@@ -329,7 +338,8 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
                                            files=files)
     all_splits.persist()
     splits = all_splits
-    cfg_hash = _config_hash(config, stripe_rows, drop_positions)
+    cfg_hash = _config_hash(config, stripe_rows, drop_positions,
+                            drop_values)
     try:
         m = read_fused_manifest(spark, out_path)
         # a resume must not silently mix layouts: stripes from an
@@ -355,7 +365,8 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
                              "left_anti")
     mdf = splits.mapInArrow(
         _fused_sink_fn(out_path, stripe_rows, stripe_bytes, config,
-                       batch_rows, drop_positions=drop_positions),
+                       batch_rows, drop_positions=drop_positions,
+                       drop_values=drop_values),
         FUSED_MANIFEST_DDL)
     new_manifest = (mdf.withColumn("source", F.lit(source))
                     .withColumn("config_hash", F.lit(cfg_hash)))

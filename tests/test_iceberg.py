@@ -837,9 +837,30 @@ def test_fused_encode_applies_position_deletes(spark, table):
                   iceberg.read_iceberg(spark, root)
                   .select("url", "views").collect())
     assert got == want and len(got) == 6
-    # equality deletes still refuse on this path
+    # single-column equality deletes now apply on the fused path too
+    # (vectorized pc.is_in in the worker, sequence rule honored)
     iceberg.delete_where(root, [{"lang": "fr"}])
-    with pytest.raises(NotImplementedError, match="equality"):
+    enc2 = iceberg.encode_iceberg(spark, root, num_partitions=2)
+    got2 = sorted(r.url for r in engine.decode_table(enc2, schema)
+                  .select("url").collect())
+    want2 = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                   .select("url").collect())
+    assert got2 == want2 and not any("fr" in u for u in got2)
+    # a row re-appended AFTER the delete survives (strict sequence rule)
+    p, _t = _write_part(root, "fr-1.parquet", ["fr"], [22])
+    iceberg.append_files(root, [p], [{"lang": "fr"}])
+    enc3 = iceberg.encode_iceberg(spark, root, num_partitions=2)
+    got3 = sorted(r.url for r in engine.decode_table(enc3, schema)
+                  .select("url").collect())
+    assert "https://fr.site/22" in got3 and \
+        not any(u.startswith("https://fr.site/2") and u.endswith("/20")
+                for u in got3)
+    assert got3 == sorted(r.url for r in
+                          iceberg.read_iceberg(spark, root)
+                          .select("url").collect())
+    # multi-column equality deletes still refuse on the fused path
+    iceberg.delete_where(root, [{"lang": "de", "views": 12}])
+    with pytest.raises(NotImplementedError, match="multi-column"):
         iceberg.encode_iceberg(spark, root, num_partitions=2)
 
 
