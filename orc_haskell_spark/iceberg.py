@@ -40,11 +40,16 @@ spec's field-id resolution for tables whose files carry
 ``PARQUET:field_id`` (Java/Rust writers) — renamed columns read
 correctly from old files, per file-group.
 
+Partition transforms are evaluated for pruning per the spec:
+identity exactly, bucket[N] (murmur3_x86_32 of the single-value hash
+bytes) for =/in, truncate[W] and year/month/day/hour (order-
+preserving) for ranges too; unknown transforms keep their files
+(conservative, never wrong).
+
 Honest deviations from the full spec (each raises or documents):
-- only identity partition transforms are *evaluated* for pruning;
-  other transforms keep their files (conservative, never wrong)
 - field-id resolution does not compose with row-level deletes
   (compact() first)
+- compact() requires identity partition specs
 """
 
 from __future__ import annotations
@@ -243,12 +248,157 @@ def _cmp(op: str, lo, hi, val) -> bool:
     raise ValueError(f"unknown predicate op {op!r}")
 
 
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit — the spec's bucket-transform hash."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_value(ice_type: str, value, n: int) -> int:
+    """Spec bucket[N]: (murmur3_32(hash bytes) & MAX_INT) % N.
+    int/long/date/timestamp hash as 8-byte little-endian LONG (so
+    bucket(int 34) == bucket(long 34)); strings utf-8; binary raw."""
+    if ice_type in ("int", "long", "date", "timestamp", "timestamptz"):
+        data = struct.pack("<q", int(value))
+    elif ice_type == "string":
+        data = value.encode("utf-8")
+    elif ice_type == "binary":
+        data = bytes(value)
+    else:
+        raise NotImplementedError(f"bucket transform over {ice_type}")
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+def apply_transform(transform: str, ice_type: str | None, value):
+    """Spec partition transform of a SOURCE value (timestamps as epoch
+    micros, dates as epoch days). void -> None."""
+    import datetime as _dt
+
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    if transform.startswith("bucket["):
+        return bucket_value(ice_type, value, int(transform[7:-1]))
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if ice_type in ("int", "long"):
+            v = int(value)
+            return v - (((v % w) + w) % w)
+        if ice_type == "string":
+            return value[:w]
+        raise NotImplementedError(f"truncate over {ice_type}")
+    if transform in ("year", "month", "day", "hour"):
+        if ice_type == "date":
+            days = int(value)
+        elif ice_type in ("timestamp", "timestamptz"):
+            if transform == "hour":
+                return int(value) // _US_PER_HOUR
+            days = int(value) // _US_PER_DAY
+        else:
+            raise NotImplementedError(f"{transform} over {ice_type}")
+        if transform == "day":
+            return days
+        d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+        if transform == "year":
+            return d.year - 1970
+        return (d.year - 1970) * 12 + d.month - 1
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
+_ORDER_PRESERVING = ("identity", "truncate[", "year", "month", "day",
+                     "hour")
+
+_RELAX = {"<": "<=", ">": ">=", "<=": "<=", ">=": ">=", "=": "="}
+
+
+def keep_partition_spec(pred: "Predicate", part: dict,
+                        spec_fields: list[dict] | None,
+                        type_of_id: dict | None,
+                        name_of_id: dict | None) -> bool:
+    """Transform-aware partition pruning: a file survives unless its
+    partition value PROVES a predicate term false through the spec's
+    transform — equality through any transform, ranges through
+    order-preserving ones (truncate/temporal), bucket only for =/in.
+    Unknown/unevaluable transforms keep the file (conservative)."""
+    if not spec_fields:
+        return pred.keep_partition(part)
+    for sf in spec_fields:
+        pname = sf["name"]
+        if pname not in part or part[pname] is None:
+            continue
+        pv = part[pname]
+        src = (name_of_id or {}).get(sf.get("source-id"))
+        if src is None:
+            src = pname                       # identity-style fallback
+        t = (type_of_id or {}).get(sf.get("source-id"))
+        tr = sf.get("transform", "identity")
+        for col, op, val in pred.terms:
+            if col != src:
+                continue
+            try:
+                if tr == "identity":
+                    if not _cmp(op, pv, pv, val):
+                        return False
+                elif tr.startswith("bucket["):
+                    if op == "=" and                             apply_transform(tr, t, val) != pv:
+                        return False
+                    if op == "in" and all(
+                            apply_transform(tr, t, v) != pv
+                            for v in val):
+                        return False
+                elif tr.startswith(_ORDER_PRESERVING):
+                    if op == "in":
+                        if all(apply_transform(tr, t, v) != pv
+                               for v in val):
+                            return False
+                    else:
+                        tv = apply_transform(tr, t, val)
+                        if not _cmp(_RELAX[op], pv, pv, tv):
+                            return False
+            except NotImplementedError:
+                continue                      # unevaluable: keep
+    return True
+
+
 DISTRIBUTED_MANIFESTS_MIN = 64
 
 
 def _read_manifest(path: str, field_types: dict, id_of: dict,
                    pred: Predicate | None, content: int = 0,
-                   manifest_seq: int = 0):
+                   manifest_seq: int = 0, spec_fields=None):
     """One manifest -> list of surviving live file dicts (``content``
     0 = data files, 1 = position-delete files). Entries written with
     sequence_number=null INHERIT ``manifest_seq`` (the spec's
@@ -277,7 +427,11 @@ def _read_manifest(path: str, field_types: dict, id_of: dict,
             if fid in uppers_raw and t in _BOUND_CODECS:
                 uppers[name] = decode_bound(t, uppers_raw[fid])
         if pred is not None:
-            if not pred.keep_partition(part):
+            name_of_id = {v: k for k, v in id_of.items()}
+            if not keep_partition_spec(pred, part, spec_fields,
+                                       {id_of[n]: t for n, t
+                                        in field_types.items()},
+                                       name_of_id):
                 continue
             if not pred.keep_bounds(lowers, uppers):
                 continue
@@ -322,9 +476,12 @@ def plan_scan(table_path: str, snapshot_id: int | None = None,
     id_of = {f["name"]: f["id"] for f in fields}
     pred = (where if isinstance(where, Predicate)
             else Predicate(where) if where else None)
+    specs_by_id = {sp["spec-id"]: sp["fields"]
+                   for sp in meta.get("partition-specs", [])}
     mlist_path = _local(snap["manifest-list"])
     _, manifests = avro.read_container_file(mlist_path)
-    data_mans = [(m["manifest_path"], m.get("sequence_number", 0))
+    data_mans = [(m["manifest_path"], m.get("sequence_number", 0),
+                  specs_by_id.get(m.get("partition_spec_id", 0)))
                  for m in manifests if m.get("content", 0) == 0]
     del_mans = [(m["manifest_path"], m.get("sequence_number", 0))
                 for m in manifests if m.get("content", 0) == 1]
@@ -337,12 +494,14 @@ def plan_scan(table_path: str, snapshot_id: int | None = None,
         out = (sc.parallelize(data_mans, n)
                .flatMap(lambda ms: _read_manifest(ms[0], field_types,
                                                   id_of, pred,
-                                                  manifest_seq=ms[1]))
+                                                  manifest_seq=ms[1],
+                                                  spec_fields=ms[2]))
                .collect())
     else:
-        out = [f for p, mseq in data_mans
+        out = [f for p, mseq, spf in data_mans
                for f in _read_manifest(p, field_types, id_of, pred,
-                                       manifest_seq=mseq)]
+                                       manifest_seq=mseq,
+                                       spec_fields=spf)]
     dels = [f for p, mseq in del_mans
             for f in _read_manifest(p, field_types, id_of, None,
                                     content=1, manifest_seq=mseq)]
@@ -558,12 +717,16 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
     # values restore them, joined per file — the spec's "identity
     # transform values come from metadata" rule, not a null-fill
     part_of: dict[str, dict] = {}
+    schema_names = {f["name"] for f in fields}
     for f in files:
         for k, v in (f["partition"] or {}).items():
             part_of.setdefault(k, {})[f["file_path"]] = v
     have = set(df.columns)
+    # only identity partition values ARE column values; transform
+    # outputs (ts_day, url_bucket, ...) never masquerade as columns
     restore = [c for c in part_of
-               if any(v is not None for v in part_of[c].values())]
+               if c in schema_names
+               and any(v is not None for v in part_of[c].values())]
     if restore:
         types = {f["name"]: f["type"] for f in fields}
         rows = [(fp,) + tuple(part_of[c].get(fp) for c in restore)
@@ -834,10 +997,18 @@ _MANIFEST_KV_LONG = {"type": "array", "logicalType": "map", "items": {
         {"name": "value", "type": "long"}]}}
 
 
-def _partition_schema(spec_fields: list[dict], field_types: dict):
+def _partition_schema(spec_fields: list[dict], field_types: dict,
+                      type_of_id: dict | None = None):
     pf = []
     for f in spec_fields:
-        t = field_types.get(f["name"], "string")
+        tr = f.get("transform", "identity")
+        src_t = (type_of_id or {}).get(f.get("source-id")) \
+            or field_types.get(f["name"], "string")
+        if tr.startswith(("bucket[",)) or tr in ("year", "month",
+                                                 "day", "hour"):
+            t = "int"
+        else:                       # identity / truncate / void
+            t = src_t
         at = {"boolean": "boolean", "int": "int", "long": "long",
               "float": "float", "double": "double"}.get(t, "string")
         pf.append({"name": f["name"], "type": ["null", at],
@@ -956,15 +1127,20 @@ def create_table(table_path: str, arrow_schema,
                "type": _pa_to_iceberg_type(f.type)}
               for i, f in enumerate(arrow_schema)]
     by_name = {f["name"]: f for f in fields}
-    for c in partition_by or []:
-        if c not in by_name:
+    spec_fields = []
+    for k, c in enumerate(partition_by or []):
+        if isinstance(c, str):
+            c = {"source": c, "transform": "identity"}
+        src, tr = c["source"], c.get("transform", "identity")
+        if src not in by_name:
             raise ValueError(
-                f"partition column {c!r} not in schema "
-                f"(Iceberg identity transforms need a source column)")
-    spec_fields = [{"name": c, "transform": "identity",
-                    "source-id": by_name[c]["id"],
-                    "field-id": 1000 + k}
-                   for k, c in enumerate(partition_by or [])]
+                f"partition source column {src!r} not in schema")
+        base = tr.split("[")[0]
+        name = c.get("name") or (src if tr == "identity"
+                                 else f"{src}_{base}")
+        spec_fields.append({"name": name, "transform": tr,
+                            "source-id": by_name[src]["id"],
+                            "field-id": 1000 + k})
     meta = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
@@ -1011,7 +1187,10 @@ def append_files(table_path: str, parquet_paths: list[str],
     snap_id = seq  # deterministic ids: fixtures must be reproducible
     now_ms = now_ms if now_ms is not None else \
         meta["last-updated-ms"] + 1000
-    part_schema = _partition_schema(spec, field_types)
+    part_schema = _partition_schema(
+        spec, field_types,
+        type_of_id={f["id"]: f["type"] for f in fields
+                    if isinstance(f["type"], str)})
     entries, nrows = [], 0
     partition_values = partition_values or [{} for _ in parquet_paths]
     if len(partition_values) != len(parquet_paths):
@@ -1161,7 +1340,10 @@ def _commit_delete_file(table_path: str, meta: dict, version: int,
                 if s["spec-id"] == meta["default-spec-id"])["fields"]
     fields = _schema_of(meta)
     field_types = {f["name"]: f["type"] for f in fields}
-    part_schema = _partition_schema(spec, field_types)
+    part_schema = _partition_schema(
+        spec, field_types,
+        type_of_id={f["id"]: f["type"] for f in fields
+                    if isinstance(f["type"], str)})
     entry = {"status": 1, "snapshot_id": snap_id, "sequence_number": seq,
              "file_sequence_number": seq,
              "data_file": {
@@ -1301,6 +1483,10 @@ def compact(spark, table_path: str, now_ms: int | None = None,
     fields = _schema_of(meta)
     spec = next(s for s in meta["partition-specs"]
                 if s["spec-id"] == meta["default-spec-id"])["fields"]
+    if any(f.get("transform", "identity") != "identity" for f in spec):
+        raise NotImplementedError(
+            "compact() over non-identity partition transforms (the "
+            "rewrite would need transform evaluation at write time)")
     part_cols = [f["name"] for f in spec]
     seq = meta["last-sequence-number"] + 1
     snap_id = seq
@@ -1345,7 +1531,10 @@ def compact(spark, table_path: str, now_ms: int | None = None,
         raise ValueError("compaction produced no data files")
     # build the replace snapshot: ONLY the new manifest in the list
     field_types = {f["name"]: f["type"] for f in fields}
-    part_schema = _partition_schema(spec, field_types)
+    part_schema = _partition_schema(
+        spec, field_types,
+        type_of_id={f["id"]: f["type"] for f in fields
+                    if isinstance(f["type"], str)})
     entries, nrows = [], 0
     for p, part in zip(paths, parts):
         cnt, size, lo, hi, vc, nc = _file_stats(p, fields)
