@@ -139,9 +139,15 @@ def read_value(buf: io.BytesIO, schema):
     if t in ("int", "long"):
         return _read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        b = buf.read(4)
+        if len(b) != 4:
+            raise ValueError("truncated Avro float")
+        return struct.unpack("<f", b)[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        b = buf.read(8)
+        if len(b) != 8:
+            raise ValueError("truncated Avro double")
+        return struct.unpack("<d", b)[0]
     if t == "bytes":
         return _read_bytes(buf)
     if t == "string":

@@ -988,3 +988,64 @@ def test_bucket_transform_spec_goldens():
                                    19000 * us_day) == 2022 - 1970
     assert iceberg.apply_transform("month", "date", 31) == 1  # 1970-02
     assert iceberg.apply_transform("void", "string", "x") is None
+
+
+def test_avro_corruption_fuzz_never_crashes():
+    """300 seeded byte flips through the Avro container reader:
+    raise-or-read, never crash/hang — the same contract the ORC reader
+    fuzz enforces (corrupt metadata is a when, not an if, at corpus
+    scale)."""
+    import random
+
+    blob = bytearray(avro.write_container(REC, ROWS * 20,
+                                          codec="deflate"))
+    rng = random.Random(1234)
+    for _ in range(300):
+        pos = rng.randrange(len(blob))
+        old = blob[pos]
+        blob[pos] ^= 1 << rng.randrange(8)
+        try:
+            avro.read_container(bytes(blob))
+        except (ValueError, NotImplementedError, KeyError,
+                UnicodeDecodeError, EOFError, OverflowError,
+                MemoryError):
+            pass
+        except Exception as ex:            # zlib errors etc: named OK
+            import zlib
+            assert isinstance(ex, zlib.error), type(ex)
+        finally:
+            blob[pos] = old
+
+
+def test_video_corruption_fuzz_never_crashes():
+    """Byte flips through both video container parsers + frame decode:
+    raise-or-decode, never crash."""
+    import random
+
+    from orc_haskell_spark.pipeline import video as V
+
+    rng = random.Random(99)
+    y4m = bytearray(V.encode_y4m(
+        [(np.full((8, 8), 7, np.uint8),
+          np.full((4, 4), 9, np.uint8),
+          np.full((4, 4), 11, np.uint8)) for _ in range(3)]))
+    from orc_haskell_spark.pipeline.jpeg import encode_jpeg
+
+    avi = bytearray(V.encode_avi_mjpeg(
+        [encode_jpeg(np.full((8, 8), k * 30, np.uint8), quality=100)
+         for k in range(3)], 8, 8))
+    for blob in (y4m, avi):
+        for _ in range(200):
+            pos = rng.randrange(len(blob))
+            old = blob[pos]
+            blob[pos] ^= 1 << rng.randrange(8)
+            try:
+                n = V.video_frame_count(bytes(blob))
+                for k in range(min(n, 3)):
+                    V.decode_video_frame(bytes(blob), k)
+            except (ValueError, NotImplementedError, IndexError,
+                    KeyError, struct.error, OverflowError,
+                    MemoryError, ZeroDivisionError):
+                pass
+            finally:
+                blob[pos] = old
