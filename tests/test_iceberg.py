@@ -1049,3 +1049,30 @@ def test_video_corruption_fuzz_never_crashes():
                 pass
             finally:
                 blob[pos] = old
+
+
+def test_single_value_serialization_property():
+    """Hypothesis: encode_bound/decode_bound roundtrip for every
+    supported Iceberg type (bounds pruning correctness rests on this)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = st.one_of(
+        st.tuples(st.just("int"), st.integers(-2**31, 2**31 - 1)),
+        st.tuples(st.just("long"), st.integers(-2**63, 2**63 - 1)),
+        st.tuples(st.just("date"), st.integers(-2**31, 2**31 - 1)),
+        st.tuples(st.just("timestamp"), st.integers(-2**63, 2**63 - 1)),
+        st.tuples(st.just("double"), st.floats(allow_nan=False)),
+        st.tuples(st.just("float"), st.floats(allow_nan=False,
+                                              width=32)),
+        st.tuples(st.just("string"), st.text(max_size=50)),
+        st.tuples(st.just("binary"), st.binary(max_size=50)),
+        st.tuples(st.just("boolean"), st.booleans()))
+
+    @settings(max_examples=200, deadline=None)
+    @given(cases)
+    def check(case):
+        t, v = case
+        assert iceberg.decode_bound(t, iceberg.encode_bound(t, v)) == v
+
+    check()
