@@ -915,7 +915,7 @@ def _iceberg_transform_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
     a = (iceberg.read_iceberg(spark, root,
                               where=[("ts", ">=", _ICE_CUT_US)])
-         .filter(F.col("ts") >= F.lit(_ICE_TS_CUT).cast("timestamp"))
+         .filter(F.col("ts") >= F.lit(_ICE_TS_CUT).cast("timestamp_ntz"))
          .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
          .agg(F.count("*").alias("n"), cents.alias("cents"),
               digs.alias("sdig"))

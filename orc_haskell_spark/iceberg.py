@@ -505,8 +505,12 @@ def plan_scan(table_path: str, snapshot_id: int | None = None,
     dels = [f for p, mseq in del_mans
             for f in _read_manifest(p, field_types, id_of, None,
                                     content=1, manifest_seq=mseq)]
-    for f in out + dels:
+    for f in dels:
         if f["file_format"].upper() != "PARQUET":
+            raise NotImplementedError(
+                f"Iceberg delete file format {f['file_format']}")
+    for f in out:
+        if f["file_format"].upper() not in ("PARQUET", "ORC"):
             raise NotImplementedError(
                 f"Iceberg data file format {f['file_format']}")
     return (sorted(out, key=lambda f: f["file_path"]),
@@ -629,12 +633,36 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
     datasource's pushed filters. Columns resolve by NAME; for tables
     written by Java/Rust Iceberg (field-id-stamped parquet, possibly
     renamed columns) use read_iceberg_by_field_id."""
-    files, dels = plan_scan(table_path, snapshot_id, as_of_ms, where,
-                            spark)
-    if not files:
+    all_files, dels = plan_scan(table_path, snapshot_id, as_of_ms,
+                                where, spark)
+    if not all_files:
         raise ValueError(f"no live data files in {table_path}")
     meta = table_metadata(table_path)
     fields = _schema_of(meta)
+    orc_files = [f for f in all_files
+                 if f["file_format"].upper() == "ORC"]
+    files = [f for f in all_files
+             if f["file_format"].upper() == "PARQUET"]
+    df_orc = None
+    if orc_files:
+        # ORC data files decode through OUR reader (stripe-parallel,
+        # byte-level projection) — the spec allows mixed-format tables.
+        # Row-level deletes reference parquet row positions/_metadata,
+        # which the ORC scan does not expose: refuse rather than skew.
+        if dels:
+            raise NotImplementedError(
+                "row-level deletes over ORC data files: compact() "
+                "the table first")
+        from .orcfile.spark_source import read_orc_distributed
+
+        df_orc = read_orc_distributed(
+            spark, table_path,
+            files=[f["file_path"] for f in orc_files])
+    if not files:
+        df_full = _align_to_schema(spark, df_orc, fields)
+        if columns:
+            df_full = df_full.select(*columns)
+        return df_full
     df = spark.read.option("mergeSchema", "true") \
         .parquet(*[f["file_path"] for f in files])
     pos_dels = [d for d in dels if d["content"] == 1]
@@ -747,21 +775,46 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
             else:
                 df = df.withColumnRenamed(f"_pt_{i}", c)
         have = set(df.columns)
+    df = _align_to_schema(spark, df, fields, have=have)
+    if df_orc is not None:
+        df = df.unionByName(_align_to_schema(spark, df_orc, fields))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+# spec: timestamp = WITHOUT zone (Spark TIMESTAMP_NTZ — also what the
+# parquet scan infers for pyarrow-written naive timestamps), timestamptz
+# = WITH zone (Spark TIMESTAMP)
+_SPARK_TYPES = {"boolean": "boolean", "int": "int", "long": "bigint",
+                "float": "float", "double": "double", "string": "string",
+                "binary": "binary", "date": "date",
+                "timestamp": "timestamp_ntz", "timestamptz": "timestamp"}
+
+
+def _align_to_schema(spark, df, fields, have=None):
+    """Project a scan DataFrame onto the table's CURRENT schema: keep
+    matching columns CAST to the canonical Spark type (normalizes e.g.
+    the ORC reader's TimestampNTZ against the parquet scan before a
+    union), null-fill added columns, drop removed ones."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns) if have is None else have
     sel = []
     for f in fields:
+        known = isinstance(f["type"], str) and f["type"] in _SPARK_TYPES
         if f["name"] in have:
-            sel.append(F.col(f["name"]))
-        elif isinstance(f["type"], str) and f["type"] in _SPARK_T:
-            sel.append(F.lit(None).cast(_SPARK_T[f["type"]])
+            sel.append(F.col(f["name"]).cast(_SPARK_TYPES[f["type"]])
+                       .alias(f["name"])
+                       if known else F.col(f["name"]))
+        elif known:
+            sel.append(F.lit(None).cast(_SPARK_TYPES[f["type"]])
                        .alias(f["name"]))
         else:
             raise NotImplementedError(
                 f"cannot null-fill missing column {f['name']!r} of "
                 f"type {f['type']!r}")
-    df = df.select(*sel)
-    if columns:
-        df = df.select(*columns)
-    return df
+    return df.select(*sel)
 
 
 def ranges_from_where(where: list | Predicate | None):

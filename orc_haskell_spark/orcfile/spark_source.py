@@ -72,7 +72,8 @@ def _read_stripe_pruned(orc, i: int, columns, prune):
 def read_orc_distributed(spark: SparkSession, path: str,
                          tasks_per_partition: int = 1,
                          columns: list[str] | None = None,
-                         prune: tuple | None = None) -> DataFrame:
+                         prune: tuple | None = None,
+                         files: list[str] | None = None) -> DataFrame:
     """Read ORC file(s) into a DataFrame, one decode task per stripe.
 
     100 TB shape: the driver touches only file tails (a few KB each);
@@ -91,7 +92,7 @@ def read_orc_distributed(spark: SparkSession, path: str,
     """
     from orc_haskell_spark.orcfile import planner
 
-    files = _list_orc_files(path)
+    files = files if files is not None else _list_orc_files(path)
     if not files:
         raise ValueError(f"no .orc files under {path}")
     schema, task_df = planner.orc_splits_df(
