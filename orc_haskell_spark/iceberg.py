@@ -1252,14 +1252,26 @@ def append_files(table_path: str, parquet_paths: list[str],
             f"partition_values — a short list would silently drop "
             f"trailing files from the commit")
     for p, part in zip(parquet_paths, partition_values):
-        cnt, size, lo, hi, vc, nc = _file_stats(p, fields)
+        if p.endswith(".orc"):
+            # ORC data files: row count from the tail footer (our own
+            # reader); column bounds omitted (file still prunable by
+            # partition values) — file_format drives the read path
+            from .orcfile.reader import ORCFile
+
+            fmt = "ORC"
+            cnt = ORCFile(p).num_rows
+            size = os.path.getsize(p)
+            lo = hi = vc = nc = None
+        else:
+            fmt = "PARQUET"
+            cnt, size, lo, hi, vc, nc = _file_stats(p, fields)
         nrows += cnt
         entries.append({
             "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
             "file_sequence_number": seq,
             "data_file": {
                 "content": 0, "file_path": os.path.abspath(p),
-                "file_format": "PARQUET",
+                "file_format": fmt,
                 "partition": {f["name"]: part.get(f["name"])
                               for f in spec},
                 "record_count": cnt, "file_size_in_bytes": size,

@@ -1076,3 +1076,37 @@ def test_single_value_serialization_property():
         assert iceberg.decode_bound(t, iceberg.encode_bound(t, v)) == v
 
     check()
+
+
+def test_iceberg_orc_data_files_read_through_own_reader(spark, table,
+                                                        tmp_path):
+    """Mixed-format Iceberg table: an appended ORC data file (written
+    by OUR writer) reads through our stripe-parallel ORC scan, unioned
+    with the parquet files, partition pruning intact."""
+    import pyarrow as pa_
+
+    from orc_haskell_spark.orcfile.writer import write_orc
+
+    root, _ = table
+    t = pa_.table({
+        "url": pa_.array([f"https://it.site/{i}" for i in (60, 61)]),
+        "warc_ts": pa_.array(np.array([0, 1], np.int64),
+                             pa_.timestamp("us")),
+        "text": pa_.array(["text it 60", "text it 61"]),
+        "lang": pa_.array(["it", "it"]),
+        "views": pa_.array([60, 61], pa_.int64())})
+    p = os.path.join(root, "data", "it-0.orc")
+    write_orc(t.to_batches(), p)
+    iceberg.append_files(root, [p], [{"lang": "it"}])
+    files = iceberg.plan_files(root)
+    assert {f["file_format"] for f in files} == {"PARQUET", "ORC"}
+    df = iceberg.read_iceberg(spark, root)
+    assert df.count() == 11
+    got = sorted(r.views for r in df.filter("lang = 'it'").collect())
+    assert got == [60, 61]
+    # partition pruning still drops the ORC file for other langs
+    only_en = iceberg.plan_files(root, where=[("lang", "=", "en")])
+    assert all(f["file_format"] == "PARQUET" for f in only_en)
+    # fused encode refuses ORC data files honestly... unless routed
+    with pytest.raises(Exception):
+        iceberg.encode_iceberg(spark, root, num_partitions=2)
