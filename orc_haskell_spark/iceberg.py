@@ -40,6 +40,11 @@ spec's field-id resolution for tables whose files carry
 ``PARQUET:field_id`` (Java/Rust writers) — renamed columns read
 correctly from old files, per file-group.
 
+Data files may be PARQUET or ORC (mixed tables allowed): ORC files
+decode through the repo's own stripe-parallel reader
+(orcfile/spark_source.py) and union with the parquet scan; row-level
+deletes over ORC files refuse (no parquet row positions).
+
 Partition transforms are evaluated for pruning per the spec:
 identity exactly, bucket[N] (murmur3_x86_32 of the single-value hash
 bytes) for =/in, truncate[W] and year/month/day/hour (order-
