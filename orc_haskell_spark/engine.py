@@ -641,7 +641,8 @@ def encode_orc(spark, path: str, columns: list[str] | None = None,
                stripe_rows: int = DEFAULT_STRIPE_ROWS,
                stripe_bytes: int = DEFAULT_STRIPE_BYTES,
                config: dict | None = None,
-               tasks_per_partition: int = 1):
+               tasks_per_partition: int = 1,
+               files: list[str] | None = None):
     """Fused Python-side scan+encode over REAL ORC files: the ORC
     twin of encode_parquet. The driver reads file tails only to plan
     (file, stripe) tasks; each worker decodes its stripes with the
@@ -651,7 +652,7 @@ def encode_orc(spark, path: str, columns: list[str] | None = None,
     from .orcfile import planner
     from .orcfile.spark_source import _list_orc_files
 
-    files = _list_orc_files(path)
+    files = files if files is not None else _list_orc_files(path)
     if not files:
         raise ValueError(f"no .orc files under {path}")
     # two-mode planner (threaded driver / distributed footer-read

@@ -921,6 +921,24 @@ def encode_iceberg(spark, table_path: str,
         raise ValueError(f"no live data files in {table_path}")
     meta = table_metadata(table_path)
     fields = _schema_of(meta)
+    fmts = {f["file_format"].upper() for f in files}
+    if fmts == {"ORC"}:
+        # all-ORC snapshot: the fused ORC twin (stripe-granular tasks,
+        # byte-level projection). Tombstones reference parquet row
+        # positions, so delete-bearing ORC snapshots refuse.
+        if dels:
+            raise NotImplementedError(
+                "row-level deletes over ORC data files: compact() first")
+        return engine.encode_orc(
+            spark, table_path, columns=columns,
+            files=[f["file_path"] for f in files], **{
+                k: v for k, v in encode_kw.items()
+                if k in ("stripe_rows", "stripe_bytes", "config",
+                         "tasks_per_partition")})
+    if "ORC" in fmts:
+        raise NotImplementedError(
+            "mixed PARQUET+ORC snapshot on the fused encode path: "
+            "encode per-format or compact() first")
     pos = [d for d in dels if d["content"] == 1]
     eq = [d for d in dels if d["content"] == 2]
     drop = _drop_positions(pos) if pos else None

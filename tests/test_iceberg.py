@@ -1110,3 +1110,28 @@ def test_iceberg_orc_data_files_read_through_own_reader(spark, table,
     # fused encode refuses ORC data files honestly... unless routed
     with pytest.raises(Exception):
         iceberg.encode_iceberg(spark, root, num_partitions=2)
+
+
+def test_encode_iceberg_all_orc_snapshot(spark, tmp_path):
+    """All-ORC Iceberg snapshot encodes through the fused ORC twin
+    (engine.encode_orc over the snapshot's file list)."""
+    import pyarrow as pa_
+
+    from orc_haskell_spark import engine
+    from orc_haskell_spark.orcfile.writer import write_orc
+
+    root = str(tmp_path / "t_orc")
+    os.makedirs(os.path.join(root, "data"))
+    t = pa_.table({
+        "url": pa_.array([f"u{i}" for i in range(50)]),
+        "views": pa_.array(np.arange(50), pa_.int64())})
+    iceberg.create_table(root, t.schema)
+    p = os.path.join(root, "data", "a.orc")
+    write_orc(t.to_batches(), p)
+    iceberg.append_files(root, [p])
+    enc = iceberg.encode_iceberg(spark, root)
+    dec = engine.decode_table(
+        enc, spark.createDataFrame([("x", 1)], ["url", "views"]).schema)
+    got = sorted((r.url, r.views) for r in dec.collect())
+    assert got == sorted(zip(t.column("url").to_pylist(),
+                             t.column("views").to_pylist()))
