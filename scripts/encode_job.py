@@ -93,17 +93,24 @@ def main() -> None:
               "string_codec": args.string_codec}
 
     if args.fused:
-        files = None
         if is_iceberg:
-            files = [f["file_path"] for f in iceberg.plan_files(
+            n_files = len(iceberg.plan_scan(
                 args.input, args.snapshot_id, args.as_of_ms, where,
-                spark)]
-            print(f"iceberg snapshot planned: {len(files)} data files")
-        summary = manifest.encode_parquet_to_dir(
-            spark, args.input, args.output,
-            stripe_rows=args.stripe_rows, config=config,
-            num_partitions=args.partitions, source=args.input,
-            **({"files": files} if files is not None else {}))
+                spark)[0])
+            print(f"iceberg snapshot planned: {n_files} data files")
+            # encode_iceberg_to_dir also applies position/equality
+            # tombstones inside the workers and folds them into the
+            # resume config hash
+            summary = iceberg.encode_iceberg_to_dir(
+                spark, args.input, args.output,
+                snapshot_id=args.snapshot_id, as_of_ms=args.as_of_ms,
+                where=where, stripe_rows=args.stripe_rows,
+                config=config, num_partitions=args.partitions)
+        else:
+            summary = manifest.encode_parquet_to_dir(
+                spark, args.input, args.output,
+                stripe_rows=args.stripe_rows, config=config,
+                num_partitions=args.partitions, source=args.input)
     else:
         if is_iceberg:
             df = iceberg.read_iceberg(spark, args.input,
@@ -116,8 +123,12 @@ def main() -> None:
             num_partitions=args.partitions,
             stripe_rows=args.stripe_rows, config=config,
             source=args.input)
-    m = manifest.metrics(spark, args.output)
-    m.orderBy("part_id").show(20, truncate=False)
+    if args.fused:
+        manifest.fused_metrics(spark, args.output) \
+            .show(20, truncate=False)
+    else:
+        manifest.metrics(spark, args.output) \
+            .orderBy("part_id").show(20, truncate=False)
     print("summary:", summary)
     if args.commit_iceberg:
         snap = iceberg.commit_parquet_dir(
