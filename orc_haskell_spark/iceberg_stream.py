@@ -17,6 +17,10 @@ Options:
 - ``start_seq``: first sequence number to EXCLUDE (default 0 = consume
   history from the first snapshot; pass the current sequence number to
   tail only new commits)
+- ``max_seqs_per_batch``: admission control — advance the offset by at
+  most this many commits per micro-batch (default unlimited), so a
+  backlogged table drains in bounded batches instead of one giant
+  catch-up batch
 
 Micro-batch planning touches metadata only (manifest Avro, a few KB per
 commit); payload bytes are read by the executors per input partition —
@@ -90,7 +94,8 @@ class IcebergStreamDataSource(DataSource):
     def streamReader(self, schema) -> "IcebergStreamReader":
         return IcebergStreamReader(
             self._table(), self._fields(),
-            int(self.options.get("start_seq", 0)))
+            int(self.options.get("start_seq", 0)),
+            int(self.options.get("max_seqs_per_batch", 0)))
 
 
 _ARROW_T = {"boolean": "bool_", "int": "int32", "long": "int64",
@@ -108,10 +113,12 @@ def _arrow_type(ice_type: str):
 
 class IcebergStreamReader(DataSourceStreamReader):
     def __init__(self, table_path: str, fields: list[tuple[str, str]],
-                 start_seq: int):
+                 start_seq: int, max_seqs: int = 0):
         self.table_path = table_path
         self.fields = fields
         self.start_seq = start_seq
+        self.max_seqs = max_seqs
+        self._cursor = None              # last offset this reader saw
 
     def initialOffset(self) -> dict:
         return {"seq": self.start_seq}
@@ -120,12 +127,22 @@ class IcebergStreamReader(DataSourceStreamReader):
         from . import iceberg
 
         meta = iceberg.table_metadata(self.table_path)
-        return {"seq": meta["last-sequence-number"]}
+        head = meta["last-sequence-number"]
+        if self.max_seqs > 0:
+            base = self._cursor if self._cursor is not None \
+                else self.start_seq
+            head = min(head, base + self.max_seqs)
+        self._cursor = head
+        return {"seq": head}
 
     def partitions(self, start: dict, end: dict):
         from . import iceberg
 
         lo, hi = start["seq"], end["seq"]
+        # a restarted query replays from the checkpoint: re-anchor the
+        # admission-control cursor at the batch being planned
+        if self._cursor is None or self._cursor < hi:
+            self._cursor = hi
         if hi <= lo:
             return []
         meta = iceberg.table_metadata(self.table_path)

@@ -1135,3 +1135,30 @@ def test_encode_iceberg_all_orc_snapshot(spark, tmp_path):
     got = sorted((r.url, r.views) for r in dec.collect())
     assert got == sorted(zip(t.column("url").to_pylist(),
                              t.column("views").to_pylist()))
+
+
+def test_stream_admission_control_bounded_batches(spark, table,
+                                                  tmp_path):
+    """max_seqs_per_batch=1: each availableNow drain advances the
+    offset by at most ONE commit — a two-commit backlog needs two
+    drains (bounded catch-up), never one giant batch."""
+    from orc_haskell_spark.iceberg_stream import IcebergStreamDataSource
+
+    root, _ = table
+    spark.dataSource.register(IcebergStreamDataSource)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+
+    def drain():
+        q = (spark.readStream.format("iceberg_stream")
+             .option("max_seqs_per_batch", 1).load(root)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 7    # snapshot 1 only
+    drain()
+    assert spark.read.parquet(out).count() == 9    # caught up
+    drain()
+    assert spark.read.parquet(out).count() == 9    # idempotent
