@@ -236,16 +236,21 @@ def scan_row_group(pf, f: str, rg: int, batch_rows: int,
       to row-group-local indices by binary search against the file's
       row-group offsets (cached in ``rg_offsets``); each batch drops
       its slice.
-    - ``drop_values`` (single-column equality deletes): per-file list
-      of (column, Arrow value array); rows whose column value is in
-      the set are dropped via one vectorized ``pc.is_in`` per batch —
-      the delete-by-url/doc_id GDPR shape, no per-row Python.
+    - ``drop_values`` (equality deletes): per-file list of
+      (column, Arrow value array) for single-column sets — one
+      vectorized ``pc.is_in`` per batch (the delete-by-url/doc_id
+      GDPR shape) — or (column_list, Arrow table of key tuples) for
+      multi-column sets, applied as a vectorized pyarrow anti-join
+      with row order restored through an index column. No per-row
+      Python either way.
     """
     import pyarrow.compute as pc
 
     vals = (drop_values or {}).get(f)
     if vals and columns is not None:
-        missing = [c for c, _ in vals if c not in columns]
+        need = [c for cs, _ in vals
+                for c in (cs if isinstance(cs, (list, tuple)) else [cs])]
+        missing = [c for c in need if c not in columns]
         if missing:
             raise ValueError(
                 f"equality-delete column(s) {missing} are projected "
@@ -275,11 +280,26 @@ def scan_row_group(pf, f: str, rg: int, batch_rows: int,
                 mask[sel] = False
                 rb = rb.filter(pa.array(mask))
         cur += n
-        if vals:
+        if vals and rb.num_rows:
             for col, value_arr in vals:
-                hit = pc.is_in(rb.column(rb.schema.get_field_index(col)),
-                               value_set=value_arr)
-                rb = rb.filter(pc.invert(pc.fill_null(hit, False)))
+                if isinstance(col, (list, tuple)):
+                    t = pa.Table.from_batches([rb]).append_column(
+                        "__row_idx", pa.array(
+                            np.arange(rb.num_rows, dtype=np.int64)))
+                    kept = t.join(value_arr, keys=list(col),
+                                  join_type="left anti")
+                    if kept.num_rows != rb.num_rows:
+                        kept = kept.sort_by("__row_idx")
+                    kept = kept.remove_column(
+                        kept.schema.get_field_index("__row_idx"))
+                    kept = kept.select(rb.schema.names).combine_chunks()
+                    rb = (kept.to_batches()[0] if kept.num_rows
+                          else rb.slice(0, 0))
+                else:
+                    hit = pc.is_in(
+                        rb.column(rb.schema.get_field_index(col)),
+                        value_set=value_arr)
+                    rb = rb.filter(pc.invert(pc.fill_null(hit, False)))
         if rb.num_rows:
             yield _spark_safe_batch(rb)
 

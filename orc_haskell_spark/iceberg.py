@@ -1007,28 +1007,33 @@ def _drop_values(eq_dels: list[dict], files: list[dict],
             f"{total} equality tombstones exceed the in-memory plan "
             f"cap ({max_tombstones}); compact() the table instead")
     name_of = {f["id"]: f["name"] for f in fields}
-    groups: dict[tuple, list] = {}          # (col,) -> [(dseq, values)]
+    groups: dict[tuple, list] = {}       # cols tuple -> [(dseq, table)]
     for d in eq_dels:
         ids = tuple(sorted(d["equality_ids"] or []))
-        if len(ids) != 1:
-            raise NotImplementedError(
-                "multi-column equality deletes on the fused path: "
-                "compact() first, or read_iceberg + encode_table")
-        col = name_of[ids[0]]
-        t = pq.read_table(d["file_path"], columns=[col])
-        groups.setdefault(col, []).append(
-            (d["sequence_number"] or 0, t.column(col).combine_chunks()))
+        if not ids:
+            raise ValueError(
+                f"equality-delete file {d['file_path']} has no "
+                f"equality_ids")
+        cols = tuple(sorted(name_of[i] for i in ids))
+        t = pq.read_table(d["file_path"], columns=list(cols))
+        groups.setdefault(cols, []).append(
+            (d["sequence_number"] or 0, t))
     out: dict = {}
     for f in files:
         fseq = f["sequence_number"] or 0
         filters = []
-        for col, dels in groups.items():
-            vals = [v for dseq, v in dels if fseq < dseq]
-            if vals:
-                merged = pa.concat_arrays(
-                    [v.chunk(0) if isinstance(v, pa.ChunkedArray) else v
-                     for v in vals]).unique()
-                filters.append((col, merged))
+        for cols, dels in groups.items():
+            tabs = [t for dseq, t in dels if fseq < dseq]
+            if not tabs:
+                continue
+            merged = pa.concat_tables(tabs)
+            merged = merged.group_by(list(cols)).aggregate([])  # distinct
+            if len(cols) == 1:
+                filters.append(
+                    (cols[0],
+                     merged.column(cols[0]).combine_chunks()))
+            else:
+                filters.append((list(cols), merged))
         if filters:
             out[f["file_path"]] = filters
     return out

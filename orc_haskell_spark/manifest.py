@@ -36,8 +36,10 @@ def _config_hash(config: dict | None, stripe_rows: int,
         for k in sorted(drop_values):
             h.update(k.encode())
             for col, arr in drop_values[k]:
-                h.update(col.encode())
-                h.update(str(arr.to_pylist()).encode())
+                h.update(str(col).encode())
+                rows = (arr.to_pydict() if hasattr(arr, "to_pydict")
+                        else arr.to_pylist())
+                h.update(str(rows).encode())
         vextra = h.hexdigest()
     blob = json.dumps({"config": config or {}, "stripe_rows": stripe_rows,
                        "drops": extra, "vdrops": vextra}, sort_keys=True)

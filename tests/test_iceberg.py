@@ -858,10 +858,15 @@ def test_fused_encode_applies_position_deletes(spark, table):
     assert got3 == sorted(r.url for r in
                           iceberg.read_iceberg(spark, root)
                           .select("url").collect())
-    # multi-column equality deletes still refuse on the fused path
+    # multi-column equality deletes apply too (pyarrow anti-join with
+    # order restored; composes with the earlier single-column delete)
     iceberg.delete_where(root, [{"lang": "de", "views": 12}])
-    with pytest.raises(NotImplementedError, match="multi-column"):
-        iceberg.encode_iceberg(spark, root, num_partitions=2)
+    enc4 = iceberg.encode_iceberg(spark, root, num_partitions=2)
+    got4 = sorted(r.url for r in engine.decode_table(enc4, schema)
+                  .select("url").collect())
+    want4 = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                   .select("url").collect())
+    assert got4 == want4 and "https://de.site/12" not in got4
 
 
 def test_encode_iceberg_to_dir_sink_with_deletes(spark, table, tmp_path):
