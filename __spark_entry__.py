@@ -869,8 +869,7 @@ def _iceberg_events_dir(sf_dir: str) -> str:
         .to_numpy()
     days = micros // 86_400_000_000
     users = t.column("user_id").to_numpy()
-    buckets = np.array([iceberg.bucket_value("long", int(u), 8)
-                        for u in users], dtype=np.int64)
+    buckets = iceberg.bucket_values_int(users, 8)  # vectorized murmur
     combo = days * 8 + buckets
     order = np.argsort(combo, kind="stable")
     sorted_combo = combo[order]

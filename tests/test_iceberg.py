@@ -1167,3 +1167,21 @@ def test_stream_admission_control_bounded_batches(spark, table,
     assert spark.read.parquet(out).count() == 9    # caught up
     drain()
     assert spark.read.parquet(out).count() == 9    # idempotent
+
+
+def test_bucket_values_vectorized_matches_scalar():
+    """Hypothesis: the numpy murmur3 bucket path is bit-identical to
+    the scalar spec implementation over the full int64 range."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(-2**63, 2**63 - 1), min_size=1,
+                    max_size=50),
+           st.integers(1, 1024))
+    def check(vals, n):
+        vec = iceberg.bucket_values_int(np.array(vals, np.int64), n)
+        assert vec.tolist() == [
+            iceberg.bucket_value("long", v, n) for v in vals]
+
+    check()
