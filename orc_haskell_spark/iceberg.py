@@ -1708,6 +1708,92 @@ def compact(spark, table_path: str, now_ms: int | None = None,
     return snap
 
 
+def expire_snapshots(table_path: str, keep_last: int = 1,
+                     older_than_ms: int | None = None,
+                     dry_run: bool = False,
+                     now_ms: int | None = None) -> dict:
+    """Expire old snapshots and DELETE the files only they reference —
+    the retention half of table maintenance (compact() rewrites, this
+    reclaims). Keeps the newest ``keep_last`` snapshots, plus any newer
+    than ``older_than_ms``; the current snapshot always survives.
+
+    Deletion is computed as (files referenced by expired snapshots)
+    minus (files referenced by ANY retained snapshot), so shared data
+    files — the common case after plain appends — are never touched.
+    Time travel to an expired snapshot raises afterwards (its metadata
+    entry is gone); readers of retained snapshots are unaffected
+    because the new metadata version commits via the same hint-flip.
+
+    ``dry_run`` returns the plan without deleting or committing.
+    Returns {"expired": [ids], "deleted_files": [...], "kept": [ids]}.
+    """
+    meta = table_metadata(table_path)
+    version = _current_version(table_path)
+    snaps = sorted(meta.get("snapshots", []),
+                   key=lambda s: s["sequence-number"])
+    if not snaps:
+        raise ValueError("table has no snapshots")
+    cur = meta.get("current-snapshot-id")
+    keep = set(s["snapshot-id"] for s in snaps[-max(keep_last, 1):])
+    if older_than_ms is not None:
+        keep |= {s["snapshot-id"] for s in snaps
+                 if s["timestamp-ms"] > older_than_ms}
+    keep.add(cur)
+    expired = [s for s in snaps if s["snapshot-id"] not in keep]
+    if not expired:
+        return {"expired": [], "deleted_files": [],
+                "kept": sorted(keep)}
+
+    def _referenced(snapshot) -> tuple[set, set]:
+        """(manifest paths incl. the list, data/delete file paths)."""
+        mans, datafiles = set(), set()
+        mlist = _local(snapshot["manifest-list"])
+        mans.add(mlist)
+        _, entries = avro.read_container_file(mlist)
+        for m in entries:
+            mpath = _local(m["manifest_path"])
+            mans.add(mpath)
+            _, es = avro.read_container_file(mpath)
+            for e in es:
+                if e.get("status") != 2:
+                    datafiles.add(_local(e["data_file"]["file_path"]))
+        return mans, datafiles
+
+    kept_mans, kept_files = set(), set()
+    for s in snaps:
+        if s["snapshot-id"] in keep:
+            m, d = _referenced(s)
+            kept_mans |= m
+            kept_files |= d
+    dead_mans, dead_files = set(), set()
+    for s in expired:
+        m, d = _referenced(s)
+        dead_mans |= m - kept_mans
+        dead_files |= d - kept_files
+    doomed = sorted(dead_mans | dead_files)
+    if dry_run:
+        return {"expired": [s["snapshot-id"] for s in expired],
+                "deleted_files": doomed, "kept": sorted(keep)}
+    now_ms = now_ms if now_ms is not None else \
+        meta["last-updated-ms"] + 1000
+    meta = dict(meta)
+    meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep]
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in keep]
+    meta["last-updated-ms"] = now_ms
+    _write_metadata(table_path, version + 1, meta)
+    # files go AFTER the metadata commit: a crash in between leaves
+    # orphans (harmless, re-expirable), never dangling references
+    for p in doomed:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return {"expired": [s["snapshot-id"] for s in expired],
+            "deleted_files": doomed, "kept": sorted(keep)}
+
+
 def _current_version(table_path: str) -> int:
     hint = os.path.join(table_path, "metadata", "version-hint.text")
     with open(hint) as f:

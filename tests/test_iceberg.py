@@ -1185,3 +1185,47 @@ def test_bucket_values_vectorized_matches_scalar():
             iceberg.bucket_value("long", v, n) for v in vals]
 
     check()
+
+
+def test_expire_snapshots_reclaims_only_unshared_files(spark, table,
+                                                       tmp_path):
+    """Retention: after compact(), expiring the pre-compact history
+    deletes the OLD data files and delete files (referenced only by
+    expired snapshots) but never the rewritten files; time travel to
+    an expired snapshot raises; the current snapshot reads unchanged."""
+    root, _ = table
+    files0 = iceberg.plan_files(root)
+    en = next(f["file_path"] for f in files0 if "en-0" in f["file_path"])
+    iceberg.delete_rows(root, [(en, 0)])
+    old_snap = iceberg.select_snapshot(iceberg.table_metadata(root))
+    iceberg.compact(spark, root)
+    want = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                  .select("url").collect())
+    # dry run names the doomed files without touching anything
+    plan = iceberg.expire_snapshots(root, keep_last=1, dry_run=True)
+    assert plan["expired"] and plan["deleted_files"]
+    assert all(os.path.exists(p) for p in plan["deleted_files"])
+    assert any("en-0" in p for p in plan["deleted_files"])
+    res = iceberg.expire_snapshots(root, keep_last=1)
+    assert res["deleted_files"] == plan["deleted_files"]
+    assert not any(os.path.exists(p) for p in res["deleted_files"])
+    # current snapshot unaffected; expired one unreachable
+    got = sorted(r.url for r in iceberg.read_iceberg(spark, root)
+                 .select("url").collect())
+    assert got == want
+    with pytest.raises(ValueError):
+        iceberg.plan_files(root, snapshot_id=old_snap["snapshot-id"])
+    # shared-file safety: append-only history shares files across
+    # snapshots — expiring old appends must delete NOTHING
+    root2 = str(tmp_path / "t_share")
+    _write_part_schema_probe(root2)
+    for k, lang in enumerate(("en", "de", "fr")):
+        p, _t = _write_part(root2, f"{lang}.parquet", [lang], [k])
+        iceberg.append_files(root2, [p], [{"lang": lang}])
+    res2 = iceberg.expire_snapshots(root2, keep_last=1)
+    assert len(res2["expired"]) == 2
+    # only the expired snapshots' own manifest-LIST metadata goes;
+    # every DATA file is shared with the retained snapshot and stays
+    assert all(os.sep + "metadata" + os.sep in p
+               for p in res2["deleted_files"])
+    assert iceberg.read_iceberg(spark, root2).count() == 3
