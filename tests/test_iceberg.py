@@ -1229,3 +1229,47 @@ def test_expire_snapshots_reclaims_only_unshared_files(spark, table,
     assert all(os.sep + "metadata" + os.sep in p
                for p in res2["deleted_files"])
     assert iceberg.read_iceberg(spark, root2).count() == 3
+
+
+def test_scan_row_group_tombstone_property(tmp_path):
+    """Hypothesis: for random row-group layouts, batch sizes, position
+    tombstones and equality values, scan_row_group yields exactly the
+    rows a naive pandas filter keeps, in order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow.parquet as pq_
+    from orc_haskell_spark.engine import scan_row_group
+
+    path = str(tmp_path / "t.parquet")
+    n = 200
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "k": pa.array([f"k{i % 17}" for i in range(n)])})
+    pq_.write_table(t, path, row_group_size=37)   # ragged groups
+    pf = pq_.ParquetFile(path)
+    counts = [pf.metadata.row_group(i).num_rows
+              for i in range(pf.metadata.num_row_groups)]
+    offs = np.concatenate(([0], np.cumsum(counts)))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.sets(st.integers(0, n - 1), max_size=60),
+           st.integers(1, 64),
+           st.sets(st.integers(0, 16), max_size=6))
+    def check(positions, batch_rows, dead_k):
+        drops = {path: np.array(sorted(positions), np.int64)}
+        vals = {path: [("k", pa.array([f"k{i}" for i in sorted(dead_k)]
+                                      ))]} if dead_k else None
+        got = []
+        rg_offsets = {}
+        for rg in range(len(counts)):
+            for rb in scan_row_group(pf, path, rg, batch_rows,
+                                     drop_positions=drops,
+                                     rg_offsets=rg_offsets,
+                                     drop_values=vals):
+                got.extend(rb.column(0).to_pylist())
+        want = [i for i in range(n)
+                if i not in positions
+                and (i % 17) not in (dead_k or set())]
+        assert got == want
+
+    check()
