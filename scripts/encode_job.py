@@ -77,6 +77,14 @@ def main() -> None:
     ap.add_argument("--commit-iceberg", default=None, metavar="TABLE",
                     help="commit output stripes as an Iceberg append "
                          "snapshot of TABLE (idempotent)")
+    ap.add_argument("--compact", action="store_true",
+                    help="MAINTENANCE: rewrite the input Iceberg "
+                         "table's live view (applies row-level "
+                         "deletes) as a replace snapshot, then exit")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    metavar="N", help="MAINTENANCE: expire all but the "
+                    "newest N snapshots of the input Iceberg table "
+                    "(deletes files only they reference), then exit")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -88,6 +96,20 @@ def main() -> None:
              .getOrCreate())
     is_iceberg = os.path.exists(
         os.path.join(args.input, "metadata", "version-hint.text"))
+    if args.compact or args.expire_keep is not None:
+        if not is_iceberg:
+            raise SystemExit("--compact/--expire-keep need an Iceberg "
+                             "table as --input")
+        if args.compact:
+            snap = iceberg.compact(spark, args.input)
+            print("compacted: snapshot", snap["snapshot-id"])
+        if args.expire_keep is not None:
+            res = iceberg.expire_snapshots(args.input,
+                                           keep_last=args.expire_keep)
+            print(f"expired {len(res['expired'])} snapshot(s), "
+                  f"deleted {len(res['deleted_files'])} file(s)")
+        spark.stop()
+        return
     where = parse_where(args.where)
     config = {"compression": args.compression,
               "string_codec": args.string_codec}

@@ -71,3 +71,30 @@ def test_parse_where_terms():
 
     with pytest.raises(SystemExit):
         parse_where("nonsense")
+
+
+def test_encode_job_cli_maintenance(tmp_path):
+    """--compact then --expire-keep 1 over a tombstoned table: the CLI
+    maintenance pass leaves a clean single-snapshot table."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "data"))
+    t = pa.table({"url": pa.array([f"u{i}" for i in range(20)]),
+                  "views": pa.array(np.arange(20), pa.int64())})
+    iceberg.create_table(root, t.schema)
+    p = os.path.join(root, "data", "a.parquet")
+    pq.write_table(t, p)
+    iceberg.append_files(root, [p])
+    iceberg.delete_where(root, [{"url": "u3"}])
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "encode_job.py"),
+         "--input", root, "--output", str(tmp_path / "unused"),
+         "--compact", "--expire-keep", "1"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "compacted: snapshot" in r.stdout
+    assert "expired 2 snapshot(s)" in r.stdout
+    meta = iceberg.table_metadata(root)
+    assert len(meta["snapshots"]) == 1
+    files = iceberg.plan_files(root)
+    assert sum(f["record_count"] for f in files) == 19
