@@ -51,10 +51,14 @@ bytes) for =/in, truncate[W] and year/month/day/hour (order-
 preserving) for ranges too; unknown transforms keep their files
 (conservative, never wrong).
 
+Maintenance: `compact` rewrites the live view (deletes applied) as a
+replace snapshot — transform specs included, via Catalyst temporal/
+truncate expressions and a vectorized-murmur pandas UDF for bucket;
+`expire_snapshots` reclaims files referenced only by expired history.
+
 Honest deviations from the full spec (each raises or documents):
 - field-id resolution does not compose with row-level deletes
   (compact() first)
-- compact() requires identity partition specs
 """
 
 from __future__ import annotations
@@ -368,6 +372,71 @@ def apply_transform(transform: str, ice_type: str | None, value):
         if transform == "year":
             return d.year - 1970
         return (d.year - 1970) * 12 + d.month - 1
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
+def _transform_column(spark, transform: str, src: str,
+                      src_type: str | None):
+    """Spark Column computing a partition TRANSFORM of a source column
+    (compaction's write-side twin of apply_transform): temporal and
+    truncate transforms are pure Catalyst expressions; bucket[N] runs
+    the numpy murmur3 kernel inside a vectorized pandas UDF for
+    int-like sources (strings fall back to the scalar hash per value
+    inside the same Arrow batch — maintenance-path cost)."""
+    from pyspark.sql import functions as F
+
+    if transform == "void":
+        return F.lit(None).cast("int")
+    if transform in ("year", "month", "day", "hour"):
+        d = F.col(src).cast("date")
+        days = F.datediff(d, F.lit("1970-01-01").cast("date"))
+        if transform == "day":
+            return days.cast("int")
+        if transform == "hour":
+            return (days.cast("bigint") * 24
+                    + F.hour(F.col(src))).cast("int")
+        if transform == "year":
+            return (F.year(d) - 1970).cast("int")
+        return ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("int")
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if src_type in ("int", "long"):
+            return (F.col(src) - F.pmod(F.col(src), F.lit(w))) \
+                .cast("bigint" if src_type == "long" else "int")
+        return F.substring(F.col(src), 1, w)
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        from pyspark.sql.functions import pandas_udf
+
+        if src_type in ("int", "long", "date", "timestamp",
+                        "timestamptz"):
+            @pandas_udf("int")
+            def _bucket(col):
+                import numpy as _np
+                import pandas as _pd
+
+                vals = col
+                if src_type in ("timestamp", "timestamptz"):
+                    vals = col.astype("int64") // 1000  # ns -> us
+                elif src_type == "date":
+                    vals = (_pd.to_datetime(col).astype("int64")
+                            // 86_400_000_000_000)  # ns -> days
+                arr = _np.asarray(vals.fillna(0), dtype=_np.int64)
+                out = bucket_values_int(arr, n)
+                return _pd.Series(out).where(~col.isna())
+
+            return _bucket(F.col(src))
+
+        @pandas_udf("int")
+        def _bucket_s(col):
+            import pandas as _pd
+
+            return _pd.Series(
+                [None if v is None
+                 else bucket_value(src_type or "string", v, n)
+                 for v in col])
+
+        return _bucket_s(F.col(src))
     raise NotImplementedError(f"partition transform {transform!r}")
 
 
@@ -1604,16 +1673,27 @@ def compact(spark, table_path: str, now_ms: int | None = None,
     fields = _schema_of(meta)
     spec = next(s for s in meta["partition-specs"]
                 if s["spec-id"] == meta["default-spec-id"])["fields"]
-    if any(f.get("transform", "identity") != "identity" for f in spec):
-        raise NotImplementedError(
-            "compact() over non-identity partition transforms (the "
-            "rewrite would need transform evaluation at write time)")
     part_cols = [f["name"] for f in spec]
     seq = meta["last-sequence-number"] + 1
     snap_id = seq
     now_ms = now_ms if now_ms is not None else \
         meta["last-updated-ms"] + 1000
     df = read_iceberg(spark, table_path)      # deletes applied here
+    name_of_id = {f["id"]: f["name"] for f in fields}
+    type_of_id = {f["id"]: f["type"] for f in fields
+                  if isinstance(f["type"], str)}
+    # transform specs: evaluate each transform as a computed column so
+    # partitionBy routes rows into the right hive dirs (identity specs
+    # partition directly on the source column, which partitionBy then
+    # strips — reads restore it from the manifest partition values)
+    for sf in spec:
+        tr = sf.get("transform", "identity")
+        if tr == "identity":
+            continue
+        src = name_of_id[sf["source-id"]]
+        src_t = type_of_id.get(sf["source-id"])
+        df = df.withColumn(
+            sf["name"], _transform_column(spark, tr, src, src_t))
     out_dir = os.path.join(table_path, "data", f"compact-{seq}")
     writer = df.write.mode("overwrite")
     if part_cols:
@@ -1622,7 +1702,17 @@ def compact(spark, table_path: str, now_ms: int | None = None,
     # enumerate written parts; partition values come from the hive dirs
     from urllib.parse import unquote
 
-    field_type = {f["name"]: f["type"] for f in fields}
+    # result type per SPEC FIELD name: bucket/temporal -> int,
+    # truncate/identity -> the source column's type
+    field_type = {}
+    for sf in spec:
+        tr = sf.get("transform", "identity")
+        src_t = type_of_id.get(sf["source-id"], "string")
+        if tr.startswith("bucket[") or tr in ("year", "month", "day",
+                                              "hour"):
+            field_type[sf["name"]] = "int"
+        else:
+            field_type[sf["name"]] = src_t
     paths, parts = [], []
     for p in sorted(_glob.glob(os.path.join(out_dir, "**", "*.parquet"),
                                recursive=True)):

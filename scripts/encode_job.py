@@ -5,6 +5,7 @@
         --partitions 4096 [--key url] [--stripe-rows 65536] \
         [--fused] [--snapshot-id N | --as-of-ms MS] \
         [--where lang=en] [--commit-iceberg <table dir>]
+        [--compact] [--expire-keep N]      # table maintenance mode
 
 Encodes the input table into output/stripes with a checkpointed
 manifest; re-running skips completed partitions/splits

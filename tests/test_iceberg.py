@@ -969,9 +969,28 @@ def test_transform_partition_pruning_day_and_bucket(spark, tmp_path):
     # reads still correct (transform names never masquerade as columns)
     df = iceberg.read_iceberg(spark, root)
     assert df.count() == 9 and "warc_ts_day" not in df.columns
-    # compact refuses non-identity specs honestly
-    with pytest.raises(NotImplementedError, match="transform"):
-        iceberg.compact(spark, root)
+    # compaction over TRANSFORM specs: delete a row, compact, and the
+    # rewritten layout keeps correct transform partition values
+    f0 = next(f["file_path"] for f in iceberg.plan_files(root)
+              if "f0" in f["file_path"])
+    iceberg.delete_rows(root, [(f0, 1)])
+    want = sorted((r.url, r.views) for r in
+                  iceberg.read_iceberg(spark, root)
+                  .select("url", "views").collect())
+    snap = iceberg.compact(spark, root)
+    assert snap["summary"]["operation"] == "replace"
+    got = sorted((r.url, r.views) for r in
+                 iceberg.read_iceberg(spark, root)
+                 .select("url", "views").collect())
+    assert got == want and len(got) == 8
+    # pruning on the compacted layout still works through transforms
+    late2 = iceberg.plan_files(
+        root, where=[("warc_ts", ">=", 19010 * us_day)])
+    assert late2 and all(f["partition"]["warc_ts_day"] >= 19010
+                         for f in late2)
+    bb2 = iceberg.plan_files(
+        root, where=[("url", "=", "https://b.example/y")])
+    assert all(f["partition"]["url_bucket"] == bb for f in bb2)
 
 
 def test_bucket_transform_spec_goldens():
