@@ -288,8 +288,11 @@ def scan_row_group(pf, f: str, rg: int, batch_rows: int,
                             np.arange(rb.num_rows, dtype=np.int64)))
                     kept = t.join(value_arr, keys=list(col),
                                   join_type="left anti")
-                    if kept.num_rows != rb.num_rows:
-                        kept = kept.sort_by("__row_idx")
+                    if kept.num_rows == rb.num_rows:
+                        continue       # nothing dropped: keep rb AS IS
+                    # Acero's hash join does not preserve row order:
+                    # always restore it through the index column
+                    kept = kept.sort_by("__row_idx")
                     kept = kept.remove_column(
                         kept.schema.get_field_index("__row_idx"))
                     kept = kept.select(rb.schema.names).combine_chunks()

@@ -388,13 +388,29 @@ def _transform_column(spark, transform: str, src: str,
     if transform == "void":
         return F.lit(None).cast("int")
     if transform in ("year", "month", "day", "hour"):
-        d = F.col(src).cast("date")
-        days = F.datediff(d, F.lit("1970-01-01").cast("date"))
-        if transform == "day":
-            return days.cast("int")
-        if transform == "hour":
-            return (days.cast("bigint") * 24
-                    + F.hour(F.col(src))).cast("int")
+        if src_type == "timestamptz":
+            # zone-carrying timestamps: session-TZ casts would shift
+            # partition values away from the UTC values pruning
+            # computes (apply_transform works on epoch micros). All
+            # arithmetic goes through unix micros; the date for
+            # year/month derives from the UTC day number.
+            days = F.floor(F.unix_micros(F.col(src))
+                           / F.lit(86_400_000_000)).cast("bigint")
+            d = F.date_add(F.lit("1970-01-01").cast("date"),
+                           days.cast("int"))
+            if transform == "day":
+                return days.cast("int")
+            if transform == "hour":
+                return F.floor(F.unix_micros(F.col(src))
+                               / F.lit(3_600_000_000)).cast("int")
+        else:
+            d = F.col(src).cast("date")
+            days = F.datediff(d, F.lit("1970-01-01").cast("date"))
+            if transform == "day":
+                return days.cast("int")
+            if transform == "hour":
+                return (days.cast("bigint") * 24
+                        + F.hour(F.col(src))).cast("int")
         if transform == "year":
             return (F.year(d) - 1970).cast("int")
         return ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("int")
@@ -421,6 +437,15 @@ def _transform_column(spark, transform: str, src: str,
                 elif src_type == "date":
                     vals = (_pd.to_datetime(col).astype("int64")
                             // 86_400_000_000_000)  # ns -> days
+                elif vals.dtype.kind == "f":
+                    # nulls forced the int column through float64:
+                    # values beyond 2^53 would hash a ROUNDED id into
+                    # the wrong bucket — refuse rather than mis-place
+                    if vals.abs().max() > 2 ** 53:
+                        raise NotImplementedError(
+                            "bucket transform over a nullable column "
+                            "with values beyond 2^53: null out or "
+                            "split the nulls before compacting")
                 arr = _np.asarray(vals.fillna(0), dtype=_np.int64)
                 out = bucket_values_int(arr, n)
                 return _pd.Series(out).where(~col.isna())
@@ -507,6 +532,8 @@ def _read_manifest(path: str, field_types: dict, id_of: dict,
     inheritance rule — Java Iceberg writes added entries that way)."""
     _, entries = avro.read_container_file(_local(path))
     out = []
+    name_of_id = {v: k for k, v in id_of.items()}
+    type_of_id = {id_of[n]: t for n, t in field_types.items()}
     ok_content = {0} if content == 0 else {1, 2}   # pos + eq deletes
     for e in entries:
         if e.get("status") == 2:          # DELETED entry: file is gone
@@ -529,11 +556,8 @@ def _read_manifest(path: str, field_types: dict, id_of: dict,
             if fid in uppers_raw and t in _BOUND_CODECS:
                 uppers[name] = decode_bound(t, uppers_raw[fid])
         if pred is not None:
-            name_of_id = {v: k for k, v in id_of.items()}
             if not keep_partition_spec(pred, part, spec_fields,
-                                       {id_of[n]: t for n, t
-                                        in field_types.items()},
-                                       name_of_id):
+                                       type_of_id, name_of_id):
                 continue
             if not pred.keep_bounds(lowers, uppers):
                 continue
@@ -686,34 +710,25 @@ def read_iceberg_by_field_id(spark, table_path: str,
     paths = [f["file_path"] for f in files]
     with ThreadPoolExecutor(min(16, len(paths))) as pool:
         id_maps = list(pool.map(_parquet_field_ids, paths))
+    by_path = {f["file_path"]: f for f in files}
     groups: dict[tuple, list[str]] = {}
     for p, m in zip(paths, id_maps):
         key = tuple(sorted(m.items())) if m else ()
         groups.setdefault(key, []).append(p)
-    _SPARK_T = {"boolean": "boolean", "int": "int", "long": "bigint",
-                "float": "float", "double": "double", "string": "string",
-                "binary": "binary", "date": "date",
-                "timestamp": "timestamp", "timestamptz": "timestamp"}
     outs = []
     for key, group in sorted(groups.items()):
         g = spark.read.option("mergeSchema", "true").parquet(*group)
         rename = {pname: name_of_id[fid] for fid, pname in key
                   if fid in name_of_id}
-        sel = []
-        for f in fields:
-            src = next((p for p, cur in rename.items()
-                        if cur == f["name"]), None)
-            if src is not None and src in g.columns:
-                sel.append(F.col(src).alias(f["name"]))
-            elif not rename and f["name"] in g.columns:
-                sel.append(F.col(f["name"]))     # no-id fallback: name
-            elif isinstance(f["type"], str) and f["type"] in _SPARK_T:
-                sel.append(F.lit(None).cast(_SPARK_T[f["type"]])
-                           .alias(f["name"]))
-            else:
-                raise NotImplementedError(
-                    f"cannot null-fill column {f['name']!r}")
-        outs.append(g.select(*sel))
+        for src_name, cur in rename.items():
+            if src_name != cur and src_name in g.columns:
+                g = g.withColumnRenamed(src_name, cur)
+        # same partition-value restore and schema alignment (types,
+        # null-fill, canonical casts) as the name-based read — the two
+        # resolution modes may never diverge in output shape
+        g = _restore_partition_columns(
+            spark, g, [by_path[p] for p in group], fields)
+        outs.append(_align_to_schema(spark, g, fields))
     df = outs[0]
     for o in outs[1:]:
         df = df.unionByName(o)
@@ -837,46 +852,13 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
     # from the schema disappear even if old files still carry them.
     from pyspark.sql import functions as F
 
-    _SPARK_T = {"boolean": "boolean", "int": "int", "long": "bigint",
-                "float": "float", "double": "double", "string": "string",
-                "binary": "binary", "date": "date",
-                "timestamp": "timestamp", "timestamptz": "timestamp"}
     # identity-partition columns may be ABSENT from the data files
     # (hive-layout writes, e.g. compact()'s partitionBy output, store
     # them only in the directory name); the manifest's own partition
     # values restore them, joined per file — the spec's "identity
     # transform values come from metadata" rule, not a null-fill
-    part_of: dict[str, dict] = {}
-    schema_names = {f["name"] for f in fields}
-    for f in files:
-        for k, v in (f["partition"] or {}).items():
-            part_of.setdefault(k, {})[f["file_path"]] = v
+    df = _restore_partition_columns(spark, df, files, fields)
     have = set(df.columns)
-    # only identity partition values ARE column values; transform
-    # outputs (ts_day, url_bucket, ...) never masquerade as columns
-    restore = [c for c in part_of
-               if c in schema_names
-               and any(v is not None for v in part_of[c].values())]
-    if restore:
-        types = {f["name"]: f["type"] for f in fields}
-        rows = [(fp,) + tuple(part_of[c].get(fp) for c in restore)
-                for fp in sorted({f["file_path"] for f in files})]
-        ddl = ", ".join(["_pt_path string"]
-                        + [f"_pt_{i} {_SPARK_T[types[c]]}"
-                           for i, c in enumerate(restore)])
-        lookup = F.broadcast(spark.createDataFrame(rows, ddl))
-        df = (df.withColumn("_pt_fp", F.regexp_replace(
-                  F.col("_metadata.file_path"), "^file:", ""))
-              .join(lookup, F.col("_pt_fp") == F.col("_pt_path"), "left")
-              .drop("_pt_fp", "_pt_path"))
-        for i, c in enumerate(restore):
-            if c in have:     # mixed layout: file value wins when stored
-                df = df.withColumn(
-                    c, F.coalesce(F.col(c), F.col(f"_pt_{i}"))) \
-                    .drop(f"_pt_{i}")
-            else:
-                df = df.withColumnRenamed(f"_pt_{i}", c)
-        have = set(df.columns)
     df = _align_to_schema(spark, df, fields, have=have)
     if df_orc is not None:
         df = df.unionByName(_align_to_schema(spark, df_orc, fields))
@@ -892,6 +874,47 @@ _SPARK_TYPES = {"boolean": "boolean", "int": "int", "long": "bigint",
                 "float": "float", "double": "double", "string": "string",
                 "binary": "binary", "date": "date",
                 "timestamp": "timestamp_ntz", "timestamptz": "timestamp"}
+
+
+def _restore_partition_columns(spark, df, files, fields):
+    """Restore identity-partition column values from manifest metadata
+    for hive-layout data files that store them only in directory names
+    (e.g. compact() output): broadcast file-path lookup joined on the
+    scan's own _metadata.file_path; mixed layouts coalesce (a stored
+    value wins). Transform outputs (ts_day, url_bucket, ...) never
+    masquerade as columns."""
+    from pyspark.sql import functions as F
+
+    part_of: dict[str, dict] = {}
+    schema_names = {f["name"] for f in fields}
+    for f in files:
+        for k, v in (f["partition"] or {}).items():
+            part_of.setdefault(k, {})[f["file_path"]] = v
+    have = set(df.columns)
+    restore = [c for c in part_of
+               if c in schema_names
+               and any(v is not None for v in part_of[c].values())]
+    if not restore:
+        return df
+    types = {f["name"]: f["type"] for f in fields}
+    rows = [(fp,) + tuple(part_of[c].get(fp) for c in restore)
+            for fp in sorted({f["file_path"] for f in files})]
+    ddl = ", ".join(["_pt_path string"]
+                    + [f"_pt_{i} {_SPARK_TYPES[types[c]]}"
+                       for i, c in enumerate(restore)])
+    lookup = F.broadcast(spark.createDataFrame(rows, ddl))
+    df = (df.withColumn("_pt_fp", F.regexp_replace(
+              F.col("_metadata.file_path"), "^file:", ""))
+          .join(lookup, F.col("_pt_fp") == F.col("_pt_path"), "left")
+          .drop("_pt_fp", "_pt_path"))
+    for i, c in enumerate(restore):
+        if c in have:         # mixed layout: file value wins when stored
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"_pt_{i}"))) \
+                .drop(f"_pt_{i}")
+        else:
+            df = df.withColumnRenamed(f"_pt_{i}", c)
+    return df
 
 
 def _align_to_schema(spark, df, fields, have=None):
@@ -1070,6 +1093,10 @@ def encode_iceberg_to_dir(spark, table_path: str, out_path: str,
         raise ValueError(f"no live data files in {table_path}")
     meta = table_metadata(table_path)
     fields = _schema_of(meta)
+    if any(f["file_format"].upper() != "PARQUET" for f in files):
+        raise NotImplementedError(
+            "non-parquet data files on the fused sink path: "
+            "encode per-format (engine.encode_orc) or compact() first")
     pos = [d for d in dels if d["content"] == 1]
     eq = [d for d in dels if d["content"] == 2]
     drop = _drop_positions(pos) if pos else None
@@ -1116,21 +1143,23 @@ def _drop_values(eq_dels: list[dict], files: list[dict],
         groups.setdefault(cols, []).append(
             (d["sequence_number"] or 0, t))
     out: dict = {}
+    memo: dict = {}     # (cols, applicable dseqs) -> shared filter obj
     for f in files:
         fseq = f["sequence_number"] or 0
         filters = []
         for cols, dels in groups.items():
-            tabs = [t for dseq, t in dels if fseq < dseq]
-            if not tabs:
+            applicable = tuple(sorted(d for d, _ in dels if fseq < d))
+            if not applicable:
                 continue
-            merged = pa.concat_tables(tabs)
-            merged = merged.group_by(list(cols)).aggregate([])  # distinct
-            if len(cols) == 1:
-                filters.append(
-                    (cols[0],
-                     merged.column(cols[0]).combine_chunks()))
-            else:
-                filters.append((list(cols), merged))
+            key = (cols, applicable)
+            if key not in memo:
+                merged = pa.concat_tables(
+                    [t for dseq, t in dels if dseq in set(applicable)])
+                merged = merged.group_by(list(cols)).aggregate([])
+                memo[key] = (
+                    (cols[0], merged.column(cols[0]).combine_chunks())
+                    if len(cols) == 1 else (list(cols), merged))
+            filters.append(memo[key])
         if filters:
             out[f["file_path"]] = filters
     return out

@@ -121,6 +121,11 @@ class IcebergStreamReader(DataSourceStreamReader):
         self._cursor = None              # last offset this reader saw
 
     def initialOffset(self) -> dict:
+        # called ONLY for fresh queries (no checkpoint): start_seq is
+        # then a true base for admission control. A restarted query
+        # skips this, leaving the cursor unset until the engine reveals
+        # the checkpointed offset via partitions().
+        self._cursor = self.start_seq
         return {"seq": self.start_seq}
 
     def latestOffset(self) -> dict:
@@ -128,10 +133,17 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         meta = iceberg.table_metadata(self.table_path)
         head = meta["last-sequence-number"]
-        if self.max_seqs > 0:
-            base = self._cursor if self._cursor is not None \
-                else self.start_seq
-            head = min(head, base + self.max_seqs)
+        # admission control only applies once we KNOW the previous
+        # offset (from a prior latestOffset or a partitions() call).
+        # A freshly restarted reader has no cursor and must NOT cap
+        # from start_seq: the checkpointed offset may be far beyond
+        # it, and returning a smaller offset would REGRESS the
+        # checkpoint and re-emit committed batches. First post-restart
+        # batch is therefore uncapped; bounded pacing resumes after.
+        if self.max_seqs > 0 and self._cursor is not None:
+            head = min(head, self._cursor + self.max_seqs)
+        if self._cursor is not None:
+            head = max(head, self._cursor)     # never move backwards
         self._cursor = head
         return {"seq": head}
 
@@ -140,9 +152,11 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         lo, hi = start["seq"], end["seq"]
         # a restarted query replays from the checkpoint: re-anchor the
-        # admission-control cursor at the batch being planned
-        if self._cursor is None or self._cursor < hi:
-            self._cursor = hi
+        # admission-control cursor at the batch being planned (lo too:
+        # an old checkpoint's end may trail the committed start)
+        anchor = max(lo, hi)
+        if self._cursor is None or self._cursor < anchor:
+            self._cursor = anchor
         if hi <= lo:
             return []
         meta = iceberg.table_metadata(self.table_path)

@@ -117,18 +117,16 @@ def main() -> None:
 
     if args.fused:
         if is_iceberg:
-            n_files = len(iceberg.plan_scan(
-                args.input, args.snapshot_id, args.as_of_ms, where,
-                spark)[0])
-            print(f"iceberg snapshot planned: {n_files} data files")
-            # encode_iceberg_to_dir also applies position/equality
-            # tombstones inside the workers and folds them into the
-            # resume config hash
+            # encode_iceberg_to_dir plans the snapshot itself and
+            # applies position/equality tombstones inside the workers,
+            # folding them into the resume config hash
             summary = iceberg.encode_iceberg_to_dir(
                 spark, args.input, args.output,
                 snapshot_id=args.snapshot_id, as_of_ms=args.as_of_ms,
                 where=where, stripe_rows=args.stripe_rows,
                 config=config, num_partitions=args.partitions)
+            print(f"iceberg snapshot planned: "
+                  f"{summary['splits_total']} splits")
         else:
             summary = manifest.encode_parquet_to_dir(
                 spark, args.input, args.output,
