@@ -682,6 +682,11 @@ def test_compact_restores_partition_columns(spark, table):
                                    where=[("lang", "=", "it")],
                                    num_partitions=2)
     assert sp.count() >= 1
+    # field-id resolution restores hive-layout partition values too
+    # (review finding: compact output read lang=NULL on this path)
+    df3 = iceberg.read_iceberg_by_field_id(spark, root)
+    assert df3.filter("lang IS NULL").count() == 0
+    assert df3.filter("lang = 'it'").count() == 2
 
 
 def test_ts_micros_ignores_local_timezone():
