@@ -1318,3 +1318,27 @@ def test_scan_row_group_tombstone_property(tmp_path):
         assert got == want
 
     check()
+
+
+def test_stream_reader_read_null_fill_and_casts(tmp_path):
+    """IcebergStreamReader.read: files missing an added column emit a
+    typed null column; int32 files cast up to the schema's long."""
+    import pyarrow.parquet as pq_
+
+    from orc_haskell_spark.iceberg_stream import (IcebergFilePartition,
+                                                  IcebergStreamReader)
+
+    p = str(tmp_path / "f.parquet")
+    pq_.write_table(pa.table({
+        "a": pa.array([1, 2], pa.int32()),
+        "ts": pa.array(np.array([0, 1], np.int64),
+                       pa.timestamp("us"))}), p)
+    fields = [("a", "long"), ("ts", "timestamp"), ("added", "string")]
+    r = IcebergStreamReader(str(tmp_path), fields, 0)
+    batches = list(r.read(IcebergFilePartition(p, fields)))
+    t = pa.Table.from_batches(batches)
+    assert t.column("a").type == pa.int64()          # upcast
+    assert t.column("ts").type == pa.timestamp("us")
+    assert t.column("added").type == pa.string()
+    assert t.column("added").null_count == 2         # typed null fill
+    assert t.column("a").to_pylist() == [1, 2]
