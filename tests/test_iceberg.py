@@ -1342,3 +1342,24 @@ def test_stream_reader_read_null_fill_and_casts(tmp_path):
     assert t.column("added").type == pa.string()
     assert t.column("added").null_count == 2         # typed null fill
     assert t.column("a").to_pylist() == [1, 2]
+
+
+def test_expire_older_than_and_ranges_from_where(table):
+    root, _ = table
+    meta = iceberg.table_metadata(root)
+    s1, s2 = meta["snapshots"]
+    # older_than keeps everything newer, regardless of keep_last
+    res = iceberg.expire_snapshots(
+        root, keep_last=1, older_than_ms=s1["timestamp-ms"] - 1,
+        dry_run=True)
+    assert res["expired"] == []
+    res2 = iceberg.expire_snapshots(
+        root, keep_last=1, older_than_ms=s2["timestamp-ms"] + 1,
+        dry_run=True)
+    assert res2["expired"] == [s1["snapshot-id"]]
+    # ranges_from_where op mapping
+    assert iceberg.ranges_from_where(None) is None
+    assert iceberg.ranges_from_where(
+        [("a", "=", 5), ("b", ">", 1), ("c", "<=", 9),
+         ("d", "in", [3, 7])]) == [
+        ("a", 5, 5), ("b", 1, None), ("c", None, 9), ("d", 3, 7)]
