@@ -1377,3 +1377,20 @@ def test_read_iceberg_schedules_only_pruned_files(spark, table):
                                where=[("views", ">=", 15)])
     files2 = df2.inputFiles()
     assert len(files2) == 1 and "fr-0" in files2[0]
+
+
+def test_delete_antijoins_broadcast_in_plan(spark, table):
+    """Plan shape: tombstone application must be a BROADCAST anti-join
+    (tombstones are metadata-scale; a shuffle join over the corpus
+    would be the 100 TB mistake)."""
+    root, _ = table
+    files = iceberg.plan_files(root)
+    en = next(f["file_path"] for f in files if "en-0" in f["file_path"])
+    iceberg.delete_rows(root, [(en, 1)])
+    iceberg.delete_where(root, [{"url": "https://fr.site/21"}])
+    df = iceberg.read_iceberg(spark, root)
+    df.collect()                      # AQE finalizes the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
