@@ -1394,3 +1394,38 @@ def test_delete_antijoins_broadcast_in_plan(spark, table):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stream_decode_encoded_iceberg_table(spark, tmp_path):
+    """Composition: fused-encode a table, commit the stripes as an
+    Iceberg table, then STREAM that table and decode each micro-batch
+    — the serving shape where consumers tail the encoded corpus and
+    decode incrementally, exactly once."""
+    from orc_haskell_spark import engine, manifest
+    from orc_haskell_spark.iceberg_stream import IcebergStreamDataSource
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "enc")
+    manifest.encode_parquet_to_dir(spark, src, out, num_partitions=2,
+                                   source="stream-decode-test")
+    ice = str(tmp_path / "ice")
+    iceberg.commit_parquet_dir(ice, os.path.join(out, "stripes"))
+    spark.dataSource.register(IcebergStreamDataSource)
+    schema = docs.schema
+    got = {"rows": 0, "batches": 0}
+
+    def sink(batch_df, batch_id):
+        enc = batch_df.select("part_id", "stripe_id", "n_rows",
+                              "n_cols", "raw_bytes", "enc_bytes",
+                              "footer", "data")
+        got["rows"] += engine.decode_table(enc, schema).count()
+        got["batches"] += 1
+
+    q = (spark.readStream.format("iceberg_stream").load(ice)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert got["rows"] == docs.count() and got["batches"] >= 1
