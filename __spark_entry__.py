@@ -28,6 +28,22 @@ from orc_haskell_spark.pipeline import (dedup, multimodal, sessions,  # noqa: E4
 _WORKERS_READY: set[int] = set()
 
 
+def _pkg_stamp(pkg_dir: str, root: str) -> str:
+    """Zip cache key over (sorted relpath, mtime) pairs, so DELETING or
+    renaming a module — not just editing one — invalidates the shipped
+    worker zip (a max-mtime stamp missed deletions)."""
+    import hashlib
+
+    entries = []
+    for dirpath, _, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(dirpath, f)
+                entries.append((os.path.relpath(p, root),
+                                int(os.path.getmtime(p))))
+    return hashlib.md5(repr(sorted(entries)).encode()).hexdigest()[:12]
+
+
 def _ensure_worker_imports(spark: SparkSession) -> None:
     """Ship the package to executors regardless of the harness cwd.
 
@@ -43,11 +59,7 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
 
     root = os.path.dirname(os.path.abspath(__file__))
     pkg_dir = os.path.join(root, "orc_haskell_spark")
-    stamp = 0
-    for dirpath, _, files in os.walk(pkg_dir):
-        for f in files:
-            if f.endswith(".py"):
-                stamp = max(stamp, int(os.path.getmtime(os.path.join(dirpath, f))))
+    stamp = _pkg_stamp(pkg_dir, root)
     zpath = os.path.join(tempfile.gettempdir(),
                          f"orc_haskell_spark_pyfiles_{stamp}.zip")
     if not os.path.exists(zpath):
@@ -746,6 +758,24 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("mean_luma"), 3).alias("luma_sum"))
 
 
+def _fixture_root(prefix: str, sf_dir: str, builder) -> str:
+    """Cache dir keyed on (sf_dir, builder source). Hashing the builder
+    function's own source means any fixture-shape change — adding a
+    snapshot, changing a delete rule — automatically invalidates the
+    cache; round 4's red gate row came from a hand-bumped prefix that
+    wasn't bumped when the shape changed."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    try:
+        src = inspect.getsource(builder)
+    except OSError:  # source unavailable (zipped worker) — sf_dir only
+        src = ""
+    key = hashlib.md5((sf_dir + "\0" + src).encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}{key}")
+
+
 def _iceberg_table_dir(sf_dir: str) -> str:
     """Idempotently materialize `documents` as a REAL Iceberg v2 table
     (our pure-Python writer: metadata json + Avro manifests), one data
@@ -753,17 +783,14 @@ def _iceberg_table_dir(sf_dir: str) -> str:
     'm' — snapshot 1 = langs < 'm', snapshot 2 appends the rest. The
     static split keeps the time-travel oracle expressible in plain SQL.
     """
-    import hashlib
     import shutil
-    import tempfile
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from orc_haskell_spark import iceberg
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"ohs_iceberg2_{key}")
+    root = _fixture_root("ohs_iceberg2_", sf_dir, _iceberg_table_dir)
     ready = os.path.join(root, "_READY")
     if os.path.exists(ready):
         return root
@@ -847,9 +874,7 @@ def _iceberg_events_dir(sf_dir: str) -> str:
     web-crawl events table actually uses — one data file per live
     (day, bucket) combination, partition values computed with the
     spec's own transforms (iceberg.apply_transform/bucket_value)."""
-    import hashlib
     import shutil
-    import tempfile
 
     import numpy as np
     import pyarrow as pa
@@ -857,8 +882,7 @@ def _iceberg_events_dir(sf_dir: str) -> str:
 
     from orc_haskell_spark import iceberg
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"ohs_iceevents_{key}")
+    root = _fixture_root("ohs_iceevents_", sf_dir, _iceberg_events_dir)
     ready = os.path.join(root, "_READY")
     if os.path.exists(ready):
         return root

@@ -224,10 +224,31 @@ def _spark_safe_batch(b: pa.RecordBatch) -> pa.RecordBatch:
         .combine_chunks().to_batches()[0]
 
 
+def _residual_mask(rb, residual):
+    """Conjunctive (col, op, val) predicate -> boolean Arrow mask.
+    Mirrors iceberg.Predicate ops so a pruning predicate can be
+    re-applied row-level inside the fused scan (pruning is only ever
+    file/row-group granular)."""
+    import pyarrow.compute as pc
+
+    ops = {"=": pc.equal, ">=": pc.greater_equal, "<=": pc.less_equal,
+           ">": pc.greater, "<": pc.less}
+    mask = None
+    for col, op, val in residual:
+        arr = rb.column(rb.schema.get_field_index(col))
+        if op == "in":
+            m = pc.is_in(arr, value_set=pa.array(list(val)))
+        else:
+            m = ops[op](arr, val)
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
 def scan_row_group(pf, f: str, rg: int, batch_rows: int,
                    columns=None, drop_positions=None,
                    rg_offsets: dict | None = None,
-                   drop_values=None):
+                   drop_values=None, residual=None):
     """Yield one row group's batches with optional Iceberg row-level
     delete filtering, shared by the fused encode and the fused
     resumable sink so tombstone semantics cannot diverge between them:
@@ -255,6 +276,12 @@ def scan_row_group(pf, f: str, rg: int, batch_rows: int,
             raise ValueError(
                 f"equality-delete column(s) {missing} are projected "
                 f"out; include them or compact() the table")
+    if residual and columns is not None:
+        rmiss = [c for c, _, _ in residual if c not in columns]
+        if rmiss:
+            raise ValueError(
+                f"residual predicate column(s) {rmiss} are projected "
+                f"out; include them in the projection")
     local = None
     drops = (drop_positions or {}).get(f)
     if drops is not None:
@@ -303,12 +330,15 @@ def scan_row_group(pf, f: str, rg: int, batch_rows: int,
                         rb.column(rb.schema.get_field_index(col)),
                         value_set=value_arr)
                     rb = rb.filter(pc.invert(pc.fill_null(hit, False)))
+        if residual and rb.num_rows:
+            rb = rb.filter(_residual_mask(rb, residual))
         if rb.num_rows:
             yield _spark_safe_batch(rb)
 
 
 def _scan_encode_fn(columns, stripe_rows, stripe_bytes, config, batch_rows,
-                    drop_positions=None, drop_values=None):
+                    drop_positions=None, drop_values=None,
+                    residual=None):
     """mapInArrow fn over split rows: pyarrow reads the row groups and
     the stripes are encoded in the SAME Python worker — the payload
     bytes never cross the JVM boundary (only file/row-group metadata in,
@@ -336,7 +366,8 @@ def _scan_encode_fn(columns, stripe_rows, stripe_bytes, config, batch_rows,
                     yield from scan_row_group(
                         handles.get(f), f, rg, batch_rows,
                         columns=columns, drop_positions=drop_positions,
-                        rg_offsets=rg_offsets, drop_values=drop_values)
+                        rg_offsets=rg_offsets, drop_values=drop_values,
+                        residual=residual)
 
         yield from enc(scan())
 
@@ -351,7 +382,8 @@ def encode_parquet(spark, path: str, columns: list[str] | None = None,
                    num_partitions: int | None = None,
                    batch_rows: int = 16384,
                    files: list[str] | None = None,
-                   drop_positions=None, drop_values=None):
+                   drop_positions=None, drop_values=None,
+                   residual=None):
     """Fused Python-side scan + encode over a parquet table: the fast
     path for encode jobs, measured 3-4x the DataFrame route end-to-end.
 
@@ -381,7 +413,7 @@ def encode_parquet(spark, path: str, columns: list[str] | None = None,
     return splits.mapInArrow(
         _scan_encode_fn(columns, stripe_rows, stripe_bytes, config,
                         batch_rows, drop_positions=drop_positions,
-                        drop_values=drop_values),
+                        drop_values=drop_values, residual=residual),
         ENCODED_DDL)
 
 

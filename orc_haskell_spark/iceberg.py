@@ -126,7 +126,14 @@ def _pa_to_iceberg_type(t) -> str:
 
 
 def _local(path: str) -> str:
-    return path[len("file:"):] if path.startswith("file:") else path
+    """Collapse every file-URI spelling (file:/p, file://p, file:///p)
+    to one canonical local path so path equi-joins (position deletes,
+    commit idempotency checks) never miss on URI form — PyIceberg
+    writes file:///, Spark's _metadata.file_path writes file:/."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        return "/" + rest.lstrip("/") if rest.startswith("/") else rest
+    return path
 
 
 def table_metadata(table_path: str, version: int | None = None) -> dict:
@@ -193,6 +200,11 @@ def _schema_of(meta: dict) -> list[dict]:
                 return s["fields"]
         raise ValueError("current-schema-id missing from schemas")
     return meta["schema"]["fields"]           # v1 single-schema layout
+
+
+def schema_fields(table_path: str) -> list[dict]:
+    """Public accessor: the CURRENT schema's fields for a table path."""
+    return _schema_of(table_metadata(table_path))
 
 
 def _normalize_kv(value) -> dict:
@@ -515,8 +527,11 @@ def keep_partition_spec(pred: "Predicate", part: dict,
                         tv = apply_transform(tr, t, val)
                         if not _cmp(_RELAX[op], pv, pv, tv):
                             return False
-            except NotImplementedError:
-                continue                      # unevaluable: keep
+            except (NotImplementedError, TypeError):
+                # unevaluable transform OR mistyped comparison (e.g. a
+                # date partition value serialized as an Avro string vs
+                # an int predicate): keep the file, conservatively
+                continue
     return True
 
 
@@ -794,14 +809,14 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
         from pyspark.sql import functions as F
 
         ddf = spark.read.parquet(*[d["file_path"] for d in pos_dels]) \
-            .select(F.regexp_replace("file_path", "^file:", "")
+            .select(F.regexp_replace("file_path", "^file:/+", "/")
                     .alias("_del_path"),
                     F.col("pos").alias("_del_pos")).distinct()
         n_dels = sum(d["record_count"] or 0 for d in pos_dels)
         if n_dels <= 10_000_000:
             ddf = F.broadcast(ddf)
         df = (df.withColumn("_fp", F.regexp_replace(
-                  F.col("_metadata.file_path"), "^file:", ""))
+                  F.col("_metadata.file_path"), "^file:/+", "/"))
               .withColumn("_ri", F.col("_metadata.row_index"))
               .join(ddf, (F.col("_fp") == F.col("_del_path"))
                     & (F.col("_ri") == F.col("_del_pos")), "left_anti")
@@ -821,7 +836,7 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
         seq_df = F.broadcast(spark.createDataFrame(
             seq_rows, "_sq_path string, _fseq bigint"))
         df = (df.withColumn("_fp2", F.regexp_replace(
-                  F.col("_metadata.file_path"), "^file:", ""))
+                  F.col("_metadata.file_path"), "^file:/+", "/"))
               .join(seq_df, F.col("_fp2") == F.col("_sq_path"), "left"))
         groups: dict[tuple, list] = {}
         for d in eq_dels:
@@ -904,7 +919,7 @@ def _restore_partition_columns(spark, df, files, fields):
                        for i, c in enumerate(restore)])
     lookup = F.broadcast(spark.createDataFrame(rows, ddl))
     df = (df.withColumn("_pt_fp", F.regexp_replace(
-              F.col("_metadata.file_path"), "^file:", ""))
+              F.col("_metadata.file_path"), "^file:/+", "/"))
           .join(lookup, F.col("_pt_fp") == F.col("_pt_path"), "left")
           .drop("_pt_fp", "_pt_path"))
     for i, c in enumerate(restore):
@@ -1101,10 +1116,16 @@ def encode_iceberg_to_dir(spark, table_path: str, out_path: str,
     eq = [d for d in dels if d["content"] == 2]
     drop = _drop_positions(pos) if pos else None
     dropv = _drop_values(eq, files, fields) if eq else None
+    # pruning is file/row-group granular; the predicate is re-applied
+    # ROW-level inside the workers (engine.scan_row_group residual) so
+    # the output never includes non-matching rows from kept files
+    terms = (where.terms if isinstance(where, Predicate)
+             else (list(where) if where else None))
     summary = manifest.encode_parquet_to_dir(
         spark, table_path, out_path,
         files=[f["file_path"] for f in files],
-        drop_positions=drop, drop_values=dropv,
+        drop_positions=drop, drop_values=dropv, residual=terms,
+        ranges=ranges_from_where(where),
         source=table_path, **sink_kw)
     if commit_to:
         snap = commit_parquet_dir(commit_to,

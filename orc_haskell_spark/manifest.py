@@ -23,7 +23,8 @@ from . import engine
 
 
 def _config_hash(config: dict | None, stripe_rows: int,
-                 drop_positions=None, drop_values=None) -> str:
+                 drop_positions=None, drop_values=None,
+                 residual=None) -> str:
     extra = vextra = None
     if drop_positions:
         h = hashlib.sha256()
@@ -42,7 +43,9 @@ def _config_hash(config: dict | None, stripe_rows: int,
                 h.update(str(rows).encode())
         vextra = h.hexdigest()
     blob = json.dumps({"config": config or {}, "stripe_rows": stripe_rows,
-                       "drops": extra, "vdrops": vextra}, sort_keys=True)
+                       "drops": extra, "vdrops": vextra,
+                       "residual": [[c, o, repr(v)] for c, o, v in residual]
+                       if residual else None}, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
@@ -197,7 +200,7 @@ FUSED_MANIFEST_DDL = (
 
 def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
                    config, batch_rows: int, drop_positions=None,
-                   drop_values=None):
+                   drop_values=None, residual=None):
     """mapInArrow fn over split rows: scan row groups with pyarrow,
     encode stripes, and WRITE the encoded-stripes parquet part directly
     from the worker (streaming ParquetWriter, one row group per stripe
@@ -264,7 +267,8 @@ def _fused_sink_fn(out_path: str, stripe_rows: int, stripe_bytes: int,
                     yield from scan_row_group(
                         pf, f, rg, batch_rows,
                         drop_positions=drop_positions,
-                        rg_offsets=rg_offsets, drop_values=drop_values)
+                        rg_offsets=rg_offsets, drop_values=drop_values,
+                        residual=residual)
 
                 seq = 0
                 for sb in _rechunk(scan(), stripe_rows, stripe_bytes):
@@ -318,7 +322,8 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
                           batch_rows: int = 16384,
                           source: str = "unknown",
                           files: list[str] | None = None,
-                          drop_positions=None, drop_values=None) -> dict:
+                          drop_positions=None, drop_values=None,
+                          residual=None, ranges=None) -> dict:
     """Fused resumable encode job: parquet table -> encoded-stripe files
     + manifest, with ZERO payload bytes crossing the JVM boundary.
 
@@ -337,11 +342,11 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
 
     all_splits = sources.parquet_splits_df(spark, in_path,
                                            num_partitions=num_partitions,
-                                           files=files)
+                                           files=files, ranges=ranges)
     all_splits.persist()
     splits = all_splits
     cfg_hash = _config_hash(config, stripe_rows, drop_positions,
-                            drop_values)
+                            drop_values, residual)
     try:
         m = read_fused_manifest(spark, out_path)
         # a resume must not silently mix layouts: stripes from an
@@ -368,7 +373,7 @@ def encode_parquet_to_dir(spark, in_path: str, out_path: str,
     mdf = splits.mapInArrow(
         _fused_sink_fn(out_path, stripe_rows, stripe_bytes, config,
                        batch_rows, drop_positions=drop_positions,
-                       drop_values=drop_values),
+                       drop_values=drop_values, residual=residual),
         FUSED_MANIFEST_DDL)
     new_manifest = (mdf.withColumn("source", F.lit(source))
                     .withColumn("config_hash", F.lit(cfg_hash)))

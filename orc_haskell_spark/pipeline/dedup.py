@@ -385,12 +385,15 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     """
     sc = df.sparkSession.sparkContext
 
-    def _persisted_ids() -> set:
-        m, out = sc._jsc.sc().getPersistentRDDs(), set()
-        it = m.iterator()
-        while it.hasNext():
-            out.add(it.next()._1())
-        return out
+    def _ckpt_rdd_id(cdf: DataFrame) -> int | None:
+        # a localCheckpointed Dataset's analyzed plan is a LogicalRDD
+        # wrapping the persisted RDD — its OWN id, so concurrent driver
+        # threads persisting their DataFrames are never touched (the
+        # old global getPersistentRDDs diff classified those as stale)
+        try:
+            return cdf._jdf.queryExecution().analyzed().rdd().id()
+        except Exception:
+            return None
 
     def _unpersist(ids: set) -> None:
         m = sc._jsc.sc().getPersistentRDDs()
@@ -403,9 +406,8 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    before = _persisted_ids()
     edges = edges.localCheckpoint(eager=False)
-    edge_ids = _persisted_ids() - before
+    edge_ids = {i for i in [_ckpt_rdd_id(edges)] if i is not None}
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
     stale: set = set()
     for _ in range(max_iters):
@@ -415,13 +417,12 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
                    .select(F.col("id"), F.col("lbl"),
                            F.least(F.col("lbl"),
                                    F.coalesce("nlbl", "lbl")).alias("nxt")))
-        before = _persisted_ids()
         stepped = stepped.localCheckpoint(eager=True)
         # the new round is materialized: every earlier round's blocks
         # are dead weight — at corpus scale leaving k rounds persisted
         # IS the memory leak (edges stay until the loop exits)
         _unpersist(stale)
-        stale = _persisted_ids() - before - edge_ids
+        stale = {i for i in [_ckpt_rdd_id(stepped)] if i is not None}
         changed = stepped.filter(F.col("nxt") < F.col("lbl")).limit(1)
         labels = stepped.select("id", F.col("nxt").alias("lbl"))
         if not changed.count():

@@ -37,6 +37,9 @@ import argparse
 import os
 
 
+_IDENT = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
 def parse_where(s: str | None):
     if not s:
         return None
@@ -45,17 +48,39 @@ def parse_where(s: str | None):
         for op in (">=", "<=", "=", ">", "<"):
             if op in raw:
                 col, val = raw.split(op, 1)
+                col, val = col.strip(), val.strip()
+                if not _IDENT.fullmatch(col):
+                    # catches unsupported operators too: 'a!=5' splits
+                    # on '=' leaving col 'a!'
+                    raise SystemExit(
+                        f"--where term {raw!r}: {col!r} is not a "
+                        f"column name (supported ops: = < <= > >=)")
                 for cast in (int, float, str):
                     try:
                         v = cast(val)
                         break
                     except ValueError:
                         continue
-                terms.append((col.strip(), op, v))
+                terms.append((col, op, v))
                 break
         else:
             raise SystemExit(f"cannot parse --where term {raw!r}")
     return terms
+
+
+def check_where_columns(terms, table_path: str) -> None:
+    """An unknown column would prune nothing and filter nothing — a
+    silent no-op. Refuse instead."""
+    if not terms:
+        return
+    from orc_haskell_spark import iceberg
+
+    names = {f["name"]
+             for f in iceberg.schema_fields(table_path)}
+    bad = sorted({c for c, _, _ in terms} - names)
+    if bad:
+        raise SystemExit(f"--where column(s) {bad} not in table schema "
+                         f"(have: {sorted(names)})")
 
 
 def main() -> None:
@@ -74,7 +99,10 @@ def main() -> None:
     ap.add_argument("--as-of-ms", type=int, default=None)
     ap.add_argument("--where", default=None,
                     help="comma-separated conjunction, e.g. "
-                         "'lang=en,views>=100' (iceberg input only)")
+                         "'lang=en,views>=100' (iceberg input only). "
+                         "Exact on both paths: prunes files/row-groups "
+                         "at plan time AND re-applies row-level "
+                         "(df.filter / fused-scan residual)")
     ap.add_argument("--commit-iceberg", default=None, metavar="TABLE",
                     help="commit output stripes as an Iceberg append "
                          "snapshot of TABLE (idempotent)")
@@ -112,6 +140,10 @@ def main() -> None:
         spark.stop()
         return
     where = parse_where(args.where)
+    if where and not is_iceberg:
+        raise SystemExit("--where needs an Iceberg table as --input")
+    if where:
+        check_where_columns(where, args.input)
     config = {"compression": args.compression,
               "string_codec": args.string_codec}
 
@@ -137,6 +169,14 @@ def main() -> None:
             df = iceberg.read_iceberg(spark, args.input,
                                       args.snapshot_id, args.as_of_ms,
                                       where)
+            if where:
+                # planning prunes files; re-apply the predicate
+                # ROW-level so kept files contribute only matching rows
+                from pyspark.sql import functions as F
+                ops = {"=": "__eq__", ">=": "__ge__", "<=": "__le__",
+                       ">": "__gt__", "<": "__lt__"}
+                for col, op, val in where:
+                    df = df.filter(getattr(F.col(col), ops[op])(val))
         else:
             df = spark.read.parquet(args.input)
         summary = manifest.encode_to_dir(

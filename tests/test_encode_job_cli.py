@@ -98,3 +98,55 @@ def test_encode_job_cli_maintenance(tmp_path):
     assert len(meta["snapshots"]) == 1
     files = iceberg.plan_files(root)
     assert sum(f["record_count"] for f in files) == 19
+
+
+def test_parse_where_hygiene():
+    """Whitespace strips; unsupported operators and junk columns are
+    refused loudly instead of becoming silent no-op predicates."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import pytest
+
+    from encode_job import parse_where
+
+    assert parse_where(" lang = en , views >= 10") == [
+        ("lang", "=", "en"), ("views", ">=", 10)]
+    with pytest.raises(SystemExit):
+        parse_where("a!=5")            # '!=' is not a supported op
+    with pytest.raises(SystemExit):
+        parse_where("lang.x=en")
+
+
+def test_check_where_columns_rejects_unknown(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import pytest
+
+    from encode_job import check_where_columns
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "data"))
+    t = pa.table({"url": pa.array(["u0"]),
+                  "views": pa.array([1], pa.int64())})
+    iceberg.create_table(root, t.schema)
+    check_where_columns([("views", ">=", 1)], root)   # known: fine
+    with pytest.raises(SystemExit, match="wiews"):
+        check_where_columns([("wiews", ">=", 1)], root)
+
+
+def test_pkg_stamp_invalidates_on_delete(tmp_path):
+    """The worker-zip cache key must change when a module is DELETED,
+    not only when one is edited (a max-mtime stamp missed deletions and
+    kept shipping the stale zip)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_mod", os.path.join(REPO, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "a.py").write_text("A = 1\n")
+    (pkg / "b.py").write_text("B = 2\n")
+    s1 = mod._pkg_stamp(str(pkg), str(tmp_path))
+    (pkg / "b.py").unlink()
+    s2 = mod._pkg_stamp(str(pkg), str(tmp_path))
+    assert s1 != s2

@@ -1429,3 +1429,84 @@ def test_stream_decode_encoded_iceberg_table(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert got["rows"] == docs.count() and got["batches"] >= 1
+
+
+def test_local_collapses_every_file_uri_spelling():
+    """PyIceberg writes file:///, Spark _metadata writes file:/ — all
+    spellings must land on ONE canonical path or position-delete
+    anti-joins silently miss and deleted rows resurrect."""
+    assert iceberg._local("file:/a/b.parquet") == "/a/b.parquet"
+    assert iceberg._local("file:///a/b.parquet") == "/a/b.parquet"
+    assert iceberg._local("file://a/b.parquet") == "/a/b.parquet"
+    assert iceberg._local("/a/b.parquet") == "/a/b.parquet"
+    assert iceberg._local("s3://bucket/k") == "s3://bucket/k"
+
+
+def test_position_deletes_written_with_triple_slash_uris(spark, tmp_path):
+    """A delete file recording file:/// URIs (external writer form)
+    still kills the rows on the read path."""
+    root = str(tmp_path / "t_uri")
+    os.makedirs(os.path.join(root, "data"))
+    t = pa.table({"url": pa.array([f"u{i}" for i in range(10)]),
+                  "views": pa.array(np.arange(10), pa.int64())})
+    iceberg.create_table(root, t.schema)
+    p = os.path.join(root, "data", "a.parquet")
+    pq.write_table(t, p)
+    iceberg.append_files(root, [p])
+    # hand-write the position-delete parquet with a file:/// URI (the
+    # form external writers like PyIceberg record)
+    del_t = pa.table({"file_path": pa.array(["file://" + p]),
+                      "pos": pa.array([3], pa.int64())})
+    dp = os.path.join(root, "data", "del-uri.parquet")
+    pq.write_table(del_t, dp)
+    meta = iceberg.table_metadata(root)
+    version = iceberg._current_version(root)
+    seq = meta["last-sequence-number"] + 1
+    iceberg._commit_delete_file(
+        root, meta, version, seq, seq, meta["last-updated-ms"] + 1000,
+        dp, content=1, n_rows=1,
+        summary_key="added-position-deletes")
+    got = sorted(r.url for r in
+                 iceberg.read_iceberg(spark, root).collect())
+    assert got == sorted(f"u{i}" for i in range(10) if i != 3)
+
+
+def test_keep_partition_spec_type_mismatch_keeps_file():
+    """A string partition value (temporal identity values serialize as
+    Avro strings) compared against an int predicate must KEEP the file
+    conservatively, not crash planning."""
+    pred = iceberg.Predicate([("day", ">=", 19700)])
+    spec = [{"name": "day", "source-id": 1, "transform": "identity"}]
+    assert iceberg.keep_partition_spec(
+        pred, {"day": "2024-01-10"}, spec, {1: "int"}, {1: "day"})
+
+
+def test_encode_iceberg_to_dir_where_is_row_exact(spark, tmp_path):
+    """--where semantics on the fused sink: pruning keeps whole row
+    groups, but the residual re-applies ROW-level — the encoded output
+    contains exactly the matching rows, not the kept groups' extras."""
+    from orc_haskell_spark import engine, manifest
+
+    root = str(tmp_path / "t_resid")
+    os.makedirs(os.path.join(root, "data"))
+    n = 1000
+    t = pa.table({
+        "url": pa.array([f"u{i:05d}" for i in range(n)]),
+        "text": pa.array([f"t{i}" for i in range(n)]),
+        "views": pa.array(np.arange(n), pa.int64())})
+    p = os.path.join(root, "data", "big.parquet")
+    pq.write_table(t, p, row_group_size=100)
+    iceberg.create_table(root, t.schema)
+    iceberg.append_files(root, [p])
+    out = str(tmp_path / "resid_out")
+    s = iceberg.encode_iceberg_to_dir(
+        spark, root, out, where=[("views", ">=", 850)],
+        num_partitions=2)
+    # row groups 8 and 9 survive pruning (rows 800..999)...
+    assert s["splits_total"] == 2
+    enc = manifest.read_fused_encoded(spark, out)
+    schema = spark.read.parquet(p).schema
+    got = sorted(r.views for r in engine.decode_table(enc, schema)
+                 .select("views").collect())
+    # ...but rows 800..849 of the kept group are filtered row-level
+    assert got == list(range(850, 1000))
