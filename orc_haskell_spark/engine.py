@@ -157,12 +157,44 @@ def _decode_fn_projected(columns: list[str]):
     return fn
 
 
+def _pure_parquet_scan_files(df) -> list[str] | None:
+    """The file list IF df is a bare ``spark.read.parquet(path)`` scan
+    (analyzed plan = one LogicalRelation over a parquet
+    HadoopFsRelation — no filter/project/limit/shuffle on top), else
+    None. Conservative by construction: any operator above the scan
+    changes the plan's root class and disqualifies the shortcut."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        rel = plan.relation()
+        if rel.getClass().getSimpleName() != "HadoopFsRelation":
+            return None
+        if "Parquet" not in rel.fileFormat().getClass().getSimpleName():
+            return None
+        files = [f[len("file:"):] if f.startswith("file:") else f
+                 for f in df.inputFiles()]
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return None
+        import pyarrow.parquet as pq
+
+        # a user-supplied .schema(...) projecting/reordering columns is
+        # still a bare LogicalRelation; the fused scan reads physical
+        # file columns, so require exact agreement (one footer read)
+        if list(df.columns) != list(pq.read_schema(files[0]).names):
+            return None
+        return sorted(files)
+    except Exception:
+        return None
+
+
 def encode_table(df, stripe_rows: int = DEFAULT_STRIPE_ROWS,
                  stripe_bytes: int = DEFAULT_STRIPE_BYTES,
                  config: dict | None = None,
                  partition_on: str | list[str] | None = None,
                  num_partitions: int | None = None,
-                 salt_buckets: int = 1):
+                 salt_buckets: int = 1,
+                 auto_fuse: bool = True):
     """DataFrame -> encoded-stripes DataFrame (1 row per stripe).
 
     partition_on: explicit range partitioning on xxhash64(cols) — the
@@ -174,9 +206,23 @@ def encode_table(df, stripe_rows: int = DEFAULT_STRIPE_ROWS,
     a key holding 60% of the corpus spreads over up to salt_buckets
     partitions instead of funnelling into one task. (Use with
     low-cardinality keys; url-hash keys don't need it.)
+
+    auto_fuse (default on): when no re-layout is requested and df is a
+    bare parquet scan, route through ``encode_parquet`` — the payload
+    then never crosses the JVM<->Python boundary (the DataFrame path's
+    measured ~0.3 GB/s crossing ceiling; see BENCH/BASELINE.md §2) and
+    a naive ``encode_table(spark.read.parquet(p))`` gets the fused
+    plan automatically.
     """
     from pyspark.sql import functions as F
 
+    if auto_fuse and partition_on is None:
+        files = _pure_parquet_scan_files(df)
+        if files is not None:
+            return encode_parquet(
+                df.sparkSession, "<fused>", stripe_rows=stripe_rows,
+                stripe_bytes=stripe_bytes, config=config,
+                num_partitions=num_partitions, files=files)
     if partition_on is not None:
         cols = [partition_on] if isinstance(partition_on, str) else list(partition_on)
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism

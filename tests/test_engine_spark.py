@@ -515,3 +515,37 @@ def test_engine_bloom_point_lookup(spark):
     enc2 = engine.encode_table(docs.limit(64), stripe_rows=32)
     f = enc2.select("footer").first()[0]
     assert '"blooms"' not in f
+
+
+def test_encode_table_auto_fuses_bare_parquet_scan(spark, tmp_path):
+    """Fuse-by-default: encode_table over a bare spark.read.parquet
+    with no re-layout requested takes the crossing-free fused plan —
+    the physical plan scans only split METADATA (no parquet FileScan
+    of the payload) — and still decodes bit-identically. Any operator
+    above the scan (filter/limit) disqualifies the shortcut and keeps
+    the exact DataFrame semantics."""
+    src = str(tmp_path / "pages_pq")
+    df = gen.pages_df(spark, 2000, num_partitions=2)
+    df.write.parquet(src)
+    scan = spark.read.parquet(src)
+
+    enc = engine.encode_table(scan, num_partitions=2)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan      # payload never enters the JVM
+    dec = engine.decode_table(enc, scan.schema)
+    _assert_same_rows(dec, scan, "url")
+
+    # a filter on top must NOT take the shortcut (rows would leak back)
+    filt = scan.filter("lang = 'en'")
+    assert engine._pure_parquet_scan_files(filt) is None
+    encf = engine.encode_table(filt, num_partitions=2)
+    planf = encf._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in planf
+    decf = engine.decode_table(encf, scan.schema)
+    _assert_same_rows(decf, filt, "url")
+
+    # explicit re-layout keeps the shuffle path
+    encp = engine.encode_table(scan, partition_on="url",
+                               num_partitions=2)
+    planp = encp._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in planp
