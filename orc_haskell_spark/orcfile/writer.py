@@ -217,8 +217,17 @@ class _ColumnWriter:
             if kind == "LIST":
                 self.write(self.types[col]["subtypes"][0], dense.flatten())
             else:
-                self.write(self.types[col]["subtypes"][0], dense.keys)
-                self.write(self.types[col]["subtypes"][1], dense.items)
+                # MapArray.keys/.items ignore the array's slice window
+                # (unlike ListArray.flatten): a per-stripe slice of a
+                # map column would silently write stripe 1's entries
+                # into every stripe. offsets are always logical into
+                # the child, so the [first, last) window is the fix.
+                lo = int(offs[0]) if len(offs) else 0
+                hi = int(offs[-1]) if len(offs) else 0
+                self.write(self.types[col]["subtypes"][0],
+                           dense.keys.slice(lo, hi - lo))
+                self.write(self.types[col]["subtypes"][1],
+                           dense.items.slice(lo, hi - lo))
             return
 
         if kind == "BOOLEAN":
