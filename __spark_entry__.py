@@ -717,14 +717,29 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("checksum").alias("checksum_sum"))
 
 
+def _media_codec_expr():
+    """The fixture's id -> codec rule (synth_real_media_batch), as a
+    Catalyst expression — the SAME arithmetic the oracle SQL uses, so
+    per-codec grouping needs no extra plumbed column."""
+    i = F.col("id")
+    img = F.element_at(F.array(F.lit("bmp"), F.lit("png"),
+                               F.lit("jpeg")),
+                       ((i / 3).cast("long") % 3 + 1).cast("int"))
+    vid = F.when((i / 3).cast("long") % 2 == 0, "y4m") \
+        .otherwise("mjpeg")
+    return (F.when(i % 3 == 0, img)
+            .when(i % 3 == 1, F.lit("pcm16")).otherwise(vid))
+
+
 def _media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BMP/PNG/JPEG/WAV/Y4M/MJPEG-AVI decoders (pure numpy) over
-    synthesized real payloads; image rows rotate through all three
-    image containers, video rows through both video containers."""
+    synthesized real payloads, aggregated PER CODEC so each decoder
+    family gets its own oracle-checked row."""
     _ensure_worker_imports(spark)
     media = multimodal.real_media_df(spark, 300, 4)
     feats = multimodal.extract_features(media, use_real_decoders=True)
-    return (feats.groupBy("kind")
+    return (feats.withColumn("codec", _media_codec_expr())
+            .groupBy("codec")
             .agg(F.count("*").alias("items"),
                  F.sum("checksum").alias("checksum_sum")))
 
@@ -732,13 +747,17 @@ def _media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-payload feature plumbing AND the real decoders in one
     query: mode 'fake' = vectorized histogram over opaque payloads
-    (the batch-shape check), mode 'real' = per-kind rows from the real
-    BMP/PNG/JPEG/WAV/Y4M/MJPEG-AVI decode path."""
+    (the batch-shape check), mode 'real' = per-CODEC rows from the
+    real BMP/PNG/JPEG/WAV/Y4M/MJPEG-AVI decode path. EXACT oracle:
+    the generator's pixel/sample gradients are pure integer formulas,
+    so DuckDB recomputes fake/bmp/png/pcm16 checksums from range()
+    arithmetic; jpeg/y4m/mjpeg decode through lossy DCT or float
+    YCbCr->RGB and are pinned as frozen full-precision goldens."""
     fake = _media_features(spark, sf_dir).select(
-        F.lit("fake").alias("mode"), F.lit("all").alias("kind"),
+        F.lit("fake").alias("mode"), F.lit("all").alias("codec"),
         "items", "checksum_sum")
     real = _media_real_decode(spark, sf_dir).select(
-        F.lit("real").alias("mode"), "kind", "items", "checksum_sum")
+        F.lit("real").alias("mode"), "codec", "items", "checksum_sum")
     return fake.unionAll(real)
 
 
@@ -746,16 +765,71 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling (pipeline/video.py): Y4M clips seeked
     frame-by-frame at O(1) byte offsets, MJPEG-AVI chunks through the
     idx1 index, each sampled frame actually decoded (JPEG frames via
-    pipeline/jpeg.py) — only sampled frames are touched."""
+    pipeline/jpeg.py) — only sampled frames are touched. Per-codec
+    rows: frame/video counts recomputed by the oracle from the
+    generator's nf formula; checksum/luma pinned as frozen goldens
+    (float decode paths)."""
     _ensure_worker_imports(spark)
     media = multimodal.real_media_df(spark, 300, 4)
     frames = multimodal.frame_sample(media, every_ms=100,
                                      use_real_decoders=True)
-    return frames.agg(
+    return frames.groupBy("codec").agg(
         F.count("*").alias("frames"),
         F.countDistinct("id").cast("bigint").alias("videos"),
         F.sum("checksum").alias("checksum_sum"),
         F.round(F.sum("mean_luma"), 3).alias("luma_sum"))
+
+
+# DuckDB twins of the media fixtures: integer gradients recomputed
+# exactly; lossy/float decoders (jpeg, y4m RGB, mjpeg) frozen as
+# full-precision goldens of the decoded output.
+_MEDIA_DECODE_ORACLE_SQL = """
+WITH fp AS (SELECT i::BIGINT AS i, (256 + i % 2048)::BIGINT AS L,
+            (64 + i % 512)::BIGINT * (64 + (i*7) % 512)::BIGINT AS need
+            FROM range(500) t(i)),
+fb AS (SELECT fp.i, j, (j * (2*fp.i+1)) % 251 AS v, fp.L, fp.need
+       FROM fp, range(2304) s(j) WHERE j < fp.L),
+fake AS (SELECT SUM(cs)::BIGINT AS c, COUNT(*)::BIGINT AS n FROM (
+  SELECT i, (need // L) * SUM(v)
+         + SUM(CASE WHEN j < need % L THEN v ELSE 0 END) AS cs
+  FROM fb GROUP BY i, L, need)),
+img AS (SELECT i::BIGINT AS i, 16 + i % 48 AS w, 16 + (i*7) % 48 AS h,
+        CASE (i//3) % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+             ELSE 'jpeg' END AS codec
+        FROM range(300) t(i) WHERE i % 3 = 0),
+ipx AS (SELECT img.codec, img.i,
+        (x*(img.i+1)) % 256 + (y*3+img.i) % 256 + (x+y+img.i) % 256 AS v
+        FROM img, range(64) a(x), range(64) b(y)
+        WHERE x < img.w AND y < img.h AND img.codec <> 'jpeg'),
+imgagg AS (SELECT codec, COUNT(DISTINCT i)::BIGINT AS n,
+           SUM(v)::BIGINT AS c FROM ipx GROUP BY codec),
+aud AS (SELECT i::BIGINT AS i, 400 + i % 800 AS ns, (i % 17 + 1) * 97 AS k
+        FROM range(300) t(i) WHERE i % 3 = 1),
+smp AS (SELECT aud.i, (q.t * aud.k) % 20000 - 10000 AS v
+        FROM aud, range(1200) q(t) WHERE q.t < aud.ns),
+pcm AS (SELECT COUNT(DISTINCT i)::BIGINT AS n,
+        SUM(CASE WHEN v < 0 THEN v + 65536 ELSE v END)::BIGINT AS c
+        FROM smp)
+SELECT 'fake' AS mode, 'all' AS codec, n AS items, c AS checksum_sum
+  FROM fake
+UNION ALL SELECT 'real', codec, n, c FROM imgagg
+UNION ALL SELECT 'real', 'pcm16', n, c FROM pcm
+UNION ALL SELECT 'real', 'jpeg', 33, 18125454
+UNION ALL SELECT 'real', 'y4m', 50, 2698307
+UNION ALL SELECT 'real', 'mjpeg', 50, 2890386
+"""
+
+_MEDIA_FRAMES_ORACLE_SQL = """
+WITH v AS (SELECT i::BIGINT AS i, 2 + i % 4 AS nf,
+           CASE WHEN (i//3) % 2 = 0 THEN 'y4m' ELSE 'mjpeg' END AS codec
+           FROM range(300) t(i) WHERE i % 3 = 2)
+SELECT codec, SUM(nf + 1)::BIGINT AS frames, COUNT(*)::BIGINT AS videos,
+       CASE codec WHEN 'y4m' THEN 10356671
+            ELSE 13597860 END::BIGINT AS checksum_sum,
+       CAST(CASE codec WHEN 'y4m' THEN 23020.812
+            ELSE 30153.095 END AS DOUBLE) AS luma_sum
+FROM v GROUP BY codec
+"""
 
 
 def _fixture_root(prefix: str, sf_dir: str, builder) -> str:
@@ -1242,7 +1316,8 @@ ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv) DESC,
     # (same planes / quantizer / probe sets): identical oracles
     o["ann_lsh_index_embeddings"] = o["sim_lsh_topk_embeddings"]
     o["ann_ivf_index_embeddings"] = o["sim_ivf_topk_embeddings"]
-    # media_*: no SQL twin (synthetic media payloads) -> rows-only
+    o["media_decode"] = _MEDIA_DECODE_ORACLE_SQL
+    o["media_frame_sample"] = _MEDIA_FRAMES_ORACLE_SQL
     o["iceberg_transform_events"] = _ICE_TRANSFORM_ORACLE_SQL
     # iceberg: snapshot 1 holds exactly the lang < 'm' partitions (the
     # fixture's static split), so time travel is plain-SQL expressible
