@@ -835,20 +835,25 @@ FROM v GROUP BY codec
 
 
 def _fixture_root(prefix: str, sf_dir: str, builder) -> str:
-    """Cache dir keyed on (sf_dir, builder source). Hashing the builder
-    function's own source means any fixture-shape change — adding a
-    snapshot, changing a delete rule — automatically invalidates the
-    cache; round 4's red gate row came from a hand-bumped prefix that
-    wasn't bumped when the shape changed."""
+    """Cache dir keyed on (sf_dir, builder source, helper-module
+    sources). Hashing the builder's own source invalidates on any
+    fixture-shape change; hashing iceberg.py/avro.py too invalidates
+    when the HELPERS the builder calls (compact, delete_where,
+    manifest encoding) change behavior — otherwise a fixed compact()
+    bug would keep serving a fixture built by the buggy version."""
     import hashlib
     import inspect
     import tempfile
 
-    try:
-        src = inspect.getsource(builder)
-    except OSError:  # source unavailable (zipped worker) — sf_dir only
-        src = ""
-    key = hashlib.md5((sf_dir + "\0" + src).encode()).hexdigest()[:10]
+    from orc_haskell_spark import avro, iceberg
+
+    h = hashlib.md5(sf_dir.encode())
+    for obj in (builder, iceberg, avro):
+        try:
+            h.update(inspect.getsource(obj).encode())
+        except OSError:  # source unavailable (zipped install)
+            pass
+    key = h.hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"{prefix}{key}")
 
 

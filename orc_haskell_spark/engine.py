@@ -176,12 +176,11 @@ def _pure_parquet_scan_files(df) -> list[str] | None:
                  for f in df.inputFiles()]
         if not files or not all(f.endswith(".parquet") for f in files):
             return None
-        import pyarrow.parquet as pq
-
-        # a user-supplied .schema(...) projecting/reordering columns is
-        # still a bare LogicalRelation; the fused scan reads physical
-        # file columns, so require exact agreement (one footer read)
-        if list(df.columns) != list(pq.read_schema(files[0]).names):
+        # a user-supplied .schema(...) projecting/reordering/retyping
+        # columns is still a bare LogicalRelation; the fused scan reads
+        # the physical file schema, so require exact agreement — names
+        # AND types — with what Spark itself infers (one footer read)
+        if df.schema != df.sparkSession.read.parquet(files[0]).schema:
             return None
         return sorted(files)
     except Exception:
@@ -281,7 +280,15 @@ def _residual_mask(rb, residual):
            ">": pc.greater, "<": pc.less}
     mask = None
     for col, op, val in residual:
-        arr = rb.column(rb.schema.get_field_index(col))
+        idx = rb.schema.get_field_index(col)
+        if idx < 0:
+            # get_field_index returns -1 and rb.column(-1) is the LAST
+            # column — silently filtering on the wrong column. Refuse.
+            raise ValueError(
+                f"residual predicate column {col!r} is absent from the "
+                f"data file's physical schema {rb.schema.names}; "
+                f"compact() the table or use the DataFrame read path")
+        arr = rb.column(idx)
         if op == "in":
             m = pc.is_in(arr, value_set=pa.array(list(val)))
         else:

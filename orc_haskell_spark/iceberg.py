@@ -1121,6 +1121,29 @@ def encode_iceberg_to_dir(spark, table_path: str, out_path: str,
     # the output never includes non-matching rows from kept files
     terms = (where.terms if isinstance(where, Predicate)
              else (list(where) if where else None))
+    if terms:
+        # identity-partition terms that the plan prune evaluated on a
+        # non-null partition value of EVERY selected file are already
+        # exact (constant per file) — drop them from the residual.
+        # This also keeps hive-layout tables working, where the
+        # partition column is absent from the data files' physical
+        # schema and a row-level residual would refuse.
+        name_of_id = {f["id"]: f["name"] for f in fields}
+        ident = {}                      # source column -> partition name
+        for sp in meta.get("partition-specs", []):
+            for pf in sp.get("fields", []):
+                if pf.get("transform", "identity") == "identity":
+                    src = name_of_id.get(pf.get("source-id"))
+                    if src:
+                        ident.setdefault(src, pf["name"])
+
+        def _exactly_pruned(col: str) -> bool:
+            pname = ident.get(col)
+            return pname is not None and all(
+                (f.get("partition") or {}).get(pname) is not None
+                for f in files)
+
+        terms = [t for t in terms if not _exactly_pruned(t[0])] or None
     summary = manifest.encode_parquet_to_dir(
         spark, table_path, out_path,
         files=[f["file_path"] for f in files],

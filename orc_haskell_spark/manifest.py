@@ -42,10 +42,18 @@ def _config_hash(config: dict | None, stripe_rows: int,
                         else arr.to_pylist())
                 h.update(str(rows).encode())
         vextra = h.hexdigest()
-    blob = json.dumps({"config": config or {}, "stripe_rows": stripe_rows,
-                       "drops": extra, "vdrops": vextra,
-                       "residual": [[c, o, repr(v)] for c, o, v in residual]
-                       if residual else None}, sort_keys=True)
+    blob_dict = {"config": config or {}, "stripe_rows": stripe_rows,
+                 "drops": extra, "vdrops": vextra}
+    if residual:
+        # sort unordered collections ('in' predicates): set iteration
+        # order varies across interpreter runs and would make the
+        # resume hash refuse its own job after a driver restart. The
+        # key is OMITTED when no residual so pre-existing out_paths
+        # keep their original hashes.
+        blob_dict["residual"] = [
+            [c, o, repr(sorted(v) if isinstance(v, (set, frozenset))
+                        else v)] for c, o, v in residual]
+    blob = json.dumps(blob_dict, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 

@@ -620,7 +620,8 @@ def write_orc(data, where, compression: str = "ZLIB",
               schema: pa.Schema | None = None,
               row_index_stride: int = 10000,
               bloom_filter_columns: list[str] | None = None,
-              bloom_filter_fpp: float = 0.05) -> dict:
+              bloom_filter_fpp: float = 0.05,
+              rechunk: bool = True) -> dict:
     """Write a Table / RecordBatch / ITERATOR of RecordBatches as a real
     ORC file. Returns a summary dict {stripes, bytes, rows}.
 
@@ -700,7 +701,11 @@ def write_orc(data, where, compression: str = "ZLIB",
         stripe_stats: list[dict] = []
         agg_stats: list = [None] * n_cols
         total_rows = 0
-        for chunk in _rechunk(batches, stripe_rows, stripe_bytes):
+        # rechunk=False: one INPUT batch -> one stripe, exactly (the
+        # stripe-preserving rewrite shape; _rechunk would merge small
+        # leading batches into a later one's budget)
+        for chunk in (_rechunk(batches, stripe_rows, stripe_bytes)
+                      if rechunk else batches):
             if chunk is None or chunk.num_rows == 0:
                 continue
             cw = _ColumnWriter(types, dict_ratio)

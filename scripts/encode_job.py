@@ -55,6 +55,12 @@ def parse_where(s: str | None):
                     raise SystemExit(
                         f"--where term {raw!r}: {col!r} is not a "
                         f"column name (supported ops: = < <= > >=)")
+                if val[:1] in ("=", "<", ">"):
+                    # 'lang==en' would otherwise compare against '=en'
+                    # and silently encode 0 rows
+                    raise SystemExit(
+                        f"--where term {raw!r}: operator {op + val[0]!r} "
+                        f"is not supported (use = < <= > >=)")
                 for cast in (int, float, str):
                     try:
                         v = cast(val)

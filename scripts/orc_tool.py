@@ -96,20 +96,51 @@ def _jsonable(v, t):
     return v
 
 
-def _column_json(arr):
-    """One column -> list of JSON-clean values; unions need array-level
-    handling (to_pylist drops the tag the reference prints)."""
+def _contains_union(t) -> bool:
     import pyarrow as pa
 
-    t = arr.type
     if pa.types.is_union(t):
-        out = []
-        for sc in arr:
-            out.append({"tag": sc.type_code,
-                        "value": _jsonable(sc.value.as_py()
-                                           if sc.value is not None else None,
-                                           t[sc.type_code].type)})
-        return out
+        return True
+    if pa.types.is_struct(t):
+        return any(_contains_union(f.type) for f in t)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _contains_union(t.value_type)
+    if pa.types.is_map(t):
+        return _contains_union(t.key_type) or _contains_union(t.item_type)
+    return False
+
+
+def _scalar_json(sc):
+    """Scalar walk preserving union tags at ANY nesting depth (the
+    to_pylist fast path drops them — it yields the bare value)."""
+    import pyarrow as pa
+
+    t = sc.type
+    if not sc.is_valid:
+        return None
+    if pa.types.is_union(t):
+        v = sc.value
+        return {"tag": sc.type_code,
+                "value": _scalar_json(v) if v is not None else None}
+    if pa.types.is_struct(t):
+        return {f.name: _scalar_json(sc[f.name]) for f in t}
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return [_scalar_json(x) for x in sc]
+    if pa.types.is_map(t):
+        entries = sc.values            # StructArray of (key, value)
+        return [{"key": _scalar_json(entries.field(0)[i]),
+                 "value": _scalar_json(entries.field(1)[i])}
+                for i in range(len(entries))]
+    return _jsonable(sc.as_py(), t)
+
+
+def _column_json(arr):
+    """One column -> list of JSON-clean values; union-containing types
+    take the scalar walk (tags survive at any depth), everything else
+    the vectorized to_pylist path."""
+    t = arr.type
+    if _contains_union(t):
+        return [_scalar_json(sc) for sc in arr]
     return [_jsonable(v, t) for v in arr.to_pylist()]
 
 
@@ -145,16 +176,17 @@ def _rewrite(args, chunk_rows: int | None) -> None:
     f = ORCFile(args.input)
     comp = (args.compression or f.compression).upper()
     if chunk_rows is None:
-        # stripe-preserving: one input stripe -> one output stripe
-        rows = max((s.get("numberOfRows", 0) for s in f.stripes),
-                   default=1) or 1
-        byte_budget = 1 << 62
+        # stripe-preserving: one input stripe -> one output stripe,
+        # exactly (rechunk=False bypasses the merge of small stripes)
+        summary = write_orc(
+            (f.read_stripe(i) for i in range(len(f.stripes))),
+            args.output, compression=comp, schema=f.schema,
+            rechunk=False)
     else:
-        rows, byte_budget = chunk_rows, 64 << 20
-    summary = write_orc(
-        (f.read_stripe(i) for i in range(len(f.stripes))),
-        args.output, compression=comp, stripe_rows=rows,
-        stripe_bytes=byte_budget, schema=f.schema)
+        summary = write_orc(
+            (f.read_stripe(i) for i in range(len(f.stripes))),
+            args.output, compression=comp, stripe_rows=chunk_rows,
+            stripe_bytes=64 << 20, schema=f.schema)
     print(f"wrote {summary['rows']} rows in {summary['stripes']} "
           f"stripe(s), {summary['bytes']} bytes, {comp}",
           file=sys.stderr)
@@ -192,7 +224,13 @@ def main(argv=None) -> None:
         else:
             _rewrite(args, args.chunk_size)
     except BrokenPipeError:             # `orc_tool json f | head` is fine
-        sys.stderr.close()
+        import os
+
+        # point stdout's fd at devnull BEFORE interpreter exit: the
+        # final flush of the buffered remainder would otherwise hit
+        # EPIPE again and CPython exits 120 instead of 0
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
         sys.exit(0)
 
 

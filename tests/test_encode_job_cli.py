@@ -150,3 +150,16 @@ def test_pkg_stamp_invalidates_on_delete(tmp_path):
     (pkg / "b.py").unlink()
     s2 = mod._pkg_stamp(str(pkg), str(tmp_path))
     assert s1 != s2
+
+
+def test_parse_where_rejects_double_equals():
+    """'lang==en' must refuse, not silently compare against '=en'."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import pytest
+
+    from encode_job import parse_where
+
+    with pytest.raises(SystemExit, match="=="):
+        parse_where("lang==en")
+    with pytest.raises(SystemExit):
+        parse_where("views>=>5")

@@ -549,3 +549,32 @@ def test_encode_table_auto_fuses_bare_parquet_scan(spark, tmp_path):
                                num_partitions=2)
     planp = encp._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in planp
+
+
+def test_auto_fuse_declines_retyped_schema(spark, tmp_path):
+    """A user .schema() with matching names but different TYPES must
+    keep the DataFrame path (the fused scan would encode the file's
+    physical types)."""
+    src = str(tmp_path / "typed_pq")
+    spark.range(100).selectExpr("cast(id as int) as id").write.parquet(src)
+    retyped = spark.read.schema("id long").parquet(src)
+    assert engine._pure_parquet_scan_files(retyped) is None
+    same = spark.read.parquet(src)
+    assert engine._pure_parquet_scan_files(same) is not None
+
+
+def test_fused_config_hash_residual_stability():
+    """Set-valued 'in' residuals hash identically regardless of set
+    iteration order, and a None residual leaves pre-existing hashes
+    unchanged (resume compatibility across the upgrade)."""
+    h0 = manifest._config_hash({"compression": "zstd"}, 65536)
+    h0b = manifest._config_hash({"compression": "zstd"}, 65536,
+                                residual=None)
+    assert h0 == h0b
+    ha = manifest._config_hash({}, 65536,
+                               residual=[("lang", "in", {"en", "de", "fr"})])
+    hb = manifest._config_hash({}, 65536,
+                               residual=[("lang", "in",
+                                          frozenset(["fr", "en", "de"]))])
+    assert ha == hb
+    assert ha != h0

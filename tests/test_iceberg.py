@@ -1510,3 +1510,54 @@ def test_encode_iceberg_to_dir_where_is_row_exact(spark, tmp_path):
                  .select("views").collect())
     # ...but rows 800..849 of the kept group are filtered row-level
     assert got == list(range(850, 1000))
+
+
+def test_where_residual_missing_column_refuses(spark, tmp_path):
+    """A residual on a column absent from a file's physical schema must
+    refuse loudly (get_field_index returns -1 and the old code filtered
+    on the LAST column)."""
+    import pyarrow as pa
+
+    from orc_haskell_spark import engine
+
+    rb = pa.record_batch([pa.array([1, 2], pa.int64())], names=["a"])
+    with pytest.raises(ValueError, match="absent"):
+        engine._residual_mask(rb, [("missing", "=", 1)])
+
+
+def test_fused_where_on_hive_layout_partition_column(spark, tmp_path):
+    """--where on an identity-partition column over hive-layout files
+    (column only in metadata, not in the data files): the plan-time
+    prune is exact, the term is dropped from the residual, and the
+    encode succeeds with exactly the matching rows."""
+    import pyarrow.parquet as pq2
+
+    from orc_haskell_spark import engine, manifest
+
+    root = str(tmp_path / "t_hive")
+    os.makedirs(os.path.join(root, "data"))
+    full = pa.table({
+        "url": pa.array([f"u{i}" for i in range(20)]),
+        "views": pa.array(np.arange(20), pa.int64()),
+        "lang": pa.array(["en" if i % 2 else "de" for i in range(20)])})
+    iceberg.create_table(root, full.schema, partition_by=["lang"])
+    paths, parts = [], []
+    for lang in ("de", "en"):
+        import pyarrow.compute as pc
+
+        sub = full.filter(pc.equal(full.column("lang"), lang))
+        sub = sub.drop_columns(["lang"])     # hive layout: metadata-only
+        p = os.path.join(root, "data", f"{lang}.parquet")
+        pq2.write_table(sub, p)
+        paths.append(p)
+        parts.append({"lang": lang})
+    iceberg.append_files(root, paths, parts)
+    out = str(tmp_path / "hive_out")
+    s = iceberg.encode_iceberg_to_dir(
+        spark, root, out, where=[("lang", "=", "en")], num_partitions=2)
+    assert s["splits_encoded"] > 0
+    enc = manifest.read_fused_encoded(spark, out)
+    schema = spark.read.parquet(paths[0]).schema
+    got = sorted(r.views for r in engine.decode_table(enc, schema)
+                 .select("views").collect())
+    assert got == [i for i in range(20) if i % 2 == 1]   # en rows only
