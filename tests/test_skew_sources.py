@@ -88,6 +88,8 @@ def test_salted_repartition_spreads_hot_encode_key(spark):
         cols = [F.xxhash64("lang")]
         if salt > 1:
             cols.append(F.pmod(F.xxhash64(*docs.columns), F.lit(salt)))
+        # engine's SALTED shuffle form (range: salt buckets never
+        # hash-collide into one partition; plain keys use hash)
         rep = docs.repartitionByRange(n_parts, *cols)
         sizes = (rep.withColumn("p", F.spark_partition_id())
                  .groupBy("p").count().collect())
