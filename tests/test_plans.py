@@ -117,3 +117,18 @@ def test_fused_encode_single_stage_no_exchange(spark, tmp_path):
     assert enc.rdd.getNumPartitions() == 4
     # and the scan feeding it is split metadata only, not table rows
     assert "Scan ExistingRDD" in plan or "ExistingRDD" in plan
+
+
+def test_unsalted_encode_key_uses_hash_not_range(spark):
+    """partition_on without salt must HASH-repartition: range
+    partitioning adds a full sampling scan to pick boundaries, pure
+    waste over an already-uniform xxhash64 key. Salted hot-key encodes
+    keep RANGE so the few salt copies land in distinct partitions."""
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plain = _plan(engine.encode_table(df, partition_on=["doc_id"],
+                                      num_partitions=4))
+    assert "hashpartitioning" in plain
+    assert "rangepartitioning" not in plain
+    salted = _plan(engine.encode_table(df, partition_on=["lang"],
+                                       salt_buckets=4, num_partitions=4))
+    assert "rangepartitioning" in salted
