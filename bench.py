@@ -116,7 +116,13 @@ def main() -> None:
         # ---- encode pages (the headline metric)
         # blobs are already block-compressed: parquet re-compression off
         enc_pages_path = f"{tmp}/enc_pages"
-        part_kw = ({"partition_on": "url", "num_partitions": CPUS * 2}
+        # one partition per core, NOT 2x: tasks are uniform here, so a
+        # second wave buys no balance — it just halves stripe size and
+        # doubles the per-stripe fixed cost (codec selection + FSST
+        # training). Measured interleaved at local[32]: fused 1.83 s at
+        # 64 parts vs 1.31 s at 32 (16 parts: 1.24 s — marginal, and
+        # halves the cores used). Real skewed inputs want CPUS*2 back.
+        part_kw = ({"partition_on": "url", "num_partitions": CPUS}
                    if SHUFFLE else {})
 
         def run_encode_pages():
@@ -146,7 +152,7 @@ def main() -> None:
         def run_encode_fused():
             shutil.rmtree(enc_fused_path, ignore_errors=True)
             engine.encode_parquet(spark, pages_path,
-                                  num_partitions=CPUS * 2) \
+                                  num_partitions=CPUS) \
                 .write.option("compression", "uncompressed") \
                 .parquet(enc_fused_path)
 

@@ -308,27 +308,38 @@ def train(data: np.ndarray) -> SymbolTable:
         else:
             rep = gains = klen = keys  # empty
             sel = np.arange(0)
-        # score existing symbols by current usage
+        # score existing symbols by current usage, then rank the union
+        # of existing + candidate symbols by (-gain, symbol bytes) and
+        # keep the top MAX_SYMBOLS — all in numpy (the tuple-list sort
+        # this replaces was ~40% of training wall). Comparison key: a
+        # symbol's bytes right-zero-padded to 8 and read big-endian
+        # orders exactly like the bytes themselves, with the length as
+        # tiebreak for prefix pairs ('ab' < 'ab\0'). byteswap() turns
+        # the little-endian packed keys (first byte lowest) into that
+        # big-endian form, the unused high bytes becoming the zero pad.
         sym_counts = np.bincount(codes[codes >= 0], minlength=table.lens.size)
-        scored: list[tuple[int, bytes]] = []
-        for code in range(table.lens.size):
-            s = table.flat[table.offsets[code]: table.offsets[code + 1]].tobytes()
-            gain = int(sym_counts[code]) * max(1, len(s) - 1)
-            scored.append((gain, s))
-        for i in sel.tolist():
-            ln = int(klen[rep[i]])
-            s = int(keys[rep[i]]).to_bytes(8, "little")[:ln]
-            scored.append((int(gains[i]), s))
-        # escape pressure: always keep bytes that appear, as singles
-        scored.sort(key=lambda t: (-t[0], t[1]))
-        seen: set[bytes] = set()
-        chosen: list[bytes] = []
-        for _, s in scored:
-            if s not in seen:
-                seen.add(s)
-                chosen.append(s)
-            if len(chosen) == MAX_SYMBOLS:
-                break
+        ex_lens = table.lens
+        ex_le = np.zeros(ex_lens.size, dtype=np.uint64)
+        starts = table.offsets[:-1]
+        for i in range(8):
+            m = ex_lens > i
+            ex_le[m] |= (table.flat[starts[m] + i].astype(np.uint64)
+                         << np.uint64(8 * i))
+        ex_gains = sym_counts.astype(np.int64) * np.maximum(1, ex_lens - 1)
+        r = rep[sel]
+        all_pads = np.concatenate([ex_le.byteswap(), keys[r].byteswap()])
+        all_lens = np.concatenate([ex_lens,
+                                   klen[r].astype(np.int64)])
+        all_gains = np.concatenate([ex_gains, gains[sel].astype(np.int64)])
+        # dedup: a symbol can appear as both existing and candidate;
+        # keeping its max-gain instance is identical to "first
+        # occurrence wins" under the (-gain, bytes) order
+        o = np.lexsort((-all_gains, all_lens, all_pads))
+        p1, l1, g1 = all_pads[o], all_lens[o], all_gains[o]
+        grp = np.r_[True, (p1[1:] != p1[:-1]) | (l1[1:] != l1[:-1])]
+        p1, l1, g1 = p1[grp], l1[grp], g1[grp]
+        o2 = np.lexsort((l1, p1, -g1))[:MAX_SYMBOLS]
+        chosen = [int(p1[j]).to_bytes(8, "big")[:int(l1[j])] for j in o2]
         table = SymbolTable(chosen)
     return table
 
