@@ -1,0 +1,104 @@
+"""HTML -> text extraction: the north rule's byte-identity invariant
+(main_content(html) == text on the pages corpus), entity handling,
+malformed-input tolerance, and the distributed wrapper."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from orc_haskell_spark import gen
+from orc_haskell_spark.pipeline import extract
+
+
+def test_main_content_byte_identity_on_pages_corpus():
+    """THE invariant: for every non-null page, boilerplate removal
+    returns the source text byte-identically (3k rows, all pad/lang/
+    length variants)."""
+    t = gen.pages_table(0, 3000)
+    n = 0
+    for h, x in zip(t.column("html").to_pylist(), t.column("text").to_pylist()):
+        if h is None:
+            continue
+        assert extract.main_content(h) == x
+        n += 1
+    assert n > 2800
+
+
+def test_escape_roundtrip_exact():
+    """escape_html_text -> main_content is an exact inverse, even when
+    the source already contains entity-looking substrings."""
+    for src in ("a < b & c > d", "&amp; &#65; &unknown;", "x\r\ny\tz  w",
+                "<script>alert(1)</script>", "", "plain"):
+        wrapped = ("<html><body><div><a href='/'>home</a><a href='/'>"
+                   "about page</a></div><main>"
+                   + extract.escape_html_text(src)
+                   + "</main></body></html>")
+        assert extract.main_content(wrapped) == src
+
+
+def test_link_dense_blocks_lose():
+    html = ("<body><nav><div><a>one long link text</a><a>another link "
+            "here</a></div></nav><article><section><div>Real content "
+            "with plenty of plain words to win the density vote."
+            "</div></section></article></body>")
+    got = extract.main_content(html)
+    assert "Real content" in got and "long link" not in got
+
+
+def test_head_script_style_skipped():
+    html = ("<html><head><title>T</title><style>.x{color:red}</style>"
+            "<script>var a=1;</script></head><body><div>only this"
+            "</div></body></html>")
+    assert extract.main_content(html) == "only this"
+    assert extract.visible_text(html) == "only this"
+
+
+def test_malformed_html_tolerated():
+    # unclosed, mis-nested, stray end tags: no crash, best-effort text
+    assert "bold" in extract.main_content("<div><b>bold<div>more")
+    assert extract.main_content("</div></p><main>x</main>") == "x"
+    assert extract.main_content("") == ""
+    assert extract.main_content(b"\xff\xfenot html at all") == ""
+
+
+def test_visible_text_normalizes():
+    html = ("<body><p>Hello   world</p><p></p><ul><li>a</li><li>b</li>"
+            "</ul>tail</body>")
+    assert extract.visible_text(html) == "Hello world\na\nb\ntail"
+
+
+def test_extract_df_distributed(spark):
+    """Distributed extraction over pages_df reproduces the text column
+    for every non-null html row; schema = input minus text plus text."""
+    n = 800
+    df = gen.pages_df(spark, n, num_partitions=3)
+    out = extract.extract_df(df, html_col="html", mode="main",
+                             out_col="extracted")
+    rows = {r.url: r for r in out.collect()}
+    src = gen.pages_table(0, n)
+    for url, html, text in zip(src.column("url").to_pylist(),
+                               src.column("html").to_pylist(),
+                               src.column("text").to_pylist()):
+        r = rows[url]
+        if html is None:
+            assert r.extracted is None
+        else:
+            assert r.extracted == text == r.text
+
+
+def test_extract_df_replaces_column(spark):
+    """out_col colliding with an input column replaces it (the
+    html->text recompute shape)."""
+    df = gen.pages_df(spark, 100, num_partitions=2)
+    out = extract.extract_df(df, mode="main", out_col="text")
+    assert out.columns.count("text") == 1
+    got = out.filter("html is not null").select("text").limit(5).collect()
+    assert all(r.text for r in got)
+
+
+def test_extract_df_plan_is_narrow(spark):
+    df = gen.pages_df(spark, 50, num_partitions=2)
+    plan = extract.extract_df(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

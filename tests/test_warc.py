@@ -1,0 +1,187 @@
+"""WARC source/sink: record format, gzip-member streaming, corruption
+resync, and the distributed read/write roundtrip."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import re
+import zlib
+
+import pyarrow as pa
+import pytest
+
+from orc_haskell_spark import gen, warc
+
+ROWS = [
+    ("https://a.example/1", 1704067200_000_000, b"<html>one</html>"),
+    ("https://a.example/2", 1704067201_500_000, None),  # -> metadata rec
+    ("https://b.example/3", 1704067202_000_001, b"<html>\xe2\x82\xac</html>"),
+]
+
+
+def _responses(path, **kw):
+    return list(warc.iter_warc_file(str(path), **kw))
+
+
+def test_roundtrip_gzip_and_plain(tmp_path):
+    gz, plain = tmp_path / "t.warc.gz", tmp_path / "t.warc"
+    assert warc.write_warc_file(str(gz), ROWS) == 4  # warcinfo + 3
+    warc.write_warc_file(str(plain), ROWS, gzip_members=False)
+    got = _responses(gz)
+    assert got == _responses(plain)
+    # null-html row became a skipped metadata record
+    assert [r[0] for r in got] == ["https://a.example/1", "https://b.example/3"]
+    assert got[0] == ("https://a.example/1", 1704067200_000_000, 200,
+                      "text/html; charset=utf-8", b"<html>one</html>")
+    # microsecond WARC-Date precision survives
+    assert got[1][1] == 1704067202_000_001
+    assert got[1][4] == b"<html>\xe2\x82\xac</html>"
+
+
+def test_deterministic_bytes(tmp_path):
+    """A re-run writes byte-identical output (uuid5 record ids, no
+    gzip mtime, warcinfo id from the BASENAME only): rename-on-commit
+    re-runs are idempotent wherever the file lands."""
+    (tmp_path / "r1").mkdir()
+    (tmp_path / "r2").mkdir()
+    a = tmp_path / "r1" / "part.warc.gz"
+    b = tmp_path / "r2" / "part.warc.gz"
+    warc.write_warc_file(str(a), ROWS)
+    warc.write_warc_file(str(b), ROWS)
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_gzip_member_per_record(tmp_path):
+    p = tmp_path / "t.warc.gz"
+    warc.write_warc_file(str(p), ROWS)
+    raw = p.read_bytes()
+    # one member per record: 4 gzip magics (Common-Crawl layout)
+    assert len(re.findall(b"\x1f\x8b\x08", raw)) >= 4
+    # pyarrow-free streaming read of concatenated members
+    members = list(warc._iter_gzip_members(io.BytesIO(raw)))
+    assert len(members) == 4
+    assert members[1].startswith(b"WARC/1.0\r\nWARC-Type: response")
+
+
+def test_single_member_archive(tmp_path):
+    """A whole-file single gzip stream (records span 'members')."""
+    plain = tmp_path / "t.warc"
+    warc.write_warc_file(str(plain), ROWS, gzip_members=False)
+    one = tmp_path / "one.warc.gz"
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    one.write_bytes(co.compress(plain.read_bytes()) + co.flush())
+    assert _responses(one) == _responses(plain)
+
+
+def test_corrupt_gzip_member(tmp_path):
+    p = tmp_path / "t.warc.gz"
+    warc.write_warc_file(str(p), ROWS)
+    raw = bytearray(p.read_bytes())
+    starts = [m.start() for m in re.finditer(b"\x1f\x8b\x08", bytes(raw))]
+    raw[starts[2] + 20] ^= 0xFF  # flip a byte inside the 2nd response
+    bad = tmp_path / "bad.warc.gz"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="bad.warc.gz"):
+        _responses(bad)
+    errs = []
+    got = _responses(bad, strict=False, errors=errs)
+    assert len(got) == 1 and len(errs) == 1  # 1st response survives
+
+
+def test_corrupt_record_resyncs_at_member_boundary(tmp_path):
+    p = tmp_path / "t.warc.gz"
+    warc.write_warc_file(str(p), ROWS)
+    raw = p.read_bytes()
+    starts = [m.start() for m in re.finditer(b"\x1f\x8b\x08", raw)]
+    junk = warc._gzip_member(b"WARC/1.0\r\nNoColonHeader\r\n\r\n")
+    mixed = raw[:starts[2]] + junk + raw[starts[2]:]
+    bad = tmp_path / "mixed.warc.gz"
+    bad.write_bytes(mixed)
+    with pytest.raises(ValueError, match="malformed header"):
+        _responses(bad)
+    errs = []
+    got = _responses(bad, strict=False, errors=errs)
+    # ONLY the junk member is lost: both real responses survive
+    assert [r[0] for r in got] == ["https://a.example/1", "https://b.example/3"]
+    assert len(errs) == 1
+
+
+def test_truncated_final_record(tmp_path):
+    plain = tmp_path / "t.warc"
+    warc.write_warc_file(str(plain), ROWS, gzip_members=False)
+    cut = tmp_path / "cut.warc"
+    cut.write_bytes(plain.read_bytes()[:-40])
+    with pytest.raises(ValueError, match="truncated"):
+        _responses(cut)
+    errs = []
+    got = _responses(cut, strict=False, errors=errs)
+    assert len(got) == 1 and errs  # last response lost, first kept
+
+
+def test_http_parse_variants():
+    # chunked transfer-encoding
+    chunked = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n"
+               b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n")
+    assert warc.parse_http_response(chunked) == (200, "text/html", b"Wikipedia")
+    # bare-\n endings and folded header
+    bare = (b"HTTP/1.1 404 Not Found\nContent-Type: text/plain;\n"
+            b"  charset=latin-1\nContent-Length: 2\n\nno")
+    st, ct, body = warc.parse_http_response(bare)
+    assert (st, body) == (404, b"no")
+    assert ct == "text/plain; charset=latin-1"
+    # non-HTTP payload (resource record): whole payload is the body
+    assert warc.parse_http_response(b"just bytes") == (None, None, b"just bytes")
+
+
+def test_warc_date_roundtrip():
+    for us in (0, 1704067200_000_000, 1704067200_123456, 123, 86399_999999):
+        assert warc.parse_warc_date(warc.format_warc_date(us)) == us
+    assert warc.parse_warc_date("2024-01-01T00:00:00+00:00") == 1704067200_000_000
+
+
+def test_lpt_buckets_balance():
+    files = [(f"f{i}", w) for i, w in enumerate([100, 1, 1, 1, 97, 1, 1, 98])]
+    buckets = warc._lpt_buckets(files, 3)
+    loads = sorted(sum(dict(files)[f] for f in b) for b in buckets)
+    assert len(buckets) == 3 and loads[-1] <= 103  # fat files separated
+
+
+def test_distributed_roundtrip(spark, tmp_path):
+    """pages_df -> write_warc (rename-on-commit parts) -> read_warc
+    equals the source on every surviving column, distributed."""
+    n = 1500
+    df = gen.pages_df(spark, n, num_partitions=4)
+    out = str(tmp_path / "crawl")
+    summary = warc.write_warc(df, out).collect()  # lazy: runs here
+    assert sum(r.n_records for r in summary) == n + 4  # + per-part warcinfo
+    assert all(r.file.endswith(".warc.gz") for r in summary)
+
+    back = warc.read_warc(spark, out, num_partitions=3)
+    got = {r.url: r for r in back.collect()}
+    src = gen.pages_table(0, n)
+    n_resp = 0
+    for url, ts, html in zip(src.column("url").to_pylist(),
+                             src.column("warc_ts").to_pylist(),
+                             src.column("html").to_pylist()):
+        if html is None:
+            assert url not in got  # metadata records are skipped
+            continue
+        n_resp += 1
+        r = got[url]
+        assert bytes(r.html) == html
+        assert r.status == 200 and r.content_type.startswith("text/html")
+        rt = r.warc_ts if r.warc_ts.tzinfo else \
+            r.warc_ts.replace(tzinfo=dt.timezone.utc)
+        assert rt == ts  # microsecond-exact through WARC-Date
+    assert len(got) == n_resp
+
+
+def test_read_warc_plan_is_narrow(spark, tmp_path):
+    """No shuffle in the scan: parallelize -> mapInArrow only."""
+    df = gen.pages_df(spark, 200, num_partitions=2)
+    out = str(tmp_path / "crawl")
+    warc.write_warc(df, out).collect()
+    plan = warc.read_warc(spark, out)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
