@@ -1,0 +1,80 @@
+"""Driver-gate query pinning.
+
+Two jobs: (1) keep the round-5 swapped-OUT queries (roundtrip_dims,
+direct-codec documents roundtrip) exactly oracle-checked even though
+the 50-query driver cap no longer has room for them; (2) pre-flight the
+swapped-IN WARC pair against the same oracles the driver will run, so
+a gate regression shows up here first."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as e
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present")
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _compare(spark, oracle, qname, query_fn=None, oracle_sql=None):
+    sdf = (query_fn or e.queries()[qname])(spark, SF).toPandas()
+    odf = oracle.execute(oracle_sql or e.oracle_sql()[qname]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(by=cols).reset_index(drop=True)
+    o = odf[cols].sort_values(by=cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+    return len(s)
+
+
+def test_roundtrip_dims_still_oracle_exact(spark, oracle):
+    """Swapped out of the gate in round 5; pinned here instead."""
+    n = _compare(spark, oracle, "roundtrip_dims",
+                 query_fn=e._roundtrip_dims,
+                 oracle_sql=e._roundtrip_dims_oracle_sql())
+    assert n == 5  # one digest row per dimension table
+
+
+def test_roundtrip_direct_documents_still_oracle_exact(spark, oracle):
+    """Swapped out of the gate in round 5; pinned here instead."""
+    n = _compare(spark, oracle, "roundtrip_direct_documents",
+                 query_fn=e._mk_roundtrip("documents",
+                                          {"string_codec": "direct"}),
+                 oracle_sql=e._select_sql("documents"))
+    assert n > 0
+
+
+def test_warc_ingest_pages_gate_preflight(spark, oracle):
+    assert _compare(spark, oracle, "warc_ingest_pages") > 0
+
+
+def test_warc_extract_pages_gate_preflight(spark, oracle):
+    assert _compare(spark, oracle, "warc_extract_pages") > 0
+
+
+def test_gate_cap_and_oracle_coverage():
+    """The driver runs at most 50 queries; every one has an oracle."""
+    qs, osql = e.queries(), e.oracle_sql()
+    assert len(qs) == 50
+    assert not [k for k in qs if k not in osql]   # all oracle-checked
+    assert not [k for k in osql if k not in qs]   # no orphan oracles
