@@ -1,0 +1,118 @@
+"""Ship surface: scripts/ingest_warc.py (WARC -> pages table) chained
+into scripts/encode_job.py (pages -> encoded stripes) — the complete
+north-rule pipeline driven through its CLIs."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+
+from orc_haskell_spark import gen, iceberg, warc
+from orc_haskell_spark.pipeline import extract
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, PYTHONPATH=REPO)
+
+
+def _write_crawl(tmp_path, n=400):
+    """Two .warc.gz files of gen pages (html non-null rows only)."""
+    t = gen.pages_table(0, n)
+    rows = [(u, ts, h) for u, ts, h in zip(
+        t.column("url").to_pylist(),
+        [int(x.timestamp() * 1e6) for x in t.column("warc_ts").to_pylist()],
+        t.column("html").to_pylist()) if h is not None]
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    half = len(rows) // 2
+    warc.write_warc_file(str(crawl / "a.warc.gz"), rows[:half])
+    warc.write_warc_file(str(crawl / "b.warc.gz"), rows[half:])
+    src = {u: (h, x) for u, h, x in zip(t.column("url").to_pylist(),
+                                        t.column("html").to_pylist(),
+                                        t.column("text").to_pylist())
+           if h is not None}
+    return crawl, src
+
+
+def _run(script, *args):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script), *args],
+        capture_output=True, text=True, timeout=600, env=ENV, cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    return r
+
+
+def test_ingest_then_encode_pipeline(tmp_path):
+    crawl, src = _write_crawl(tmp_path)
+    pages = str(tmp_path / "pages")
+    r = _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+             "--partitions", "2", "--extract", "main", "--lang-id",
+             "--commit-iceberg")
+    assert f"ingested rows={len(src)}" in r.stdout
+    assert "iceberg commit: snapshot" in r.stdout
+
+    # the committed Iceberg table holds the input_hint schema with the
+    # north rule's invariant: text == main_content(html), byte-exact
+    files = iceberg.plan_files(pages)
+    assert sum(f["record_count"] for f in files) == len(src)
+    got = pq.read_table([f["file_path"] for f in files])
+    assert got.column_names == ["url", "warc_ts", "html", "text", "lang"]
+    for u, h, x in zip(got.column("url").to_pylist(),
+                       got.column("html").to_pylist(),
+                       got.column("text").to_pylist()):
+        assert (h, x) == (src[u][0], src[u][1])
+    assert set(got.column("lang").to_pylist()) <= {"en", "de", "fr", "es",
+                                                   "und"}
+
+    # re-run with nothing new: Spark append writes new parts only on a
+    # new run; a bare re-commit of the same dir is a no-op
+    snap = iceberg.commit_parquet_dir(pages, os.path.join(pages, "data"))
+    assert snap is None
+
+    # chain: encode the ingested Iceberg pages table (fused path)
+    out = str(tmp_path / "encoded")
+    r2 = _run("encode_job.py", "--input", pages, "--output", out,
+              "--fused", "--partitions", "2")
+    assert "iceberg snapshot planned:" in r2.stdout
+    assert os.path.isdir(os.path.join(out, "stripes"))
+
+
+def test_encoded_pipeline_output_decodes_back(tmp_path, spark):
+    """WARC -> ingest CLI -> encode CLI -> decode in-process: the full
+    chain reproduces every url/text byte-identically."""
+    from orc_haskell_spark import engine, manifest
+
+    crawl, src = _write_crawl(tmp_path, n=200)
+    pages = str(tmp_path / "pages")
+    _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+         "--partitions", "2", "--commit-iceberg")
+    out = str(tmp_path / "encoded")
+    _run("encode_job.py", "--input", pages, "--output", out,
+         "--fused", "--partitions", "2")
+    enc = manifest.read_fused_encoded(spark, out)
+    ingested = spark.read.parquet(os.path.join(pages, "data"))
+    dec = engine.decode_table(enc, ingested.schema)
+    got = {r.url: r.text for r in dec.collect()}
+    assert len(got) == len(src)
+    assert all(got[u] == x for u, (_h, x) in src.items())
+
+
+def test_ingest_status_filter_and_lenient(tmp_path):
+    crawl, src = _write_crawl(tmp_path, n=120)
+    # corrupt one gzip member in file a: lenient run must survive
+    import re
+    p = crawl / "a.warc.gz"
+    raw = bytearray(p.read_bytes())
+    starts = [m.start() for m in re.finditer(b"\x1f\x8b\x08", bytes(raw))]
+    raw[starts[1] + 24] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    pages = str(tmp_path / "pages")
+    r = _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+             "--partitions", "2", "--extract", "none", "--lenient")
+    n = int(r.stdout.split("ingested rows=")[1].split()[0])
+    assert 0 < n < len(src)  # lost the corrupt member's stretch only
+    t = pq.read_table(os.path.join(pages, "data"))
+    assert t.column("text").null_count == t.num_rows  # --extract none
+    assert set(t.column("lang").to_pylist()) == {"und"}
