@@ -62,6 +62,39 @@ def test_malformed_html_tolerated():
     assert extract.main_content(b"\xff\xfenot html at all") == ""
 
 
+TRICKY = [
+    "<div a='x>y'>quoted gt<main>M body content here</main></div>",
+    '<div data-x="a>b" >attr gt</div><main>M body content here</main>',
+    "<!-- c --><main>M body content here</main><!doctype html>",
+    "<script>var a='<div>no</div>';</script><main>M body content here</main>",
+    "<style>a>b{}</style><main>M body content here</main>",
+    "<main>a &lt; b &amp; c &gt; d</main>",
+    "<main>5 < 6 and 7 > 2</main>",          # literal < and >
+    "<MAIN>upper case</MAIN>",
+    "<main>x</main",                          # truncated tag at EOF
+    "<main>unclosed",
+    "<p>a<br/>b</p><main>M body content here</main>",
+    "<main>x<3 hearts</main>",                # '<' before a digit
+    "<main>a</ div>b</main>",                 # whitespace end tag
+    "<main>x<a:link>y</a:link>z</main>",      # colon tag name != <a>
+    "<main>t</main><script>never closed",     # unterminated rawtext
+    "",
+]
+
+
+def test_fast_engine_matches_strict():
+    """The fast regex scanner and stdlib html.parser produce identical
+    extractions on the whole gen corpus and on adversarial markup —
+    the fast path is the 100 TB default, the strict path the oracle."""
+    t = gen.pages_table(0, 2000)
+    pages = [h for h in t.column("html").to_pylist() if h is not None]
+    for h in pages + TRICKY:
+        assert extract.main_content(h, "fast") == \
+            extract.main_content(h, "strict")
+        assert extract.visible_text(h, "fast") == \
+            extract.visible_text(h, "strict")
+
+
 def test_visible_text_normalizes():
     html = ("<body><p>Hello   world</p><p></p><ul><li>a</li><li>b</li>"
             "</ul>tail</body>")
