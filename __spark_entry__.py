@@ -715,10 +715,9 @@ def _warc_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run extraction; it selects the source column)."""
     _ensure_worker_imports(spark)
     root = _warc_fixture_dir(sf_dir)
-    df = warc.read_warc(spark, root, num_partitions=4)
-    return (extract.extract_df(df, html_col="html", mode="main",
-                               out_col="text")
-            .select("url", "text"))
+    # fused ingest: extraction inside the scan worker (one crossing)
+    df = warc.read_warc(spark, root, num_partitions=4, extract="main")
+    return df.select("url", "text")
 
 
 def _stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:

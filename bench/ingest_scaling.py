@@ -1,0 +1,134 @@
+"""Two-parallelism scaling evidence for the WARC ingest front end.
+
+Same methodology as bench/scaling.py (no real cluster in this sandbox):
+the identical ingest job — read_warc (gzip-member streaming) ->
+main-content extraction -> full-materialization agg — runs at N and 4N
+local cores over the identical WARC corpus:
+
+    efficiency = throughput(4N) / (4 x throughput(N))
+
+The job is a pure narrow map (file-granular parallelism, no shuffle),
+so the expected scaling limiter is the shared memory bus, as measured
+for the encode paths in BENCH/BASELINE.md §2.
+
+Usage:
+    python bench/ingest_scaling.py            # orchestrates N and 4N
+    SCALE_N=2 SCALE_REPS=2 python bench/ingest_scaling.py
+    python bench/ingest_scaling.py --cpus 8   # one level (inner mode)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PAGES = int(os.environ.get("INGEST_PAGES", "100000"))
+N_FILES = 32  # >= max parallelism level so LPT can fill every core
+
+
+def corpus_dir() -> str:
+    """Deterministic WARC corpus under /tmp, built once."""
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"ohs_ingest_bench_{N_PAGES}_{N_FILES}")
+    ready = os.path.join(root, "_READY")
+    if os.path.exists(ready):
+        return root
+    from orc_haskell_spark import gen, warc
+
+    os.makedirs(root, exist_ok=True)
+    per = (N_PAGES + N_FILES - 1) // N_FILES
+    total = 0
+    for k in range(N_FILES):
+        t = gen.pages_table(k * per, min(per, N_PAGES - k * per))
+        rows = [(u, int(ts.timestamp() * 1e6), h) for u, ts, h in zip(
+            t.column("url").to_pylist(), t.column("warc_ts").to_pylist(),
+            t.column("html").to_pylist()) if h is not None]
+        warc.write_warc_file(os.path.join(root, f"p{k:03d}.warc.gz"), rows)
+        total += sum(len(h) for _, _, h in rows)
+    with open(ready, "w") as f:
+        f.write(str(total))
+    return root
+
+
+def run_level(cpus: int) -> dict:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from orc_haskell_spark import warc
+
+    root = corpus_dir()
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g").getOrCreate())
+    # untimed warm-up at FULL width: the first mapInArrow job forks one
+    # Python worker per core and each pays the import storm (~2-4s of
+    # pyarrow/package imports); timing it would charge lo and hi runs a
+    # constant that masks the scaling signal (same class of fix as
+    # bench.py's session warm-up)
+    from pyspark.sql import functions as F
+
+    first = sorted(f for f in os.listdir(root)
+                   if f.endswith(".warc.gz"))[0]  # one file, tiny job
+    warc.read_warc(spark, os.path.join(root, first),
+                   num_partitions=cpus).agg(F.count(F.lit(1))).collect()
+    spark.range(0, 10**5, 1, cpus).mapInArrow(lambda bs: bs, "id long") \
+        .agg(F.sum("id")).collect()
+    # fused: extraction inside the scan worker, one Arrow crossing
+    df = warc.read_warc(spark, root, num_partitions=cpus,
+                        extract="main")
+    t0 = time.perf_counter()
+    row = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.length("html")).alias("html_bytes"),
+        F.sum(F.length("text")).alias("text_chars")).collect()[0]
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"cpus": cpus, "sec": dt, "rows": row.rows,
+            "html_bytes": row.html_bytes, "text_chars": row.text_chars,
+            "mb_per_s": row.html_bytes / dt / 1e6}
+
+
+def main() -> None:
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        print(json.dumps(run_level(cpus)))
+        return
+    n_lo = int(os.environ.get("SCALE_N", "2"))
+    reps = int(os.environ.get("SCALE_REPS", "2"))
+    n_hi = 4 * n_lo
+    corpus_dir()  # build once outside the timed subprocesses
+
+    def best(cpus: int) -> dict:
+        outs = []
+        for _ in range(reps):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True, check=True,
+                env=dict(os.environ, PYTHONPATH=REPO))
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            outs.append(json.loads(line))
+        return min(outs, key=lambda o: o["sec"])
+
+    lo, hi = best(n_lo), best(n_hi)
+    eff = hi["mb_per_s"] / (n_hi / n_lo * lo["mb_per_s"])
+    result = {"metric": "warc_ingest_extract_scaling", "lo": lo, "hi": hi,
+              "efficiency": round(eff, 3)}
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as f:
+        f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()

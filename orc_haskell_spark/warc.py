@@ -41,13 +41,6 @@ import pyarrow as pa
 
 WARC_DDL = ("url string, warc_ts timestamp, status int, "
             "content_type string, html binary")
-_WARC_SCHEMA = pa.schema([
-    ("url", pa.string()),
-    ("warc_ts", pa.timestamp("us", tz="UTC")),
-    ("status", pa.int32()),
-    ("content_type", pa.string()),
-    ("html", pa.binary()),
-])
 WRITE_SUMMARY_DDL = "file string, n_records bigint, nbytes bigint"
 
 _EPOCH_DAY0 = 719468  # days from 0000-03-01 to 1970-01-01 (civil calc)
@@ -417,49 +410,71 @@ def _lpt_buckets(items: list[tuple[str, int]], n: int) -> list[list[str]]:
 
 
 def read_warc(spark, path: str, num_partitions: int | None = None,
-              strict: bool = True):
+              strict: bool = True, extract: str | None = None):
     """Distributed WARC scan -> DataFrame(url, warc_ts, status,
-    content_type, html). One task per LPT bucket of files; each task
-    streams its files (member-at-a-time inflate) and emits Arrow
-    batches. Only file NAMES touch the driver."""
+    content_type, html[, text]). One task per LPT bucket of files; each
+    task streams its files (member-at-a-time inflate) and emits Arrow
+    batches. Only file NAMES touch the driver.
+
+    ``extract`` ('main' or 'visible') runs HTML->text extraction INSIDE
+    the scan worker, appending a ``text`` column. This is the fused
+    ingest path: chaining a second mapInArrow (extract_df) would ship
+    every html payload Python->JVM->Python between the stages — a
+    measured ~2x ingest slowdown. Same engineering as the fused encode
+    paths: one crossing, total."""
+    from .pipeline import extract as extract_mod
+
     files = _list_warc_files(path)
     if not files:
         raise ValueError(f"no .warc/.warc.gz files under {path!r}")
     n = num_partitions or spark.sparkContext.defaultParallelism
     buckets = _lpt_buckets(files, n)
+    if extract is not None and extract not in extract_mod._MODES:
+        raise ValueError(f"extract={extract!r}: use 'main' or 'visible'")
+    ddl = WARC_DDL + (", text string" if extract else "")
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from orc_haskell_spark.engine import clamp_worker_threads
+        from orc_haskell_spark.pipeline import extract as xm
 
         clamp_worker_threads()
+        fn_extract = xm._MODES[extract] if extract else None
         rows: list[tuple] = []
         nbytes = 0
         for b in batches:
             for f in b.column("file").to_pylist():
                 for row in iter_warc_file(f, strict=strict):
+                    if fn_extract is not None:
+                        row = row + (fn_extract(row[4]),)
                     rows.append(row)
                     nbytes += len(row[4] or b"")
                     if len(rows) >= 2048 or nbytes >= (64 << 20):
-                        yield _rows_batch(rows)
+                        yield _rows_batch(rows, extract)
                         rows, nbytes = [], 0
         if rows:
-            yield _rows_batch(rows)
+            yield _rows_batch(rows, extract)
 
     fdf = spark.createDataFrame(
         spark.sparkContext.parallelize(buckets, len(buckets))
         .flatMap(lambda b: [(f,) for f in b]), "file string")
-    return fdf.mapInArrow(scan, WARC_DDL)
+    return fdf.mapInArrow(scan, ddl)
 
 
-def _rows_batch(rows: list[tuple]) -> pa.RecordBatch:
-    urls, ts, st, ct, html = zip(*rows)
-    return pa.RecordBatch.from_arrays([
-        pa.array(urls, pa.string()),
-        pa.array(ts, pa.timestamp("us", tz="UTC")),
-        pa.array(st, pa.int32()),
-        pa.array(ct, pa.string()),
-        pa.array(html, pa.binary()),
-    ], schema=_WARC_SCHEMA)
+def _rows_batch(rows: list[tuple], extract: str | None = None
+                ) -> pa.RecordBatch:
+    cols = list(zip(*rows))
+    arrays = [
+        pa.array(cols[0], pa.string()),
+        pa.array(cols[1], pa.timestamp("us", tz="UTC")),
+        pa.array(cols[2], pa.int32()),
+        pa.array(cols[3], pa.string()),
+        pa.array(cols[4], pa.binary()),
+    ]
+    names = ["url", "warc_ts", "status", "content_type", "html"]
+    if extract:
+        arrays.append(pa.array(cols[5], pa.string()))
+        names.append("text")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def write_warc(df, out_dir: str, gzip_members: bool = True):

@@ -72,21 +72,23 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from orc_haskell_spark import warc
-    from orc_haskell_spark.pipeline import extract, text
+    from orc_haskell_spark.pipeline import text
 
     spark = (SparkSession.builder.appName("orc-haskell-spark-ingest")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
 
+    # extraction runs INSIDE the scan worker (read_warc extract=):
+    # a separate extract_df stage would ship every html payload
+    # Python->JVM->Python between two mapInArrow stages (~2x slower)
     df = warc.read_warc(spark, args.input,
                         num_partitions=args.partitions,
-                        strict=not args.lenient)
+                        strict=not args.lenient,
+                        extract=None if args.extract == "none"
+                        else args.extract)
     if status is not None:
         df = df.filter(F.col("status").between(*status))
-    if args.extract != "none":
-        df = extract.extract_df(df, html_col="html", mode=args.extract,
-                                out_col="text")
-    else:
+    if args.extract == "none":
         df = df.withColumn("text", F.lit(None).cast("string"))
     if args.lang_id and args.extract != "none":
         # Catalyst expression, no extra pass; 'und' when no votes

@@ -178,6 +178,33 @@ def test_distributed_roundtrip(spark, tmp_path):
     assert len(got) == n_resp
 
 
+def test_fused_extract_equals_chained(spark, tmp_path):
+    """read_warc(extract='main') — extraction inside the scan worker,
+    one Arrow crossing — returns exactly what the chained
+    read_warc -> extract_df route returns (which itself matches the
+    source text byte-identically)."""
+    from orc_haskell_spark.pipeline import extract
+
+    df = gen.pages_df(spark, 600, num_partitions=3)
+    out = str(tmp_path / "crawl")
+    warc.write_warc(df, out).collect()
+    fused = warc.read_warc(spark, out, num_partitions=2, extract="main")
+    assert fused.columns[-1] == "text"
+    chained = extract.extract_df(
+        warc.read_warc(spark, out, num_partitions=2),
+        html_col="html", mode="main", out_col="text")
+    a = {r.url: r.text for r in fused.collect()}
+    b = {r.url: r.text for r in chained.collect()}
+    assert a == b and len(a) > 500
+    src = {u: x for u, h, x in zip(*[gen.pages_table(0, 600).column(c)
+                                     .to_pylist()
+                                     for c in ("url", "html", "text")])
+           if h is not None}
+    assert a == src  # byte-identical to the source text per url
+    with pytest.raises(ValueError, match="extract="):
+        warc.read_warc(spark, out, extract="nope")
+
+
 def test_read_warc_plan_is_narrow(spark, tmp_path):
     """No shuffle in the scan: parallelize -> mapInArrow only."""
     df = gen.pages_df(spark, 200, num_partitions=2)
