@@ -11,12 +11,15 @@ Common-Crawl layout). This module closes the front end of the pipeline:
                              partition, rename-on-commit like the
                              encode sinks)
 
-Scale shape: parallelism is per FILE (a gzip stream has no random
-access without an external index; Common Crawl ships ~64k files per
-crawl at ~1 GB each, so file granularity saturates any cluster). Files
-are LPT-packed onto tasks by compressed size — same policy as the
-parquet split planner in ``sources.py`` — so one fat archive cannot
-straggle the job. Within a task the reader is streaming: gzip members
+Scale shape: scan units are file chunks. A bare gzip stream has no
+random access, so unindexed files parallelize per FILE (Common Crawl
+ships ~64k files per crawl at ~1 GB each — file granularity already
+saturates any cluster); files carrying a ``.cdx`` sidecar (this
+module's writer emits them; Common Crawl publishes equivalents) are
+split at record boundaries into ~64 MB byte ranges, so one fat archive
+becomes parallel chunks instead of a straggler. Chunks are LPT-packed
+onto tasks by byte weight — same policy as the parquet split planner
+in ``sources.py``. Within a task the reader is streaming: gzip members
 are inflated one at a time (bounded memory ≈ one record, regardless of
 archive size) and rows leave as Arrow batches.
 
@@ -116,17 +119,30 @@ def _gzip_member(block: bytes) -> bytes:
 def write_warc_file(path: str, rows: Iterable[tuple],
                     gzip_members: bool = True,
                     warcinfo: bool = True,
-                    fileobj=None) -> int:
+                    fileobj=None,
+                    index: list | None = None) -> int:
     """Write rows of (url, ts_us, html_bytes_or_None) as a WARC file:
     one gzip member per record (Common-Crawl layout) or plain WARC.
     A row with html=None becomes a ``metadata`` record (the URL was
     seen but carries no capture) — readers skip it. Returns the number
-    of records written (including warcinfo)."""
+    of records written (including warcinfo).
+
+    ``index`` (a list, appended in place) collects one
+    (offset, length, rtype) entry per record — byte offsets into the
+    file as written (compressed member offsets for gzip) — the raw
+    material for the CDX sidecar that makes archives SPLITTABLE."""
     out = fileobj if fileobj is not None else open(path, "wb")
     n = 0
+    pos = 0
     try:
-        def emit(block: bytes):
-            out.write(_gzip_member(block) if gzip_members else block)
+        def emit(block: bytes, rtype: str):
+            nonlocal n, pos
+            b = _gzip_member(block) if gzip_members else block
+            out.write(b)
+            if index is not None:
+                index.append((pos, len(b), rtype))
+            pos += len(b)
+            n += 1
 
         if warcinfo:
             import os.path
@@ -140,8 +156,7 @@ def write_warc_file(path: str, rows: Iterable[tuple],
                     "warcinfo:" + os.path.basename(str(path)), date),
                 "WARC-Date": date,
                 "Content-Type": "application/warc-fields",
-            }, info))
-            n += 1
+            }, info), "warcinfo")
         for url, ts_us, html in rows:
             date = format_warc_date(int(ts_us))
             if html is None:
@@ -150,19 +165,57 @@ def write_warc_file(path: str, rows: Iterable[tuple],
                     "WARC-Date": date,
                     "WARC-Target-URI": url,
                     "Content-Type": "application/warc-fields",
-                }, b"capture: none\r\n"))
+                }, b"capture: none\r\n"), "metadata")
             else:
                 emit(format_record("response", {
                     "WARC-Record-ID": _record_id(url, date),
                     "WARC-Date": date,
                     "WARC-Target-URI": url,
                     "Content-Type": "application/http; msgtype=response",
-                }, http_response_payload(bytes(html))))
-            n += 1
+                }, http_response_payload(bytes(html))), "response")
     finally:
         if fileobj is None:
             out.close()
     return n
+
+
+# ---------------------------------------------------------------------------
+# CDX sidecar index (record offsets -> splittable archives)
+
+CDX_MAGIC = "#OHS-CDX 1"
+
+
+def write_cdx(path: str, entries: list, fileobj=None) -> None:
+    """Sidecar index for one WARC file: '<offset> <length> <rtype>'
+    per record. Offsets are byte positions of gzip member starts (or
+    raw record starts for plain .warc), so any entry is a valid seek
+    point — the property that makes a 1 GB archive splittable across
+    tasks (what Common Crawl's own cdx indexes exist for)."""
+    lines = [CDX_MAGIC] + [f"{o} {ln} {rt}" for o, ln, rt in entries]
+    data = ("\n".join(lines) + "\n").encode()
+    if fileobj is not None:
+        fileobj.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+def read_cdx(path: str) -> list[tuple[int, int, str]]:
+    from .sources import _resolve_fs
+
+    fs, local = _resolve_fs(path)
+    with fs.open_input_stream(local, compression=None) as f:
+        text = f.read().decode()
+    lines = text.splitlines()
+    if not lines or lines[0] != CDX_MAGIC:
+        raise ValueError(f"{path}: not an OHS-CDX v1 sidecar")
+    out = []
+    for ln in lines[1:]:
+        if not ln.strip():
+            continue
+        o, n, rt = ln.split()
+        out.append((int(o), int(n), rt))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -313,62 +366,100 @@ def _row_from_record(headers: dict, payload: bytes):
     return url, ts_us, status, ctype, body
 
 
+class _RangeReader:
+    """read(n)-capped view of [start, end) of a random-access file —
+    the byte-range scan a CDX chunk runs over."""
+
+    def __init__(self, f, start: int, end: int):
+        f.seek(start)
+        self._f = f
+        self._left = end - start
+
+    def read(self, n: int) -> bytes:
+        if self._left <= 0:
+            return b""
+        b = self._f.read(min(n, self._left))
+        self._left -= len(b)
+        return b
+
+
 def iter_warc_file(path: str, strict: bool = True,
-                   errors: list | None = None) -> Iterator[tuple]:
+                   errors: list | None = None,
+                   start: int = 0, end: int | None = None
+                   ) -> Iterator[tuple]:
     """Stream (url, ts_us, status, content_type, html) rows from one
     .warc / .warc.gz file. With ``strict=False`` a structurally broken
     RECORD loses only its own gzip member (parsing resyncs at the next
     member boundary — the Common-Crawl per-record-member layout makes
     that exact); corrupt gzip BYTES lose the file's remainder (deflate
     has no self-synchronizing frame to resync on). ``errors`` (if
-    given) collects (path, message) per skipped stretch."""
+    given) collects (path, message) per skipped stretch.
+
+    ``start``/``end`` scan only that byte range — valid when ``start``
+    and ``end`` are record boundaries (gzip member starts), i.e. they
+    come from the CDX sidecar."""
     from .sources import _resolve_fs
 
     fs, local = _resolve_fs(path)
+    if start or end is not None:
+        f = fs.open_input_file(local)
+        try:
+            size = f.size()
+            yield from _iter_stream(
+                _RangeReader(f, start, end if end is not None else size),
+                path, strict, errors)
+        finally:
+            f.close()
+        return
     # compression=None: pyarrow would otherwise auto-inflate .gz as one
     # opaque stream — we need the raw bytes for member-level resync
     with fs.open_input_stream(local, compression=None) as raw:
-        if path.endswith(".gz"):
-            member_iter = _iter_gzip_members(raw)
-        else:
-            member_iter = iter((raw.read(),))
-        pending = b""
-        while True:
-            try:
-                member = next(member_iter)
-            except StopIteration:
-                break
-            except (ValueError, zlib.error) as e:
-                if strict:
-                    raise ValueError(f"{path}: {e}") from None
-                if errors is not None:
-                    errors.append((path, str(e)))
-                pending = b""
-                break
-            # records may span members (single-member archives do);
-            # normally pending is empty and this is zero-copy
-            buf = pending + member if pending else member
-            consumed = 0
-            try:
-                for headers, payload, end in iter_warc_records(buf):
-                    consumed = end
-                    row = _row_from_record(headers, payload)
-                    if row is not None:
-                        yield row
-            except ValueError as e:
-                if strict:
-                    raise ValueError(f"{path}: {e}") from None
-                if errors is not None:
-                    errors.append((path, str(e)))
-                pending = b""  # drop to the next member boundary
-                continue
-            pending = buf[consumed:] if consumed < len(buf) else b""
-        if pending.strip(b"\r\n"):
-            msg = "truncated final record"
+        yield from _iter_stream(raw, path, strict, errors)
+
+
+def _iter_stream(raw, path: str, strict: bool,
+                 errors: list | None) -> Iterator[tuple]:
+    if path.endswith(".gz"):
+        member_iter = _iter_gzip_members(raw)
+    else:
+        member_iter = iter((raw.read(),))
+    pending = b""
+    while True:
+        try:
+            member = next(member_iter)
+        except StopIteration:
+            break
+        except (ValueError, zlib.error) as e:
             if strict:
-                raise ValueError(f"{path}: {msg}")
+                raise ValueError(f"{path}: {e}") from None
             if errors is not None:
-                errors.append((path, msg))
+                errors.append((path, str(e)))
+            pending = b""
+            break
+        # records may span members (single-member archives do);
+        # normally pending is empty and this is zero-copy
+        buf = pending + member if pending else member
+        consumed = 0
+        try:
+            for headers, payload, end in iter_warc_records(buf):
+                consumed = end
+                row = _row_from_record(headers, payload)
+                if row is not None:
+                    yield row
+        except ValueError as e:
+            if strict:
+                raise ValueError(f"{path}: {e}") from None
+            if errors is not None:
+                errors.append((path, str(e)))
+            pending = b""  # drop to the next member boundary
+            continue
+        pending = buf[consumed:] if consumed < len(buf) else b""
+    if pending.strip(b"\r\n"):
+        msg = "truncated final record"
+        if strict:
+            raise ValueError(f"{path}: {msg}")
+        if errors is not None:
+            errors.append((path, msg))
 
 
 # ---------------------------------------------------------------------------
@@ -394,27 +485,72 @@ def _list_warc_files(path: str) -> list[tuple[str, int]]:
     return sorted(out)
 
 
-def _lpt_buckets(items: list[tuple[str, int]], n: int) -> list[list[str]]:
-    """LPT-pack (name, weight) items into n buckets (same policy as the
+def _lpt_buckets(items: list[tuple], n: int) -> list[list]:
+    """LPT-pack (key, weight) items into n buckets (same policy as the
     parquet split planner: biggest first to the least-loaded bucket)."""
     import heapq
 
     n = max(1, min(n, len(items)))
     heap = [(0, k) for k in range(n)]
-    buckets: list[list[str]] = [[] for _ in range(n)]
-    for name, w in sorted(items, key=lambda t: (-t[1], t[0])):
+    buckets: list[list] = [[] for _ in range(n)]
+    for key, w in sorted(items, key=lambda t: (-t[1], t[0])):
         load, k = heapq.heappop(heap)
-        buckets[k].append(name)
+        buckets[k].append(key)
         heapq.heappush(heap, (load + max(w, 1), k))
     return buckets
 
 
+DEFAULT_SPLIT_BYTES = 64 << 20
+
+
+def _file_chunks(files: list[tuple[str, int]],
+                 split_bytes: int) -> list[tuple[tuple, int]]:
+    """[((path, start, end), weight)] scan chunks. A file larger than
+    ``split_bytes`` that carries a ``<file>.cdx`` sidecar is split at
+    RECORD boundaries into ~split_bytes byte ranges — one 1 GB archive
+    becomes ~16 parallel chunks instead of one straggler task. Files
+    without a sidecar (or small ones) stay whole; end=-1 means EOF."""
+    import pyarrow.fs as pafs
+
+    from .sources import _resolve_fs
+
+    chunks: list[tuple[tuple, int]] = []
+    for f, size in files:
+        if size <= split_bytes:
+            chunks.append(((f, 0, -1), size))
+            continue
+        fs, local = _resolve_fs(f + ".cdx")
+        if fs.get_file_info(local).type != pafs.FileType.File:
+            chunks.append(((f, 0, -1), size))
+            continue
+        entries = read_cdx(f + ".cdx")
+        cur = None
+        last_end = 0
+        for off, ln, _rt in entries:
+            if cur is None:
+                cur = off
+            last_end = off + ln
+            if last_end - cur >= split_bytes:
+                chunks.append(((f, cur, last_end), last_end - cur))
+                cur = None
+        if cur is not None:
+            chunks.append(((f, cur, size), size - cur))
+        elif last_end < size:  # trailing bytes past the indexed records
+            chunks.append(((f, last_end, size), size - last_end))
+    return chunks
+
+
 def read_warc(spark, path: str, num_partitions: int | None = None,
-              strict: bool = True, extract: str | None = None):
+              strict: bool = True, extract: str | None = None,
+              split_bytes: int = DEFAULT_SPLIT_BYTES):
     """Distributed WARC scan -> DataFrame(url, warc_ts, status,
-    content_type, html[, text]). One task per LPT bucket of files; each
-    task streams its files (member-at-a-time inflate) and emits Arrow
-    batches. Only file NAMES touch the driver.
+    content_type, html[, text]). Scan units are file CHUNKS: whole
+    files, or — when a file exceeds ``split_bytes`` and has a .cdx
+    sidecar (write_warc emits them) — record-aligned byte ranges, so
+    fat archives parallelize instead of straggling. Chunks are
+    LPT-packed onto tasks by byte weight; each task streams its ranges
+    (member-at-a-time inflate) and emits Arrow batches. Only file
+    names + index offsets touch the driver.
 
     ``extract`` ('main' or 'visible') runs HTML->text extraction INSIDE
     the scan worker, appending a ``text`` column. This is the fused
@@ -428,7 +564,7 @@ def read_warc(spark, path: str, num_partitions: int | None = None,
     if not files:
         raise ValueError(f"no .warc/.warc.gz files under {path!r}")
     n = num_partitions or spark.sparkContext.defaultParallelism
-    buckets = _lpt_buckets(files, n)
+    buckets = _lpt_buckets(_file_chunks(files, split_bytes), n)
     if extract is not None and extract not in extract_mod._MODES:
         raise ValueError(f"extract={extract!r}: use 'main' or 'visible'")
     ddl = WARC_DDL + (", text string" if extract else "")
@@ -442,8 +578,12 @@ def read_warc(spark, path: str, num_partitions: int | None = None,
         rows: list[tuple] = []
         nbytes = 0
         for b in batches:
-            for f in b.column("file").to_pylist():
-                for row in iter_warc_file(f, strict=strict):
+            for f, start, end in zip(b.column("file").to_pylist(),
+                                     b.column("start").to_pylist(),
+                                     b.column("end").to_pylist()):
+                for row in iter_warc_file(
+                        f, strict=strict, start=start,
+                        end=None if end < 0 else end):
                     if fn_extract is not None:
                         row = row + (fn_extract(row[4]),)
                     rows.append(row)
@@ -456,7 +596,7 @@ def read_warc(spark, path: str, num_partitions: int | None = None,
 
     fdf = spark.createDataFrame(
         spark.sparkContext.parallelize(buckets, len(buckets))
-        .flatMap(lambda b: [(f,) for f in b]), "file string")
+        .flatMap(lambda b: b), "file string, start bigint, end bigint")
     return fdf.mapInArrow(scan, ddl)
 
 
@@ -497,6 +637,7 @@ def write_warc(df, out_dir: str, gzip_members: bool = True):
         fs, staging, final = task_output(out_dir, None, f"{pid:05d}", ext)
         n = 0
         wrote = False
+        idx: list = []
         # compression=None: members are already gzipped record-by-record
         with fs.open_output_stream(staging, compression=None) as out:
             buf = io.BufferedWriter(_ArrowSink(out), 1 << 20)
@@ -505,14 +646,27 @@ def write_warc(df, out_dir: str, gzip_members: bool = True):
                 urls = b.column("url").to_pylist()
                 ts = b.column("warc_ts").cast(pa.int64()).to_pylist()
                 html = b.column("html").to_pylist()
+                sub: list = []
                 n += write_warc_file(
                     final, zip(urls, ts, html), gzip_members=gzip_members,
-                    warcinfo=first, fileobj=buf)
+                    warcinfo=first, fileobj=buf, index=sub)
+                # rebase the per-call offsets to the file position
+                # (records are contiguous: prior end == current base)
+                base = idx[-1][0] + idx[-1][1] if idx else 0
+                idx.extend((base + o, ln, rt) for o, ln, rt in sub)
                 first = False
                 wrote = True
             buf.flush()
         if wrote:
             commit_part(fs, staging, final)
+            # CDX sidecar (record offsets -> splittable re-reads),
+            # committed AFTER the warc so a torn run never leaves an
+            # index pointing at a missing file; readers treat a missing
+            # sidecar as "scan whole file"
+            tmp = staging + ".cdx"
+            with fs.open_output_stream(tmp, compression=None) as cf:
+                write_cdx(final + ".cdx", idx, fileobj=cf)
+            commit_part(fs, tmp, final + ".cdx")
             size = fs.get_file_info(final).size or 0
             yield pa.RecordBatch.from_arrays(
                 [pa.array([final]), pa.array([n], pa.int64()),

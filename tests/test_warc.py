@@ -205,6 +205,83 @@ def test_fused_extract_equals_chained(spark, tmp_path):
         warc.read_warc(spark, out, extract="nope")
 
 
+def test_cdx_offsets_are_seek_points(tmp_path):
+    """Every CDX entry's (offset, length) slices out one standalone
+    record: inflating that slice alone parses exactly that record."""
+    p = tmp_path / "t.warc.gz"
+    idx = []
+    warc.write_warc_file(str(p), ROWS, index=idx)
+    raw = p.read_bytes()
+    assert len(idx) == 4
+    assert idx[0][0] == 0 and idx[-1][0] + idx[-1][1] == len(raw)
+    for (off, ln, rtype), want_url in zip(
+            idx, [None, "https://a.example/1", "https://a.example/2",
+                  "https://b.example/3"]):
+        member = zlib.decompress(raw[off:off + ln], 31)
+        (headers, _payload, _end), = list(warc.iter_warc_records(member))
+        assert headers["warc-type"] == rtype
+        if want_url:
+            assert headers["warc-target-uri"] == want_url
+    # sidecar roundtrip
+    warc.write_cdx(str(p) + ".cdx", idx)
+    assert warc.read_cdx(str(p) + ".cdx") == idx
+    # range read through the public API: just the 2nd response
+    off, ln, _ = idx[3]
+    got = list(warc.iter_warc_file(str(p), start=off, end=off + ln))
+    assert [r[0] for r in got] == ["https://b.example/3"]
+
+
+def test_file_chunks_split_at_record_boundaries(tmp_path):
+    """Chunks from a real sidecar-ed file tile it exactly, cut only at
+    record offsets, and each chunk parses standalone to its own rows;
+    the union reproduces the whole file with no dupes or gaps."""
+    rows = [(f"https://x/{i}", 1704067200_000_000 + i,
+             f"<html>doc {i} body {'y' * (50 + i * 7 % 200)}</html>"
+             .encode()) for i in range(60)]
+    p = tmp_path / "big.warc.gz"
+    idx = []
+    warc.write_warc_file(str(p), rows, index=idx)
+    warc.write_cdx(str(p) + ".cdx", idx)
+    size = p.stat().st_size
+    chunks = warc._file_chunks([(str(p), size)], split_bytes=size // 7)
+    assert len(chunks) >= 4
+    starts = {o for o, _ln, _rt in idx}
+    spans = sorted((c[0][1], c[0][2]) for c in chunks)
+    assert spans[0][0] == 0 and spans[-1][1] == size
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2 and s2 in starts
+    got = []
+    for (f, start, end), _w in chunks:
+        got += list(warc.iter_warc_file(f, start=start, end=end))
+    assert sorted(r[0] for r in got) == sorted(u for u, _t, _h in rows)
+    # below-threshold file: one whole-file chunk, EOF sentinel
+    assert warc._file_chunks([(str(p), size)], split_bytes=size * 2) == \
+        [((str(p), 0, -1), size)]
+
+
+def test_distributed_chunked_read_equals_whole_file(spark, tmp_path):
+    """read_warc with a tiny split_bytes re-reads its own sidecar-ed
+    output in record-range chunks and returns exactly the same rows."""
+    df = gen.pages_df(spark, 800, num_partitions=2)
+    out = str(tmp_path / "crawl")
+    summary = warc.write_warc(df, out).collect()
+    import os
+
+    for r in summary:
+        assert os.path.exists(r.file + ".cdx")  # sidecars committed
+    whole = {r.url: (r.warc_ts, bytes(r.html))
+             for r in warc.read_warc(spark, out, num_partitions=2,
+                                     split_bytes=1 << 30).collect()}
+    chunked_df = warc.read_warc(spark, out, num_partitions=4,
+                                split_bytes=64 << 10)
+    chunked = {r.url: (r.warc_ts, bytes(r.html))
+               for r in chunked_df.collect()}
+    assert chunked == whole and len(whole) > 700
+    # the planner actually split: more scan chunks than files
+    files = warc._list_warc_files(out)
+    assert len(warc._file_chunks(files, 64 << 10)) > len(files)
+
+
 def test_read_warc_plan_is_narrow(spark, tmp_path):
     """No shuffle in the scan: parallelize -> mapInArrow only."""
     df = gen.pages_df(spark, 200, num_partitions=2)
