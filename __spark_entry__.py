@@ -669,8 +669,10 @@ def _warc_fixture_dir(sf_dir: str) -> str:
 
     from orc_haskell_spark.pipeline import extract as extract_mod
 
-    root = _fixture_root("ohs_warc_", sf_dir, _warc_fixture_dir,
-                         extra_mods=(warc, extract_mod))
+    root = _fixture_root(
+        "ohs_warc_", sf_dir, _warc_fixture_dir,
+        extra_mods=(warc, extract_mod, _warc_page_html),
+        extra_key=f"{_WARC_T0_US}|{_WARC_NAV}|{_WARC_FOOT}")
     ready = os.path.join(root, "_READY")
     if os.path.exists(ready):
         return root
@@ -929,7 +931,8 @@ FROM v GROUP BY codec
 """
 
 
-def _fixture_root(prefix: str, sf_dir: str, builder, extra_mods=()) -> str:
+def _fixture_root(prefix: str, sf_dir: str, builder, extra_mods=(),
+                  extra_key: str = "") -> str:
     """Cache dir keyed on (sf_dir, builder source, helper-module
     sources). Hashing the builder's own source invalidates on any
     fixture-shape change; hashing the helper modules the builder calls
@@ -949,6 +952,10 @@ def _fixture_root(prefix: str, sf_dir: str, builder, extra_mods=()) -> str:
             h.update(inspect.getsource(obj).encode())
         except OSError:  # source unavailable (zipped install)
             pass
+    # extra_key: constants OUTSIDE the hashed sources that shape the
+    # fixture bytes (e.g. the WARC page template strings — their SQL
+    # twin updates at import, so a stale fixture would mismatch)
+    h.update(extra_key.encode())
     key = h.hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"{prefix}{key}")
 

@@ -47,6 +47,8 @@ def corpus_dir() -> str:
     per = (N_PAGES + N_FILES - 1) // N_FILES
     total = 0
     for k in range(N_FILES):
+        if k * per >= N_PAGES:  # N_PAGES not divisible by N_FILES
+            break
         t = gen.pages_table(k * per, min(per, N_PAGES - k * per))
         rows = [(u, int(ts.timestamp() * 1e6), h) for u, ts, h in zip(
             t.column("url").to_pylist(), t.column("warc_ts").to_pylist(),
@@ -75,8 +77,6 @@ def run_level(cpus: int) -> dict:
     # pyarrow/package imports); timing it would charge lo and hi runs a
     # constant that masks the scaling signal (same class of fix as
     # bench.py's session warm-up)
-    from pyspark.sql import functions as F
-
     first = sorted(f for f in os.listdir(root)
                    if f.endswith(".warc.gz"))[0]  # one file, tiny job
     warc.read_warc(spark, os.path.join(root, first),

@@ -136,7 +136,32 @@ _NAME_RE = re.compile(r"</?\s*([a-zA-Z][-.a-zA-Z0-9:_]*)")
 # (space, digit, unicode) makes the '<' literal text
 _TAG_OPENERS = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ!/?")
-_RAWTEXT = ("script", "style")  # html.parser's CDATA_CONTENT_ELEMENTS
+# html.parser's CDATA_CONTENT_ELEMENTS, with its exact close pattern
+# (set_cdata_mode): case-insensitive, whitespace-tolerant, on the
+# ORIGINAL string — str.lower() could change LENGTHS (U+0130 'İ'
+# lowercases to two chars) and desynchronize every offset after it
+_RAW_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.I)
+              for t in ("script", "style")}
+# html.parser's tag-name + attribute walk (tagfind/attrfind_tolerant
+# semantics): needed to classify a trailing '/>' — in '<a href=x/>'
+# the '/' belongs to the unquoted attribute VALUE (not self-closing),
+# while '<br/>' and '<script src="x"/>' are handle_startendtag
+_TAGNAME_SKIP = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*(?:\s|/(?!>))*")
+_ATTR_SKIP = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)"
+    r"(\s*=+\s*('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*")
+
+
+def _is_startend(tag: str) -> bool:
+    """True when the '<...>' text is a self-closing start tag under
+    html.parser's parse, i.e. the attribute walk leaves exactly '/>'."""
+    k = _TAGNAME_SKIP.match(tag, 1).end()
+    while k < len(tag) - 1:
+        m = _ATTR_SKIP.match(tag, k)
+        if m is None or m.end() == k:
+            break
+        k = m.end()
+    return tag[k:].strip() == "/>"
 
 
 def _fast_feed(sink: _Sink, html: str) -> None:
@@ -151,7 +176,6 @@ def _fast_feed(sink: _Sink, html: str) -> None:
 
     pos = 0
     n = len(html)
-    low: str | None = None
     while pos < n:
         lt = html.find("<", pos)
         if lt < 0:
@@ -180,13 +204,17 @@ def _fast_feed(sink: _Sink, html: str) -> None:
             sink.handle_endtag(name)
             continue
         sink.handle_starttag(name, ())
-        if name in _RAWTEXT:
-            if low is None:
-                low = html.lower()
-            end = low.find("</" + name, pos)
+        if m.group(0).endswith("/>") and _is_startend(m.group(0)):
+            # html.parser routes '<x/>' to handle_startendtag =
+            # start + end; a self-closing script never enters CDATA
+            sink.handle_endtag(name)
+            continue
+        if name in _RAW_CLOSE:
+            mm = _RAW_CLOSE[name].search(html, pos)
             # body is raw text (never emitted — these are skip
-            # elements); unterminated: rest of document is the body
-            pos = end if end >= 0 else n
+            # elements); resume AT the close tag so the endtag event
+            # fires via the normal path; unterminated: body is the rest
+            pos = mm.start() if mm else n
     if pos < n:
         chunk = html[pos:]
         sink.handle_data(unescape(chunk) if "&" in chunk else chunk)

@@ -375,10 +375,12 @@ class _RangeReader:
         self._f = f
         self._left = end - start
 
-    def read(self, n: int) -> bytes:
+    def read(self, n: int = -1) -> bytes:
+        # no-arg read = rest of range (the plain-.warc scan path)
         if self._left <= 0:
             return b""
-        b = self._f.read(min(n, self._left))
+        b = self._f.read(self._left if n is None or n < 0
+                         else min(n, self._left))
         self._left -= len(b)
         return b
 
@@ -503,27 +505,46 @@ def _lpt_buckets(items: list[tuple], n: int) -> list[list]:
 DEFAULT_SPLIT_BYTES = 64 << 20
 
 
-def _file_chunks(files: list[tuple[str, int]],
-                 split_bytes: int) -> list[tuple[tuple, int]]:
-    """[((path, start, end), weight)] scan chunks. A file larger than
-    ``split_bytes`` that carries a ``<file>.cdx`` sidecar is split at
-    RECORD boundaries into ~split_bytes byte ranges — one 1 GB archive
-    becomes ~16 parallel chunks instead of one straggler task. Files
-    without a sidecar (or small ones) stay whole; end=-1 means EOF."""
+def _try_read_cdx(path: str):
+    """Sidecar entries, or None when absent/foreign/torn — a bad index
+    must degrade to a whole-file scan, never fail the job (only OUR
+    writer's sidecars are readable; Common Crawl's cdx formats differ)."""
     import pyarrow.fs as pafs
 
     from .sources import _resolve_fs
 
+    try:
+        fs, local = _resolve_fs(path)
+        if fs.get_file_info(local).type != pafs.FileType.File:
+            return None
+        return read_cdx(path)
+    except (ValueError, OSError):
+        return None
+
+
+def _file_chunks(files: list[tuple[str, int]],
+                 split_bytes: int) -> list[tuple[tuple, int]]:
+    """[((path, start, end), weight)] scan chunks. A file larger than
+    ``split_bytes`` that carries a readable ``<file>.cdx`` sidecar is
+    split at RECORD boundaries into ~split_bytes byte ranges — one 1 GB
+    archive becomes ~16 parallel chunks instead of one straggler task.
+    Files without a usable sidecar (or small ones) stay whole; end=-1
+    means EOF. Sidecar stat+read is metadata-only IO, threaded on the
+    driver like the parquet planner's footer reads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    big = [f for f, size in files if size > split_bytes]
+    cdx_map: dict = {}
+    if big:
+        with ThreadPoolExecutor(min(16, len(big))) as pool:
+            cdx_map = dict(zip(big, pool.map(
+                lambda f: _try_read_cdx(f + ".cdx"), big)))
     chunks: list[tuple[tuple, int]] = []
     for f, size in files:
-        if size <= split_bytes:
+        entries = cdx_map.get(f) if size > split_bytes else None
+        if not entries:
             chunks.append(((f, 0, -1), size))
             continue
-        fs, local = _resolve_fs(f + ".cdx")
-        if fs.get_file_info(local).type != pafs.FileType.File:
-            chunks.append(((f, 0, -1), size))
-            continue
-        entries = read_cdx(f + ".cdx")
         cur = None
         last_end = 0
         for off, ln, _rt in entries:

@@ -13,14 +13,15 @@ the BASELINE.json input_hint pages table out —
     ingest_warc.py --input crawl/ --output pages/ --commit-iceberg
     encode_job.py  --input pages/ --output encoded/ --fused
 
-Shape at scale: read_warc gives file-granular parallelism (LPT-packed
-by compressed size, streaming member inflate); extraction and lang-id
-are narrow maps (no shuffle anywhere in the job); the parquet write is
+Shape at scale: read_warc gives chunk-granular parallelism (whole
+files, or CDX-indexed byte ranges for fat archives; LPT-packed by
+compressed size; streaming member inflate); extraction and lang-id are
+narrow maps (no shuffle anywhere in the job); the parquet write is
 Spark's own committer. Row counts come from an Observation piggybacked
 on the write job — no second pass over the data. --commit-iceberg
 publishes the written parts as ONE append snapshot via
-iceberg.commit_parquet_dir (idempotent per part: a re-run with
---overwrite-append commits only parts not yet in the table).
+iceberg.commit_parquet_dir, which is idempotent per part: re-running
+it commits only parts not yet in the table.
 """
 
 from __future__ import annotations

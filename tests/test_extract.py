@@ -79,6 +79,19 @@ TRICKY = [
     "<main>x<a:link>y</a:link>z</main>",      # colon tag name != <a>
     "<main>t</main><script>never closed",     # unterminated rawtext
     "",
+    # review regressions: length-changing lowercase before rawtext,
+    # self-closing rawtext/void tags, whitespace rawtext close,
+    # '/' eaten by an unquoted attribute value (NOT self-closing)
+    "<p>İstanbul</p><script>var x=1;</script><main>M body content x</main>",
+    '<script src="x"/><main>M body content here</main>',
+    "<script>x</ script><main>M body content here</main>",
+    "<style>x</STYLE ><main>M body content here</main>",
+    "<div/><main>M body content here</main>",
+    "<script>a</scripty></script><main>M body content here</main>",
+    "<a href=x/>link text<main>M body content here</main>",
+    '<a href="x"/>link text<main>M body content here</main>',
+    '<div data-a=1 data-b="2" />x<main>M body content here</main>',
+    "<img src=a.png/><main>M body content here</main>",
 ]
 
 

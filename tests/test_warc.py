@@ -259,6 +259,35 @@ def test_file_chunks_split_at_record_boundaries(tmp_path):
         [((str(p), 0, -1), size)]
 
 
+def test_plain_warc_range_read(tmp_path):
+    """Review regression: byte-range reads of NON-gzip .warc files
+    (the sidecar advertises plain offsets too)."""
+    rows = [(f"https://x/{i}", 1704067200_000_000 + i,
+             f"<html>doc {i}</html>".encode()) for i in range(30)]
+    p = tmp_path / "t.warc"
+    idx = []
+    warc.write_warc_file(str(p), rows, gzip_members=False, index=idx)
+    off, ln, _ = idx[5]
+    got = list(warc.iter_warc_file(str(p), start=off, end=off + ln))
+    assert [r[0] for r in got] == ["https://x/4"]  # idx[0] = warcinfo
+
+
+def test_foreign_or_torn_sidecar_falls_back_to_whole_file(tmp_path):
+    """Review regression: a sidecar in another format (e.g. a real
+    Common-Crawl CDX) or a torn OHS sidecar must degrade to a
+    whole-file scan, never fail planning."""
+    p = tmp_path / "t.warc.gz"
+    warc.write_warc_file(str(p), ROWS)
+    size = p.stat().st_size
+    (tmp_path / "t.warc.gz.cdx").write_text(
+        " CDX A b a m s k r M V g u\nsome cc line\n")
+    assert warc._file_chunks([(str(p), size)], split_bytes=1) == \
+        [((str(p), 0, -1), size)]
+    (tmp_path / "t.warc.gz.cdx").write_text("#OHS-CDX 1\n12 x y\n")
+    assert warc._file_chunks([(str(p), size)], split_bytes=1) == \
+        [((str(p), 0, -1), size)]
+
+
 def test_distributed_chunked_read_equals_whole_file(spark, tmp_path):
     """read_warc with a tiny split_bytes re-reads its own sidecar-ed
     output in record-range chunks and returns exactly the same rows."""
