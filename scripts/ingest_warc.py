@@ -65,6 +65,11 @@ def main() -> None:
     ap.add_argument("--commit-iceberg", action="store_true",
                     help="create/commit <output> as an Iceberg table "
                          "(one append snapshot over the written parts)")
+    ap.add_argument("--append", action="store_true",
+                    help="add this crawl's rows to an existing pages "
+                         "table; without it a second run into the same "
+                         "output fails loudly (a re-run of the same "
+                         "crawl would silently duplicate every row)")
     args = ap.parse_args()
     status = parse_status(args.keep_status)
 
@@ -102,7 +107,8 @@ def main() -> None:
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"),
                     F.sum(F.length("html")).alias("html_bytes"))
     data_dir = os.path.join(args.output, "data")
-    df.write.mode("append").parquet(data_dir)
+    df.write.mode("append" if args.append else "errorifexists") \
+        .parquet(data_dir)
     print(f"ingested rows={obs.get['rows']} "
           f"html_bytes={obs.get['html_bytes']}")
 

@@ -66,10 +66,18 @@ def test_ingest_then_encode_pipeline(tmp_path):
     assert set(got.column("lang").to_pylist()) <= {"en", "de", "fr", "es",
                                                    "und"}
 
-    # re-run with nothing new: Spark append writes new parts only on a
-    # new run; a bare re-commit of the same dir is a no-op
+    # re-commit of the same dir is a no-op (idempotent per part)
     snap = iceberg.commit_parquet_dir(pages, os.path.join(pages, "data"))
     assert snap is None
+
+    # an accidental re-run into the same output fails loudly instead of
+    # silently duplicating every row (--append opts in)
+    r_dup = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "ingest_warc.py"),
+         "--input", str(crawl), "--output", pages, "--partitions", "2"],
+        capture_output=True, text=True, timeout=600, env=ENV, cwd=REPO)
+    assert r_dup.returncode != 0
+    assert "already exists" in (r_dup.stderr + r_dup.stdout)
 
     # chain: encode the ingested Iceberg pages table (fused path)
     out = str(tmp_path / "encoded")
