@@ -148,6 +148,49 @@ def test_lpt_buckets_balance():
     assert len(buckets) == 3 and loads[-1] <= 103  # fat files separated
 
 
+def test_adversarial_payload_roundtrip_property(tmp_path):
+    """Property: arbitrary binary payloads — including bytes that LOOK
+    like record boundaries ('WARC/1.0', '\\r\\n\\r\\n', gzip magic) —
+    roundtrip exactly; Content-Length framing, not delimiters, bounds
+    the payload. Random CDX slices parse standalone."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payload = st.one_of(
+        st.binary(min_size=0, max_size=400),
+        st.just(b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n"),
+        st.just(b"HTTP/1.1 200 OK\r\n\r\nnested"),
+        st.just(b"\x1f\x8b\x08" * 30),
+        st.binary(min_size=1, max_size=50).map(lambda b: b * 40),
+    )
+    rows_st = st.lists(
+        st.tuples(st.integers(0, 10**6),
+                  st.integers(0, 2**40),
+                  st.one_of(st.none(), payload)),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=40, deadline=None)
+    @given(rows=rows_st, gz=st.booleans())
+    def check(rows, gz):
+        rows = [(f"https://h.example/{i}-{n}", ts, h)
+                for n, (i, ts, h) in enumerate(rows)]
+        p = tmp_path / f"prop.warc{'.gz' if gz else ''}"
+        idx = []
+        warc.write_warc_file(str(p), rows, gzip_members=gz, index=idx)
+        got = list(warc.iter_warc_file(str(p)))
+        want = [(u, ts, h) for u, ts, h in rows if h is not None]
+        assert [(r[0], r[1], r[4]) for r in got] == want
+        # every response entry slices out standalone via its offsets
+        for (off, ln, rt), (u, ts, h) in zip(idx[1:], rows):
+            if rt != "response":
+                continue
+            (r,) = list(warc.iter_warc_file(str(p), start=off,
+                                            end=off + ln))
+            assert (r[0], r[1], r[4]) == (u, ts, h)
+
+    check()
+
+
 def test_distributed_roundtrip(spark, tmp_path):
     """pages_df -> write_warc (rename-on-commit parts) -> read_warc
     equals the source on every surviving column, distributed."""
