@@ -140,7 +140,10 @@ _TAG_OPENERS = frozenset(
 # (set_cdata_mode): case-insensitive, whitespace-tolerant, on the
 # ORIGINAL string — str.lower() could change LENGTHS (U+0130 'İ'
 # lowercases to two chars) and desynchronize every offset after it
-_RAW_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.I)
+# re.ASCII: html.parser's end-tag charset is ASCII — without it,
+# Unicode case folding lets U+017F 'ſ' match 's' and close a script
+# where the strict engine would not (differential-fuzz finding)
+_RAW_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.I | re.A)
               for t in ("script", "style")}
 # html.parser's tag-name + attribute walk (tagfind/attrfind_tolerant
 # semantics): needed to classify a trailing '/>' — in '<a href=x/>'
@@ -189,8 +192,12 @@ def _fast_feed(sink: _Sink, html: str) -> None:
             pos = lt + 1
             continue
         m = _TAG_RE.match(html, lt)
-        if m is None:  # unterminated tag at EOF: html.parser buffers
-            sink.handle_data(html[lt:])
+        if m is None:
+            # unterminated tag at EOF: html.parser flushes the buffered
+            # tail as data THROUGH convert_charrefs — decode like every
+            # other data path
+            chunk = html[lt:]
+            sink.handle_data(unescape(chunk) if "&" in chunk else chunk)
             pos = n
             break
         pos = m.end()

@@ -508,15 +508,10 @@ DEFAULT_SPLIT_BYTES = 64 << 20
 def _try_read_cdx(path: str):
     """Sidecar entries, or None when absent/foreign/torn — a bad index
     must degrade to a whole-file scan, never fail the job (only OUR
-    writer's sidecars are readable; Common Crawl's cdx formats differ)."""
-    import pyarrow.fs as pafs
-
-    from .sources import _resolve_fs
-
+    writer's sidecars are readable; Common Crawl's cdx formats differ).
+    One filesystem op per sidecar: absence surfaces as the open's own
+    OSError, so no separate stat round-trip."""
     try:
-        fs, local = _resolve_fs(path)
-        if fs.get_file_info(local).type != pafs.FileType.File:
-            return None
         return read_cdx(path)
     except (ValueError, OSError):
         return None

@@ -4,7 +4,8 @@
         scripts/ingest_warc.py \
         --input <dir of .warc/.warc.gz> --output <table dir> \
         [--partitions N] [--extract main|visible|none] [--lang-id] \
-        [--keep-status 200-299 | all] [--lenient] [--commit-iceberg]
+        [--keep-status 200-299 | all] [--lenient] [--commit-iceberg] \
+        [--append]
 
 Front end of the north-rule pipeline: Common-Crawl-style WARC files in,
 the BASELINE.json input_hint pages table out —

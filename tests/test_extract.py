@@ -92,6 +92,11 @@ TRICKY = [
     '<a href="x"/>link text<main>M body content here</main>',
     '<div data-a=1 data-b="2" />x<main>M body content here</main>',
     "<img src=a.png/><main>M body content here</main>",
+    # second review pass: ASCII-only rawtext close (U+017F 'ſ' must
+    # NOT fold to 's'), entity decode in the EOF-truncated tag tail
+    "<script>x</ſcript><main>M body content here</main>",
+    "<p><link&lt;x&gt;",
+    "<main>tail &amp; more<",
 ]
 
 
