@@ -122,20 +122,25 @@ class _Extractor(HTMLParser):
         self._sink.handle_data(data)
 
 
-# fast scanner: one quote-aware tag regex + literal close-tag search
-# for the CDATA-content elements. ~5x the throughput of html.parser
-# (the profile is 94% stdlib tokenizer); per-page Python is the encode
-# pipeline's extraction cost, so this is the 100 TB hot path.
-_TAG_RE = re.compile(
-    r"""<(?:!--.*?--|(?:[^>"']|"[^"]*"|'[^']*')*)>""", re.S)
-# html.parser's tag-name charset (tagfind_tolerant / endtagfind): the
-# FULL name must be captured — truncating 'a:link' to 'a' would
-# miscount it as an anchor. Whitespace after '</' is legal for end tags.
-_NAME_RE = re.compile(r"</?\s*([a-zA-Z][-.a-zA-Z0-9:_]*)")
-# html.parser opens markup only on these after '<'; any other char
-# (space, digit, unicode) makes the '<' literal text
-_TAG_OPENERS = frozenset(
-    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ!/?")
+# fast scanner: find('<')-driven construct dispatch mirroring each of
+# html.parser's sub-parsers (start/end/comment/marked-section/decl/PI)
+# with their exact close rules. ~2x the throughput of html.parser (its
+# profile is 94% tokenizer); per-page Python is the encode pipeline's
+# extraction cost, so this is the 100 TB hot path.
+# html.parser's tag-name charsets differ by direction, and the FULL
+# name must be captured — truncating 'div<script' to 'div' or 'a:link'
+# to 'a' would open a container/anchor the strict engine does not:
+# - start tags: tagfind_tolerant — anything but ws / '/' '>' (incl '<')
+# - end tags: endtagfind first (ws-tolerant, narrow charset, must span
+#   the whole tag), else the tagfind fallback, else bogus comment
+_START_NAME = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+_END_STRICT = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>\Z")
+_END_LOOSE = re.compile(r"</([a-zA-Z][^\t\n\r\f />\x00]*)")
+# starttagopen: a start tag needs an ASCII letter right after '<'
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# parse_comment closes on '--' + optional ws + '>' (NOT literal '-->')
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 # html.parser's CDATA_CONTENT_ELEMENTS, with its exact close pattern
 # (set_cdata_mode): case-insensitive, whitespace-tolerant, on the
 # ORIGINAL string — str.lower() could change LENGTHS (U+0130 'İ'
@@ -150,6 +155,15 @@ _RAW_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.I | re.A)
 # the '/' belongs to the unquoted attribute VALUE (not self-closing),
 # while '<br/>' and '<script src="x"/>' are handle_startendtag
 _TAGNAME_SKIP = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*(?:\s|/(?!>))*")
+# markupbase.parse_marked_section twins: '<![KEYWORD[...' closes with
+# ']]>' for the CDATA family and ']>' for downlevel-revealed
+# conditionals; anything else makes html.parser RAISE (we skip instead
+# — robustness beats equivalence when the oracle crashes)
+_MS_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
+_MS_CLOSE_CD = re.compile(r"]\s*]\s*>")
+_MS_CLOSE_IF = re.compile(r"]\s*>")
+_MS_CDATA = {"temp", "cdata", "ignore", "include", "rcdata"}
+_MS_COND = {"if", "else", "endif"}
 _ATTR_SKIP = re.compile(
     r"((?<=['\"\s/])[^\s/>][^\s/=>]*)"
     r"(\s*=+\s*('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*")
@@ -167,64 +181,133 @@ def _is_startend(tag: str) -> bool:
     return tag[k:].strip() == "/>"
 
 
+def _scan_starttag_end(html: str, j: int, n: int) -> int:
+    """Index just past a start tag's closing '>' starting from the
+    char after '<', honoring quotes ONLY when they open an attribute
+    VALUE (directly after '='+ws — html.parser's locatestarttagend
+    rule: a bare quote elsewhere is an ordinary char and the tag ends
+    at the first raw '>'). -1 when no close exists before EOF."""
+    while j < n:
+        ch = html[j]
+        if ch == ">":
+            return j + 1
+        if ch == "=":
+            k = j + 1
+            while k < n and html[k] in " \t\n\r\f=":
+                k += 1
+            if k < n and html[k] in "'\"":
+                q = html.find(html[k], k + 1)
+                if q < 0:
+                    return -1  # unterminated quoted value
+                j = q + 1
+            else:
+                j = k
+            continue
+        j += 1
+    return -1
+
+
 def _fast_feed(sink: _Sink, html: str) -> None:
     """Tokenize ``html`` into the same event stream html.parser emits
-    (for the constructs we consume): tags via a quote-aware regex,
-    comments/doctypes/PIs dropped, script/style bodies skipped by
-    literal close-tag search, entities decoded per text chunk. Known
-    divergence from html.parser: pathological markup (unterminated
-    quote inside a tag) may tokenize differently — both engines stay
-    safe, and the strict engine is a parse-time switch away."""
+    for the constructs we consume — each branch mirrors the stdlib
+    construct parser it names (probe-verified, fuzz-pinned by
+    test_fast_engine_differential_fuzz). Deliberate divergences, both
+    in robustness's favor: an unknown '<![KEYWORD[' makes html.parser
+    RAISE (we skip it), and quoted '>' inside a '<!DOCTYPE ...>' is
+    honored by html.parser's declaration tokenizer but not here."""
     from html import unescape
 
     pos = 0
     n = len(html)
+
+    def emit(a: int, b: int) -> None:
+        if b > a:
+            chunk = html[a:b]
+            sink.handle_data(unescape(chunk) if "&" in chunk else chunk)
+
+    def fallback(lt: int) -> int:
+        # goahead's incomplete-construct path (at EOF): data through
+        # the next RAW '>', else up to the next '<', else one char —
+        # parsing continues after, it does NOT swallow the tail
+        k = html.find(">", lt + 1)
+        if k < 0:
+            k = html.find("<", lt + 1)
+            k = lt + 1 if k < 0 else k
+        else:
+            k += 1
+        emit(lt, k)
+        return k
+
     while pos < n:
         lt = html.find("<", pos)
         if lt < 0:
+            emit(pos, n)
             break
-        if lt > pos:
-            chunk = html[pos:lt]
-            sink.handle_data(unescape(chunk) if "&" in chunk else chunk)
+        emit(pos, lt)
         c = html[lt + 1] if lt + 1 < n else ""
-        if c not in _TAG_OPENERS:
-            sink.handle_data("<")  # literal '<' (e.g. "5 < 6")
-            pos = lt + 1
+        if c in _ASCII_LETTERS:  # start tag (starttagopen)
+            end = _scan_starttag_end(html, lt + 1, n)
+            if end < 0:
+                pos = fallback(lt)
+                continue
+            tag = html[lt:end]
+            pos = end
+            name = _START_NAME.match(tag).group(1).lower()
+            sink.handle_starttag(name, ())
+            if tag.endswith("/>") and _is_startend(tag):
+                # handle_startendtag = start + end; a self-closing
+                # script never enters CDATA mode
+                sink.handle_endtag(name)
+                continue
+            if name in _RAW_CLOSE:
+                mm = _RAW_CLOSE[name].search(html, pos)
+                # raw body is never emitted (skip elements); resume AT
+                # the close tag so the endtag event fires normally
+                pos = mm.start() if mm else n
             continue
-        m = _TAG_RE.match(html, lt)
-        if m is None:
-            # unterminated tag at EOF: html.parser flushes the buffered
-            # tail as data THROUGH convert_charrefs — decode like every
-            # other data path
-            chunk = html[lt:]
-            sink.handle_data(unescape(chunk) if "&" in chunk else chunk)
-            pos = n
-            break
-        pos = m.end()
-        if c in ("!", "?"):  # comment / doctype / PI
-            continue
-        nm = _NAME_RE.match(html, lt)
-        if nm is None:  # <>, <3: html.parser also emits no tag event
-            continue
-        name = nm.group(1).lower()
         if c == "/":
-            sink.handle_endtag(name)
+            # parse_endtag scans for the first RAW '>' (quotes are NOT
+            # honored in end tags, unlike start-tag attribute values)
+            gt = html.find(">", lt + 1)
+            if gt < 0:
+                pos = fallback(lt)
+                continue
+            tag = html[lt:gt + 1]
+            pos = gt + 1
+            em = _END_STRICT.match(tag) or _END_LOOSE.match(tag)
+            if em is not None:  # else bogus comment: skipped, no event
+                sink.handle_endtag(em.group(1).lower())
             continue
-        sink.handle_starttag(name, ())
-        if m.group(0).endswith("/>") and _is_startend(m.group(0)):
-            # html.parser routes '<x/>' to handle_startendtag =
-            # start + end; a self-closing script never enters CDATA
-            sink.handle_endtag(name)
+        if c == "!":
+            if html.startswith("<!--", lt):
+                mm = _COMMENT_CLOSE.search(html, lt + 4)
+                pos = mm.end() if mm else fallback(lt)
+                continue
+            if html.startswith("<![", lt):
+                nm2 = _MS_NAME.match(html, lt + 3)
+                sect = nm2.group(0).lower() if nm2 else None
+                closer = (_MS_CLOSE_CD if sect in _MS_CDATA else
+                          _MS_CLOSE_IF if sect in _MS_COND else None)
+                if closer is None:
+                    # strict RAISES on unknown keywords; skip robustly
+                    gt = html.find(">", lt + 1)
+                    pos = gt + 1 if gt >= 0 else n
+                    continue
+                mm = closer.search(html, lt + 3)
+                pos = mm.end() if mm else fallback(lt)
+                continue
+            # declaration / bogus comment: through the first raw '>'
+            gt = html.find(">", lt + 1)
+            pos = gt + 1 if gt >= 0 else fallback(lt)
             continue
-        if name in _RAW_CLOSE:
-            mm = _RAW_CLOSE[name].search(html, pos)
-            # body is raw text (never emitted — these are skip
-            # elements); resume AT the close tag so the endtag event
-            # fires via the normal path; unterminated: body is the rest
-            pos = mm.start() if mm else n
-    if pos < n:
-        chunk = html[pos:]
-        sink.handle_data(unescape(chunk) if "&" in chunk else chunk)
+        if c == "?":
+            # parse_pi: first raw '>' closes, quotes not honored
+            gt = html.find(">", lt + 1)
+            pos = gt + 1 if gt >= 0 else fallback(lt)
+            continue
+        # literal '<' (digit, space, quote, EOF, unicode letter, ...)
+        sink.handle_data("<")
+        pos = lt + 1
 
 
 def _parse(html, engine: str = "fast") -> _Sink:

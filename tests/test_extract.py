@@ -113,6 +113,44 @@ def test_fast_engine_matches_strict():
             extract.visible_text(h, "strict")
 
 
+def test_fast_engine_differential_fuzz():
+    """Property: random markup-soup documents extract identically on
+    both engines. The alphabet is weighted toward the characters that
+    have produced real divergences: tag openers/closers, quotes,
+    slashes, entities, rawtext keywords, and the Unicode case-folding
+    traps (İ, ſ)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    atoms = st.sampled_from([
+        "<", ">", "/", "=", '"', "'", "&", ";", " ", "\n", "a", "x1",
+        "div", "main", "p", "a href=", "script", "style", "İ", "ſ",
+        "&amp;", "&lt;", "&#65;", "<script>", "</script>", "<main>",
+        "</main>", "<div>", "</div>", "<a>", "</a>", "<br/>", "<!--",
+        "-->", "<!doctype html>", "</ div>", "<p/>", "text words here",
+        "<![CDATA[", "]]>", "<?php", "?>", "\r\n", "\t", "-", "!",
+        "?", "[",
+    ])
+    doc = st.lists(atoms, min_size=0, max_size=50).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(doc)
+    def check(html):
+        try:
+            want_m = extract.main_content(html, "strict")
+            want_v = extract.visible_text(html, "strict")
+        except Exception:
+            # strict = html.parser can RAISE on markup soup (unknown
+            # '<![KEYWORD['): no oracle, but the fast engine must
+            # still not crash
+            extract.main_content(html, "fast")
+            return
+        assert extract.main_content(html, "fast") == want_m
+        assert extract.visible_text(html, "fast") == want_v
+
+    check()
+
+
 def test_visible_text_normalizes():
     html = ("<body><p>Hello   world</p><p></p><ul><li>a</li><li>b</li>"
             "</ul>tail</body>")
