@@ -364,14 +364,19 @@ _MODES = {"main": main_content, "visible": visible_text}
 
 
 def extract_df(df, html_col: str = "html", mode: str = "main",
-               out_col: str = "text"):
+               out_col: str = "text", engine: str = "fast"):
     """Append/replace ``out_col`` = extracted text of ``html_col``.
-    Narrow mapInArrow (no shuffle); NULL html -> NULL text."""
-    fn_extract = _MODES[mode]
+    Narrow mapInArrow (no shuffle); NULL html -> NULL text.
+    ``engine='strict'`` runs the html.parser twin at scale — the
+    cross-check to run if a fast-engine divergence is ever suspected
+    on real crawl data."""
+    mode_fn = _MODES[mode]  # raises KeyError on bad mode at plan time
     fields = [f for f in df.schema.fields if f.name != out_col]
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                     for f in fields) + f", {out_col} string"
     names = [f.name for f in fields] + [out_col]
+    if engine not in ("fast", "strict"):
+        raise ValueError(f"engine={engine!r}: use 'fast' or 'strict'")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from orc_haskell_spark.engine import clamp_worker_threads
@@ -379,7 +384,8 @@ def extract_df(df, html_col: str = "html", mode: str = "main",
         clamp_worker_threads()
         for b in batches:
             html = b.column(html_col).to_pylist()
-            texts = [None if h is None else fn_extract(h) for h in html]
+            texts = [None if h is None else mode_fn(h, engine)
+                     for h in html]
             arrays = [b.column(f.name) for f in fields] + \
                 [pa.array(texts, pa.string())]
             yield pa.RecordBatch.from_arrays(arrays, names=names)

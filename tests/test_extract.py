@@ -176,6 +176,19 @@ def test_extract_df_distributed(spark):
             assert r.extracted == text == r.text
 
 
+def test_extract_df_strict_engine_twin(spark):
+    """engine='strict' runs html.parser distributed and agrees with
+    the fast default on the pages corpus."""
+    df = gen.pages_df(spark, 150, num_partitions=2)
+    fast = extract.extract_df(df, out_col="t")
+    strict = extract.extract_df(df, out_col="t", engine="strict")
+    a = {r.url: r.t for r in fast.collect()}
+    b = {r.url: r.t for r in strict.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="engine="):
+        extract.extract_df(df, engine="nope")
+
+
 def test_extract_df_replaces_column(spark):
     """out_col colliding with an input column replaces it (the
     html->text recompute shape)."""
