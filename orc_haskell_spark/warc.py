@@ -695,6 +695,115 @@ def write_warc(df, out_dir: str, gzip_members: bool = True):
         .mapInArrow(write_part, WRITE_SUMMARY_DDL)
 
 
+PAGES_SUMMARY_DDL = "file string, n_rows bigint, nbytes bigint"
+
+
+def write_pages_parquet(spark, warc_path: str, out_dir: str,
+                        num_partitions: int | None = None,
+                        strict: bool = True,
+                        extract: str | None = "main",
+                        status_range: tuple | None = (200, 299),
+                        row_group_rows: int = 8192):
+    """FUSED ingest sink: WARC scan + extraction + parquet write all
+    inside the worker — the payload never crosses into the JVM (the
+    same engineering as the fused encode sinks; the JVM schedules
+    metadata-only chunk rows). One pages parquet part per task via
+    rename-on-commit; re-running a task rewrites its own part
+    atomically. LAZY: returns the per-task summary DataFrame
+    (file, n_rows, nbytes); the job runs when acted on.
+
+    Output schema is the input_hint pages table:
+    (url, warc_ts, html, text, lang) — lang is 'und' (language id is a
+    Catalyst pass over the committed table; keeping one oracle-checked
+    implementation beats a second in-worker twin)."""
+    from pyspark import TaskContext
+
+    from .pipeline import extract as extract_mod
+
+    files = _list_warc_files(warc_path)
+    if not files:
+        raise ValueError(f"no .warc/.warc.gz files under {warc_path!r}")
+    if extract is not None and extract not in extract_mod._MODES:
+        raise ValueError(f"extract={extract!r}: use 'main' or 'visible'")
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    buckets = _lpt_buckets(_file_chunks(files, DEFAULT_SPLIT_BYTES), n)
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ])
+
+    def write_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from orc_haskell_spark.engine import clamp_worker_threads
+        from orc_haskell_spark.pipeline import extract as xm
+        from orc_haskell_spark.sources import commit_part, task_output
+
+        clamp_worker_threads()
+        fn_extract = xm._MODES[extract] if extract else None
+        pid = TaskContext.get().partitionId()
+        fs, staging, final = task_output(out_dir, None, f"{pid:05d}")
+        writer = None
+        cols: list[list] = [[], [], [], [], []]
+        n_rows = 0
+
+        def flush():
+            nonlocal writer, cols
+            if not cols[0]:
+                return
+            rb = pa.record_batch([
+                pa.array(cols[0], pa.string()),
+                pa.array(cols[1], pa.timestamp("us", tz="UTC")),
+                pa.array(cols[2], pa.binary()),
+                pa.array(cols[3], pa.string()),
+                pa.array(cols[4], pa.string()),
+            ], schema=schema)
+            if writer is None:
+                writer = pq.ParquetWriter(staging, schema,
+                                          compression="zstd",
+                                          filesystem=fs)
+            writer.write_batch(rb)
+            cols = [[], [], [], [], []]
+
+        for b in batches:
+            for f, start, end in zip(b.column("file").to_pylist(),
+                                     b.column("start").to_pylist(),
+                                     b.column("end").to_pylist()):
+                for url, ts, st, _ct, html in iter_warc_file(
+                        f, strict=strict, start=start,
+                        end=None if end < 0 else end):
+                    if status_range is not None and (
+                            st is None or not
+                            status_range[0] <= st <= status_range[1]):
+                        continue
+                    cols[0].append(url)
+                    cols[1].append(ts)
+                    cols[2].append(html)
+                    cols[3].append(fn_extract(html) if fn_extract
+                                   else None)
+                    cols[4].append("und")
+                    n_rows += 1
+                    if len(cols[0]) >= row_group_rows:
+                        flush()
+        flush()
+        if writer is not None:
+            writer.close()
+            commit_part(fs, staging, final)
+            size = fs.get_file_info(final).size or 0
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([final]), pa.array([n_rows], pa.int64()),
+                 pa.array([size], pa.int64())],
+                names=["file", "n_rows", "nbytes"])
+
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(buckets, len(buckets))
+        .flatMap(lambda b: b), "file string, start bigint, end bigint")
+    return fdf.mapInArrow(write_part, PAGES_SUMMARY_DDL)
+
+
 class _ArrowSink(io.RawIOBase):
     """RawIOBase shim so BufferedWriter can batch tiny record writes
     into 1 MiB pushes to the pyarrow output stream."""

@@ -71,10 +71,15 @@ def main() -> None:
                          "table; without it a second run into the same "
                          "output fails loudly (a re-run of the same "
                          "crawl would silently duplicate every row)")
+    ap.add_argument("--fused", action="store_true",
+                    help="write the pages parquet INSIDE the scan "
+                         "worker (rename-on-commit parts, zero payload "
+                         "JVM crossing — the fused-sink shape); "
+                         "incompatible with --lang-id (language id is "
+                         "a Catalyst pass over the committed table)")
     args = ap.parse_args()
     status = parse_status(args.keep_status)
 
-    import pyarrow as pa
     from pyspark.sql import Observation, SparkSession
     from pyspark.sql import functions as F
 
@@ -84,6 +89,29 @@ def main() -> None:
     spark = (SparkSession.builder.appName("orc-haskell-spark-ingest")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
+    data_dir = os.path.join(args.output, "data")
+
+    if args.fused:
+        if args.lang_id:
+            raise SystemExit("--fused is incompatible with --lang-id "
+                             "(run language id as a Catalyst pass over "
+                             "the committed table)")
+        if os.path.isdir(data_dir) and os.listdir(data_dir) \
+                and not args.append:
+            raise SystemExit(f"{data_dir} already exists and is not "
+                             f"empty (use --append for incremental "
+                             f"crawls)")
+        summary = warc.write_pages_parquet(
+            spark, args.input, data_dir,
+            num_partitions=args.partitions,
+            strict=not args.lenient,
+            extract=None if args.extract == "none" else args.extract,
+            status_range=status).collect()
+        print(f"ingested rows={sum(r.n_rows for r in summary)} "
+              f"parquet_bytes={sum(r.nbytes for r in summary)}")
+        _maybe_commit(args, data_dir)
+        spark.stop()
+        return
 
     # extraction runs INSIDE the scan worker (read_warc extract=):
     # a separate extract_df stage would ship every html payload
@@ -107,31 +135,36 @@ def main() -> None:
     obs = Observation("ingest")
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"),
                     F.sum(F.length("html")).alias("html_bytes"))
-    data_dir = os.path.join(args.output, "data")
     df.write.mode("append" if args.append else "errorifexists") \
         .parquet(data_dir)
     print(f"ingested rows={obs.get['rows']} "
           f"html_bytes={obs.get['html_bytes']}")
-
-    if args.commit_iceberg:
-        from orc_haskell_spark import iceberg
-
-        hint = os.path.join(args.output, "metadata", "version-hint.text")
-        if not os.path.exists(hint):
-            schema = pa.schema([
-                ("url", pa.string()),
-                ("warc_ts", pa.timestamp("us", tz="UTC")),
-                ("html", pa.binary()),
-                ("text", pa.string()),
-                ("lang", pa.string()),
-            ])
-            iceberg.create_table(args.output, schema)
-        snap = iceberg.commit_parquet_dir(args.output, data_dir)
-        if snap is None:
-            print("iceberg commit: nothing new")
-        else:
-            print("iceberg commit: snapshot", snap["snapshot-id"])
+    _maybe_commit(args, data_dir)
     spark.stop()
+
+
+def _maybe_commit(args, data_dir: str) -> None:
+    if not args.commit_iceberg:
+        return
+    import pyarrow as pa
+
+    from orc_haskell_spark import iceberg
+
+    hint = os.path.join(args.output, "metadata", "version-hint.text")
+    if not os.path.exists(hint):
+        schema = pa.schema([
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us", tz="UTC")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ])
+        iceberg.create_table(args.output, schema)
+    snap = iceberg.commit_parquet_dir(args.output, data_dir)
+    if snap is None:
+        print("iceberg commit: nothing new")
+    else:
+        print("iceberg commit: snapshot", snap["snapshot-id"])
 
 
 if __name__ == "__main__":

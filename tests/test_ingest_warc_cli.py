@@ -107,6 +107,52 @@ def test_encoded_pipeline_output_decodes_back(tmp_path, spark):
     assert all(got[u] == x for u, (_h, x) in src.items())
 
 
+def test_fused_ingest_matches_jvm_path(tmp_path):
+    """--fused (in-worker parquet sink, zero payload crossing) writes
+    exactly the rows the JVM write path writes, commits to Iceberg,
+    and refuses duplicate re-runs like the default path."""
+    crawl, src = _write_crawl(tmp_path, n=300)
+    a = str(tmp_path / "pages_jvm")
+    b = str(tmp_path / "pages_fused")
+    _run("ingest_warc.py", "--input", str(crawl), "--output", a,
+         "--partitions", "2")
+    r = _run("ingest_warc.py", "--input", str(crawl), "--output", b,
+             "--partitions", "2", "--fused", "--commit-iceberg")
+    assert f"ingested rows={len(src)}" in r.stdout
+    assert "iceberg commit: snapshot" in r.stdout
+    ta = pq.read_table(os.path.join(a, "data"))
+    tb = pq.read_table(os.path.join(b, "data"))
+
+    def key(t):
+        import datetime as dt
+
+        def utc(x):  # Spark writes naive-UTC annotation, ours tz-aware
+            return x.replace(tzinfo=dt.timezone.utc) if x.tzinfo is None \
+                else x.astimezone(dt.timezone.utc)
+
+        return sorted(zip(t.column("url").to_pylist(),
+                          [utc(x) for x in t.column("warc_ts").to_pylist()],
+                          t.column("html").to_pylist(),
+                          t.column("text").to_pylist(),
+                          t.column("lang").to_pylist()))
+
+    assert key(ta) == key(tb)
+    # duplicate re-run refused; --lang-id refused
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "ingest_warc.py"),
+         "--input", str(crawl), "--output", b, "--fused"],
+        capture_output=True, text=True, timeout=600, env=ENV, cwd=REPO)
+    assert r2.returncode != 0 and "already exists" in (
+        r2.stderr + r2.stdout)
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "ingest_warc.py"),
+         "--input", str(crawl), "--output", str(tmp_path / "x"),
+         "--fused", "--lang-id"],
+        capture_output=True, text=True, timeout=600, env=ENV, cwd=REPO)
+    assert r3.returncode != 0 and "incompatible" in (
+        r3.stderr + r3.stdout)
+
+
 def test_ingest_status_filter_and_lenient(tmp_path):
     crawl, src = _write_crawl(tmp_path, n=120)
     # corrupt one gzip member in file a: lenient run must survive
