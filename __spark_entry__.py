@@ -22,8 +22,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from orc_haskell_spark import engine, gen, warc  # noqa: E402
-from orc_haskell_spark.pipeline import (dedup, extract, multimodal,  # noqa: E402
-                                        sessions, similarity, text)
+from orc_haskell_spark.pipeline import (dedup, extract, filters,  # noqa: E402
+                                        multimodal, sessions, similarity,
+                                        text)
 
 _WORKERS_READY: set[int] = set()
 
@@ -549,13 +550,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["roundtrip_dict_documents"] = _mk_roundtrip(
         "documents", {"string_codec": "dict"})
     # (round 5) roundtrip_nocomp_events swapped out for the Iceberg
-    # maintenance query — the no-compression escape stays pinned by the
-    # pytest compression matrix; the 50-query gate cap binds
-    q["roundtrip_zlib_orders"] = _mk_roundtrip(
-        "orders", {"compression": "zlib"})
+    # maintenance query, roundtrip_zlib_orders for the webtext quality
+    # filter, orcfile_roundtrip_documents for the repetition stats —
+    # all three stay exactly pinned by tests/test_entry_queries.py
+    # against the same DuckDB oracles; the 50-query gate cap binds
+    q["quality_filter_documents"] = _quality_filter_documents
+    q["text_repetition_documents"] = _text_repetition_documents
     q["iceberg_maintenance_documents"] = _iceberg_maintenance_scan
     q["orcfile_roundtrip_lineitem"] = _mk_orcfile_roundtrip("lineitem")
-    q["orcfile_roundtrip_documents"] = _mk_orcfile_roundtrip("documents")
     q["orcfile_roundtrip_events"] = _mk_orcfile_roundtrip("events")
     q["sessionize_events"] = lambda s, d: sessions.sessionize(
         _load(s, d, "events"), "user_id", "ts", gap_minutes=30)
@@ -754,6 +756,33 @@ def _salted_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"docs": ("count", "doc_id"), "chars": ("sum", "n_chars"),
          "min_doc": ("min", "doc_id"), "max_doc": ("max", "doc_id")},
         buckets=16)
+
+
+def _text_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition statistics (top-2-gram and duplicate-3-gram
+    character fractions) over documents: the scalable explode →
+    (id, n, gram)-keyed groupBy shape in pipeline/filters."""
+    return filters.ngram_repetition(
+        _load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-shape stats + keep flag on the raw text, plus
+    PII redaction verified by digest: the corpus contains no PII, so
+    the query injects email/phone/IP/SSN spans derived from doc_id
+    (SQL-reconstructible) and redacts them — the oracle recomputes the
+    augmented text and the redaction chain exactly."""
+    df = _load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" ssn 123-45-6789 end"))
+    return df.withColumn("_aug", aug).select(
+        "doc_id", *filters.gopher_cols("text"),
+        F.md5(filters.redact_cols("_aug")).alias("redacted_md5"))
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list:
@@ -1298,9 +1327,9 @@ def oracle_sql() -> dict[str, str]:
     o["fused_transcode_documents"] = _select_sql("documents")
     o["fused_orc_encode_orders"] = _select_sql("orders")
     o["iceberg_maintenance_documents"] = _ICEBERG_MAINT_ORACLE_SQL
-    o["roundtrip_zlib_orders"] = _select_sql("orders")
+    o["quality_filter_documents"] = _quality_filter_oracle_sql()
+    o["text_repetition_documents"] = _TEXT_REPETITION_ORACLE_SQL
     o["orcfile_roundtrip_lineitem"] = _select_sql("lineitem")
-    o["orcfile_roundtrip_documents"] = _select_sql("documents")
     o["orcfile_roundtrip_events"] = _select_sql("events")
     o["sessionize_events"] = r"""
 WITH marked AS (
@@ -1576,3 +1605,78 @@ SELECT doc_id,
     i -> md5(substr(text, CAST(i + 1 AS INT), 16)))) AS min_shingle,
   CAST(greatest(length(text) - 16, 0) + 1 AS INT) AS n_shingles
 FROM documents"""
+
+
+# DuckDB twin of filters.ngram_repetition(documents, 'doc_id', 'text',
+# top_n=2, dup_n=3): same plain-space split, same (doc, n, gram)
+# grouping, same (cnt DESC, gram DESC) tie-break, same left join so
+# gram-less docs still emit a row.
+_TEXT_REPETITION_ORACLE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
+  FROM documents),
+g AS (
+  SELECT doc_id, n_chars, 2 AS n,
+         unnest(list_transform(range(len(w) - 1),
+                i -> w[i + 1] || ' ' || w[i + 2])) AS gram
+  FROM w
+  UNION ALL
+  SELECT doc_id, n_chars, 3 AS n,
+         unnest(list_transform(range(len(w) - 2),
+                i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS gram
+  FROM w),
+c AS (
+  SELECT doc_id, n, gram, count(*) AS cnt, any_value(n_chars) AS n_chars
+  FROM g GROUP BY doc_id, n, gram),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY cnt DESC, gram DESC) AS rn
+  FROM c),
+p AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 AND rn = 1 THEN gram END) AS top_gram,
+         max(CASE WHEN n = 2 AND rn = 1 THEN cnt END) AS top_cnt,
+         sum(CASE WHEN n = 2 AND rn = 1
+                  THEN cnt * length(gram) END) AS topc,
+         sum(CASE WHEN n = 3 AND cnt >= 2
+                  THEN cnt * length(gram) END) AS dupc
+  FROM r GROUP BY doc_id)
+SELECT w.doc_id, CAST(w.n_chars AS INT) AS n_chars, p.top_gram,
+       CAST(coalesce(p.top_cnt, 0) AS BIGINT) AS top_cnt,
+       round(coalesce(p.topc, 0) * 1.0 / greatest(w.n_chars, 1), 5)
+         AS top2gram_char_frac,
+       round(coalesce(p.dupc, 0) * 1.0 / greatest(w.n_chars, 1), 5)
+         AS dup3gram_char_frac
+FROM w LEFT JOIN p USING (doc_id)"""
+
+
+def _quality_filter_oracle_sql() -> str:
+    """DuckDB twin of _quality_filter_documents: gopher_cols over text
+    (thresholds inlined from filters.gopher_cols defaults) plus the
+    redaction digest over the same doc_id-derived PII augmentation.
+    Division shapes mirror the Spark plan operand-for-operand so the
+    doubles are bit-identical."""
+    w = "string_split(text, ' ')"
+    wc = f"len({w})"
+    mean = f"(list_sum(list_transform({w}, x -> length(x))) * 1.0 / {wc})"
+    alpha = (f"(len(list_filter({w}, "
+             f"x -> regexp_full_match(x, '[A-Za-z]+'))) * 1.0 / {wc})")
+    stop = (f"len(list_filter({w}, "
+            f"x -> x IN ('the', 'and', 'of', 'to', 'in')))")
+    aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+           "'@example.com or +1-555-0' || "
+           "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || "
+           "' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+           "' ssn 123-45-6789 end'")
+    redact_sql = filters.redact_sql
+    return (
+        f"SELECT doc_id, CAST({wc} AS INT) AS word_count, "
+        f"round({mean}, 5) AS mean_word_len, "
+        f"round({alpha}, 5) AS alpha_word_frac, "
+        f"round(1 - len(list_distinct({w})) * 1.0 / {wc}, 5) "
+        f"AS dup_word_frac, "
+        f"CAST({stop} AS INT) AS stopword_hits, "
+        f"({wc} >= 50 AND {wc} <= 100000 AND {mean} >= 3.0 AND "
+        f"{mean} <= 10.0 AND {alpha} >= 0.8 AND {stop} >= 2) AS keep, "
+        f"md5({redact_sql(f'({aug})')}) AS redacted_md5 "
+        f"FROM documents")

@@ -64,6 +64,35 @@ def test_roundtrip_direct_documents_still_oracle_exact(spark, oracle):
     assert n > 0
 
 
+def test_roundtrip_zlib_orders_still_oracle_exact(spark, oracle):
+    """Swapped out of the gate (round 5, for quality_filter_documents);
+    pinned here instead — zlib framing also stays gate-covered through
+    the orcfile rows and the pytest compression matrix."""
+    n = _compare(spark, oracle, "roundtrip_zlib_orders",
+                 query_fn=e._mk_roundtrip("orders",
+                                          {"compression": "zlib"}),
+                 oracle_sql=e._select_sql("orders"))
+    assert n > 0
+
+
+def test_orcfile_roundtrip_documents_still_oracle_exact(spark, oracle):
+    """Swapped out of the gate (round 5, for text_repetition_documents);
+    pinned here — our ORC writer's string path stays gate-covered via
+    orcfile_cpp_read_documents and the fused ORC encode row."""
+    n = _compare(spark, oracle, "orcfile_roundtrip_documents",
+                 query_fn=e._mk_orcfile_roundtrip("documents"),
+                 oracle_sql=e._select_sql("documents"))
+    assert n > 0
+
+
+def test_quality_filter_gate_preflight(spark, oracle):
+    assert _compare(spark, oracle, "quality_filter_documents") > 0
+
+
+def test_text_repetition_gate_preflight(spark, oracle):
+    assert _compare(spark, oracle, "text_repetition_documents") > 0
+
+
 def test_warc_ingest_pages_gate_preflight(spark, oracle):
     assert _compare(spark, oracle, "warc_ingest_pages") > 0
 
