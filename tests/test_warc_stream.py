@@ -111,3 +111,36 @@ def test_stream_rejects_bad_options(spark, tmp_path):
     with pytest.raises(Exception, match="extract"):
         (spark.readStream.format("warc_stream")
          .option("extract", "nope").load(str(tmp_path)).schema)
+
+
+def test_crawl_to_encoded_table_end_to_end(spark, landing, tmp_path):
+    """The full continuous-ingest composition: WARC archives land ->
+    warc_stream (fused extraction) -> stream_encode (ledger-idempotent
+    micro-batch encode) -> decode_stream; extracted text comes back
+    byte-identical per url (the north rule's invariant), and a second
+    archive is encoded incrementally from the same checkpoint."""
+    from orc_haskell_spark import streaming
+
+    spark.dataSource.register(WarcStreamDataSource)
+    out, ckpt = str(tmp_path / "encoded"), str(tmp_path / "ckpt")
+    stream = (spark.readStream.format("warc_stream")
+              .option("extract", "main").load(str(landing)))
+    schema = stream.schema
+    q = streaming.stream_encode(stream, out, checkpoint=ckpt,
+                                stripe_rows=500)
+    q.awaitTermination(120)
+    dec = streaming.decode_stream(spark, out, schema)
+    got = {r.url: r.text for r in dec.collect()}
+    assert got == {f"https://crawl.example/web/{i}": f"doc {i} body text"
+                   for i in range(3)}
+
+    _mk_warc(landing / "crawl-0002.warc.gz", [7])
+    q2 = streaming.stream_encode(
+        (spark.readStream.format("warc_stream")
+         .option("extract", "main").load(str(landing))),
+        out, checkpoint=ckpt, stripe_rows=500)
+    q2.awaitTermination(120)
+    dec2 = streaming.decode_stream(spark, out, schema)
+    assert dec2.count() == 4                         # exactly once
+    assert {r.text for r in dec2.filter("url like '%/7'").collect()} \
+        == {"doc 7 body text"}
