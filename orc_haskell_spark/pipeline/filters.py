@@ -151,42 +151,52 @@ def ngram_repetition(df: DataFrame, id_col: str, text_col: str,
       Overlapping occurrences are counted independently, as in the
       published heuristic.
 
-    Plan: one explode over the union of both gram sizes, one groupBy
-    keyed (id, n, gram) with map-side partial aggregation, a per-doc
-    window for the top gram, then a final groupBy(id) pivot — joined
-    back to the doc list so zero-gram docs still emit a row.
+    Plan: ONE scan — both gram sizes are built as (n, gram) structs in
+    a single projection, concatenated and explode_outer'd (the outer
+    keeps zero-gram docs as a null-gram row, so no join-back to the doc
+    list is needed), then one groupBy keyed (id, n, gram) with map-side
+    partial aggregation, a per-doc window for the top gram, and a final
+    groupBy(id) pivot.
     """
+    ns = sorted({top_n, dup_n})
+
+    def _tag(n):
+        # single-arg lambda: F.transform passes (element, index) to a
+        # TWO-arg callable, so `lambda g, n=n:` would bind the array
+        # index over the n-gram size
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_arrays = [F.transform(_gram_col(n), _tag(n)) for n in ns]
     base = df.select(F.col(id_col), _words(text_col).alias("w"),
                      F.length(text_col).alias("n_chars"))
-    ex = None
-    for n in sorted({top_n, dup_n}):
-        part = base.select(
-            id_col, "n_chars", F.lit(n).alias("n"),
-            F.explode(_gram_col(n)).alias("gram"))
-        ex = part if ex is None else ex.unionByName(part)
-    cnt = ex.groupBy(id_col, "n", "gram").agg(
+    ex = base.select(
+        id_col, "n_chars",
+        F.explode_outer(F.concat(*gram_arrays)).alias("g"))
+    cnt = ex.groupBy(id_col, "g").agg(
         F.count("*").alias("cnt"), F.first("n_chars").alias("n_chars"))
-    win = Window.partitionBy(id_col, "n").orderBy(
-        F.col("cnt").desc(), F.col("gram").desc())
+    win = Window.partitionBy(id_col, F.col("g.n")).orderBy(
+        F.col("cnt").desc(), F.col("g.gram").desc())
     ranked = cnt.withColumn("rn", F.row_number().over(win))
+    # the null-g rows (zero-gram docs) contribute to no when() but keep
+    # their doc id in the final groupBy — every doc emits a row
     per_doc = ranked.groupBy(id_col).agg(
-        F.max(F.when((F.col("n") == top_n) & (F.col("rn") == 1),
-                     F.col("gram"))).alias("top_gram"),
-        F.max(F.when((F.col("n") == top_n) & (F.col("rn") == 1),
-                     F.col("cnt"))).alias("top_cnt"),
-        F.sum(F.when((F.col("n") == top_n) & (F.col("rn") == 1),
-                     F.col("cnt") * F.length("gram"))).alias("_topc"),
-        F.sum(F.when((F.col("n") == dup_n) & (F.col("cnt") >= 2),
-                     F.col("cnt") * F.length("gram"))).alias("_dupc"))
-    out = base.select(id_col, "n_chars").join(per_doc, id_col, "left")
+        F.first("n_chars").alias("n_chars"),
+        F.max(F.when((F.col("g.n") == top_n) & (F.col("rn") == 1),
+                     F.col("g.gram"))).alias("top_gram"),
+        F.max(F.when((F.col("g.n") == top_n) & (F.col("rn") == 1),
+                     F.col("cnt"))).alias("_top_cnt"),
+        F.sum(F.when((F.col("g.n") == top_n) & (F.col("rn") == 1),
+                     F.col("cnt") * F.length("g.gram"))).alias("_topc"),
+        F.sum(F.when((F.col("g.n") == dup_n) & (F.col("cnt") >= 2),
+                     F.col("cnt") * F.length("g.gram"))).alias("_dupc"))
     # empty text has n_chars 0 and zero grams: divide by max(1, ...) so
     # the fractions come out 0.0 instead of an ANSI divide-by-zero
     denom = F.greatest(F.col("n_chars"), F.lit(1))
-    return out.select(
+    return per_doc.select(
         F.col(id_col),
         F.col("n_chars"),
         F.col("top_gram"),
-        F.coalesce("top_cnt", F.lit(0)).alias("top_cnt"),
+        F.coalesce("_top_cnt", F.lit(0)).alias("top_cnt"),
         F.round(F.coalesce(F.col("_topc"), F.lit(0)) / denom,
                 5).alias(f"top{top_n}gram_char_frac"),
         F.round(F.coalesce(F.col("_dupc"), F.lit(0)) / denom,

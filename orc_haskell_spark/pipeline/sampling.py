@@ -69,8 +69,13 @@ def stratified_quota(df: DataFrame, strata_col: str, key_col: str,
         raise ValueError(f"quota must be >= 0, got {quota}")
     w = Window.partitionBy(strata_col).orderBy(
         _rank_col(key_col, seed), F.col(key_col))
-    return (df.withColumn("_hr", F.row_number().over(w))
-              .filter(F.col("_hr") <= quota).drop("_hr"))
+    # collision-proof temp name: withColumn would silently overwrite
+    # (then drop) a pre-existing user column of the same name
+    hr = "_hr"
+    while hr in df.columns:
+        hr += "_"
+    return (df.withColumn(hr, F.row_number().over(w))
+              .filter(F.col(hr) <= quota).drop(hr))
 
 
 def stratified_quota_sql(table: str, strata_col: str, key_col: str,

@@ -19,10 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# scheme://host[:port][/path][?query][#fragment]
+# scheme://[userinfo@]host[:port][/path][?query][#fragment]
+# (?:[^/@?#]*@)? skips userinfo: without it, 'https://evil@tracker.net'
+# would parse host 'evil@tracker.net' and BYPASS a tracker.net blocklist
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
-_PORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#@]+)"
+_PORT_RE = ("^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?"
+            "[^/:?#@]+:([0-9]+)")
 _PATHQ_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 _REGDOM_RE = "([^.]+\\.[^.]+)$"
 
@@ -38,9 +41,10 @@ def url_part_cols(url_col: str) -> list[Column]:
     return [
         scheme.alias("scheme"),
         host.alias("host"),
-        # when() keeps the ANSI cast off the empty-string branch
+        # try_cast: an over-int32 port in one garbage URL must yield
+        # null, not kill the job with an ANSI CAST_OVERFLOW
         F.when(port_s == "", F.lit(None).cast("int"))
-         .otherwise(port_s.cast("int")).alias("port"),
+         .otherwise(port_s.try_cast("int")).alias("port"),
         F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
         F.when(query == "", F.lit(None).cast("string"))
          .otherwise(query).alias("query"),
@@ -67,7 +71,11 @@ def normalize_url_col(url_col: str) -> Column:
     hostport = F.when((port_s == "") | default, host).otherwise(
         F.concat(host, F.lit(":"), port_s))
     pathq = F.regexp_extract(u, _PATHQ_RE, 1)
-    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    # empty path -> '/', including before a query ('https://x.y?q=1'
+    # and 'https://x.y/?q=1' must canonicalize identically)
+    pathq = F.when(pathq == "", F.lit("/")) \
+             .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq)) \
+             .otherwise(pathq)
     # a string with no scheme://host is not an absolute URL: pass it
     # through unchanged rather than fabricating ':///' (which would
     # collide distinct garbage rows into one canonical dedup key)
@@ -109,7 +117,10 @@ def blocklist_filter(df: DataFrame, url_col: str,
         blocked = spark.createDataFrame(
             [(d.lower(),) for d in blocked_domains], ["reg_domain"])
     else:
-        blocked = blocked_domains.toDF("reg_domain")
+        # lowercase the DataFrame path too, or a mixed-case blocklist
+        # silently blocks nothing (the join key is lowercased host)
+        blocked = blocked_domains.toDF("reg_domain").select(
+            F.lower("reg_domain").alias("reg_domain"))
     tagged = df.withColumn(
         "_rd", F.regexp_extract(
             F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1)),

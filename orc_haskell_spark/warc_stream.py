@@ -12,17 +12,20 @@ same pages schema (url, warc_ts, status, content_type, html[, text]),
 with HTML->text extraction optionally fused into the scan worker
 exactly like ``read_warc(extract=)`` (one Arrow crossing, total).
 
-Offsets are a LEXICOGRAPHIC FILENAME WATERMARK — the greatest archive
-name admitted so far. A micro-batch covers files with
-``start.wm < name <= end.wm``. This makes the offset O(1) regardless of
-history length (no seen-file log), at the price of a naming convention:
-archive names must be monotone over time (Common Crawl's own
-``CC-MAIN-<timestamp>-...`` segment names are; our ``write_warc`` parts
-are per directory). A file landing with a name BELOW the watermark is
-never picked up — ship each crawl batch into a fresh subdirectory or
-timestamp-prefix the names. Files must be complete when visible
-(rename-on-commit, as our sinks do) and must not be deleted before the
-checkpoint commits — both standard file-source contracts.
+Offsets are a LEXICOGRAPHIC PATH WATERMARK — the greatest archive path
+(relative to the landing dir) admitted so far. A micro-batch covers
+files with ``start.wm < relpath <= end.wm``. This makes the offset O(1)
+regardless of history length (no seen-file log), at the price of a
+naming convention: relative paths must be monotone over time. Both
+standard layouts satisfy it: timestamp-prefixed names in one directory
+(Common Crawl's ``CC-MAIN-<timestamp>-...``), or one fresh
+lexically-increasing subdirectory per crawl batch (``day=2026-08-17/``
+— the subdirectory makes the relpath monotone even though our
+``write_warc`` part names restart at 00000 per directory). A file
+landing with a relpath BELOW the watermark is never picked up. Files
+must be complete when visible (rename-on-commit, as our sinks do) and
+must not be deleted before the checkpoint commits — both standard
+file-source contracts.
 
 Options:
 - ``path``: landing directory (required; scanned recursively)
@@ -105,8 +108,13 @@ class WarcStreamDataSource(DataSource):
         return WarcStreamReader(*self._opts())
 
 
-def _basename(p: str) -> str:
-    return os.path.basename(p.rstrip("/"))
+def _relpath(p: str, root: str) -> str:
+    """Path relative to the landing dir — the watermark unit. Basenames
+    alone would collide across subdirectories (write_warc part names
+    restart at 00000 per directory), silently losing whole batches."""
+    p = p.rstrip("/")
+    root = root.rstrip("/") + "/"
+    return p[len(root):] if p.startswith(root) else os.path.basename(p)
 
 
 class WarcStreamReader(DataSourceStreamReader):
@@ -130,7 +138,7 @@ class WarcStreamReader(DataSourceStreamReader):
         return {"wm": ""}
 
     def latestOffset(self) -> dict:
-        names = sorted(_basename(f) for f, _ in self._listing())
+        names = sorted(_relpath(f, self.path) for f, _ in self._listing())
         # like the Iceberg source: admission control only applies once
         # the previous offset is KNOWN (fresh reader or prior call); a
         # restarted reader's first latestOffset is uncapped so it can
@@ -155,7 +163,7 @@ class WarcStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return []
         files = [(f, size) for f, size in self._listing()
-                 if lo < _basename(f) <= hi]
+                 if lo < _relpath(f, self.path) <= hi]
         chunks = _file_chunks(files, self.split_bytes)
         return [WarcChunkPartition(f, s, e, self.extract, self.strict)
                 for (f, s, e), _w in chunks]

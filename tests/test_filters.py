@@ -106,6 +106,19 @@ def test_clean_lines_golden(spark):
     assert rt.n_kept == 2               # terminal-punctuation rule
 
 
+def test_ngram_repetition_single_scan(spark, tmp_path):
+    """The plan must read the source ONCE: both gram sizes explode from
+    one projection and zero-gram docs ride the groupBy (no union of
+    re-scans, no join-back)."""
+    p = str(tmp_path / "d.parquet")
+    spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"]) \
+        .write.parquet(p)
+    plan = filters.ngram_repetition(spark.read.parquet(p), "doc_id",
+                                    "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
 def test_gopher_stats_fuses_into_single_projection(spark):
     """The flags are projection-only: the optimized plan must contain
     no exchange (shuffle) at all."""

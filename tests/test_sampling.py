@@ -98,6 +98,16 @@ def test_null_key_not_silently_dropped(spark):
     assert sampling.hash_sample(edge, "doc_id", 1.0).count() == 3
 
 
+def test_quota_preserves_user_hr_column(spark):
+    """A pre-existing '_hr' column must survive (the window temp picks
+    a non-colliding name)."""
+    df = spark.createDataFrame(
+        [(1, "en", 7), (2, "en", 8)], ["doc_id", "lang", "_hr"])
+    out = sampling.stratified_quota(df, "lang", "doc_id", 1)
+    assert out.columns == ["doc_id", "lang", "_hr"]
+    assert [r._hr for r in out.collect()] in ([7], [8])
+
+
 def test_quota_zero_and_negative(spark, docs):
     assert sampling.stratified_quota(docs, "lang", "doc_id", 0).count() == 0
     with pytest.raises(ValueError):

@@ -61,6 +61,23 @@ def test_stream_exactly_once_across_drains(spark, landing, tmp_path):
     assert spark.read.parquet(str(out)).count() == 5
 
 
+def test_stream_subdirectory_batches_not_lost(spark, tmp_path):
+    """Watermarks are RELATIVE PATHS: two crawl batches in fresh
+    subdirectories reuse the same part basenames (write_warc restarts
+    at 00000 per dir) and must both be ingested."""
+    spark.dataSource.register(WarcStreamDataSource)
+    land = tmp_path / "landing"
+    (land / "day=01").mkdir(parents=True)
+    _mk_warc(land / "day=01" / "00000.warc.gz", range(0, 2))
+    out, ckpt = tmp_path / "sink", tmp_path / "ckpt"
+    _drain(spark, land, out, ckpt)
+    assert spark.read.parquet(str(out)).count() == 2
+    (land / "day=02").mkdir()
+    _mk_warc(land / "day=02" / "00000.warc.gz", range(10, 13))
+    _drain(spark, land, out, ckpt)
+    assert spark.read.parquet(str(out)).count() == 5
+
+
 def test_stream_fused_extraction(spark, landing, tmp_path):
     spark.dataSource.register(WarcStreamDataSource)
     out, ckpt = tmp_path / "sink", tmp_path / "ckpt"
