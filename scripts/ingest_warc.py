@@ -5,7 +5,7 @@
         --input <dir of .warc/.warc.gz> --output <table dir> \
         [--partitions N] [--extract main|visible|none] [--lang-id] \
         [--keep-status 200-299 | all] [--lenient] [--commit-iceberg] \
-        [--append]
+        [--append] [--follow [--poll-interval S] [--max-files-per-batch N]]
 
 Front end of the north-rule pipeline: Common-Crawl-style WARC files in,
 the BASELINE.json input_hint pages table out —
@@ -77,8 +77,36 @@ def main() -> None:
                          "JVM crossing — the fused-sink shape); "
                          "incompatible with --lang-id (language id is "
                          "a Catalyst pass over the committed table)")
+    ap.add_argument("--follow", action="store_true",
+                    help="incremental mode: drain only archives that "
+                         "landed since the last --follow run (streaming "
+                         "source + checkpoint under <output>); "
+                         "rerunnable forever — the cron-style tail of a "
+                         "live crawl. Requires monotone relative paths "
+                         "(timestamped names or per-batch subdirs)")
+    ap.add_argument("--poll-interval", type=float, default=None,
+                    metavar="SECONDS",
+                    help="with --follow: keep running, draining newly "
+                         "landed archives every SECONDS until killed "
+                         "(default: one drain, then exit)")
+    ap.add_argument("--max-files-per-batch", type=int, default=0,
+                    help="with --follow: admission control — cap the "
+                         "archives per micro-batch (0 = unlimited)")
     args = ap.parse_args()
     status = parse_status(args.keep_status)
+    if args.follow:
+        if args.fused:
+            raise SystemExit("--follow is incompatible with --fused "
+                             "(the stream sink is its own exactly-once "
+                             "shape)")
+        if args.append:
+            raise SystemExit("--follow is always incremental; drop "
+                             "--append")
+        follow(args, status)
+        return
+    if args.poll_interval is not None or args.max_files_per_batch:
+        raise SystemExit("--poll-interval/--max-files-per-batch need "
+                         "--follow")
 
     from pyspark.sql import Observation, SparkSession
     from pyspark.sql import functions as F
@@ -140,6 +168,92 @@ def main() -> None:
     print(f"ingested rows={obs.get['rows']} "
           f"html_bytes={obs.get['html_bytes']}")
     _maybe_commit(args, data_dir)
+    spark.stop()
+
+
+def follow(args, status) -> None:
+    """Incremental ingest: one availableNow drain of the warc_stream
+    source per call (looped with --poll-interval). Exactly-once pages
+    parts without relying on the sink's own atomicity:
+
+    - each micro-batch stages to <output>/_staging/batch-<id>, then
+      renames into <output>/data as batch<id>-p<i>.parquet. A replayed
+      batch (crash before the checkpoint commit) first deletes its own
+      stale parts, so duplicate part names are impossible and committed
+      batches are never touched.
+    - the Iceberg commit runs only AFTER a drain terminates — i.e.
+      after every batch's checkpoint commit — so a replay can never
+      rewrite a file some snapshot already references.
+    """
+    import glob
+    import shutil
+    import time
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from orc_haskell_spark.pipeline import text
+    from orc_haskell_spark.warc_stream import WarcStreamDataSource
+
+    spark = (SparkSession.builder.appName("orc-haskell-spark-ingest")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.dataSource.register(WarcStreamDataSource)
+    data_dir = os.path.join(args.output, "data")
+    stage_root = os.path.join(args.output, "_staging")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def sink(batch_df, batch_id: int) -> None:
+        df = batch_df
+        if status is not None:
+            df = df.filter(F.col("status").between(*status))
+        if args.extract == "none":
+            df = df.withColumn("text", F.lit(None).cast("string"))
+        if args.lang_id and args.extract != "none":
+            df = df.withColumn("lang", text._langid_cols("text")[0])
+        else:
+            df = df.withColumn("lang", F.lit("und"))
+        df = df.select("url", "warc_ts", "html", "text", "lang")
+
+        stage = os.path.join(stage_root, f"batch-{batch_id}")
+        shutil.rmtree(stage, ignore_errors=True)
+        df.write.mode("overwrite").parquet(stage)
+        # replayed batch: clear ITS stale parts (never another batch's)
+        for old in glob.glob(
+                os.path.join(data_dir, f"batch{batch_id:06d}-*.parquet")):
+            os.remove(old)
+        rows = 0
+        kept = 0
+        for part in sorted(glob.glob(os.path.join(stage, "part-*"))):
+            n = pq.read_metadata(part).num_rows
+            if n == 0:
+                continue                 # no 0-row data files in the table
+            os.replace(part, os.path.join(
+                data_dir, f"batch{batch_id:06d}-p{kept:05d}.parquet"))
+            rows += n
+            kept += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        print(f"batch {batch_id}: rows={rows} parts={kept}")
+
+    reader = (spark.readStream.format("warc_stream")
+              .option("strict", "false" if args.lenient else "true"))
+    if args.extract != "none":
+        reader = reader.option("extract", args.extract)
+    if args.max_files_per_batch:
+        reader = reader.option("max_files_per_batch",
+                               str(args.max_files_per_batch))
+    ckpt = os.path.join(args.output, "_checkpoint")
+
+    while True:
+        (reader.load(args.input).writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination())
+        if os.listdir(data_dir):
+            _maybe_commit(args, data_dir)
+        if args.poll_interval is None:
+            break
+        time.sleep(args.poll_interval)
     spark.stop()
 
 

@@ -153,6 +153,66 @@ def test_fused_ingest_matches_jvm_path(tmp_path):
         r3.stderr + r3.stdout)
 
 
+def test_follow_incremental_drains(tmp_path):
+    """--follow twice with archives landing in between: the second run
+    ingests ONLY the new batch (checkpointed watermark), parts are
+    deterministic batch<id>-p<i> names, and each drain lands as one
+    idempotent Iceberg append."""
+    t = gen.pages_table(0, 240)
+    rows = [(u, int(ts.timestamp() * 1e6), h) for u, ts, h in zip(
+        t.column("url").to_pylist(), t.column("warc_ts").to_pylist(),
+        t.column("html").to_pylist()) if h is not None]
+    half = len(rows) // 2
+    crawl = tmp_path / "landing"
+    (crawl / "batch-001").mkdir(parents=True)
+    warc.write_warc_file(str(crawl / "batch-001" / "a.warc.gz"),
+                         rows[:half])
+    pages = str(tmp_path / "pages")
+
+    r1 = _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+              "--follow", "--extract", "main", "--lang-id",
+              "--commit-iceberg")
+    assert f"rows={half}" in r1.stdout
+    assert "iceberg commit: snapshot" in r1.stdout
+
+    # second crawl batch lands (monotone relpath via fresh subdir)
+    (crawl / "batch-002").mkdir()
+    warc.write_warc_file(str(crawl / "batch-002" / "b.warc.gz"),
+                         rows[half:])
+    r2 = _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+              "--follow", "--extract", "main", "--lang-id",
+              "--commit-iceberg")
+    assert f"rows={len(rows) - half}" in r2.stdout      # new rows only
+    assert "iceberg commit: snapshot" in r2.stdout
+
+    files = iceberg.plan_files(pages)
+    assert sum(f["record_count"] for f in files) == len(rows)
+    got = pq.read_table(os.path.join(pages, "data"))
+    assert got.num_rows == len(rows)
+    assert sorted(got.column("url").to_pylist()) == sorted(
+        u for u, _ts, _h in rows)
+    names = os.listdir(os.path.join(pages, "data"))
+    assert all(n.startswith("batch") and n.endswith(".parquet")
+               for n in names)
+
+    # a third drain with nothing new ingests nothing, commits nothing
+    r3 = _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+              "--follow", "--commit-iceberg")
+    assert "batch" not in r3.stdout      # no micro-batch fired
+    assert "iceberg commit: nothing new" in r3.stdout
+
+    # flag hygiene
+    for bad in (["--follow", "--fused"], ["--follow", "--append"],
+                ["--poll-interval", "1"]):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "ingest_warc.py"),
+             "--input", str(crawl), "--output", pages, *bad],
+            capture_output=True, text=True, timeout=120, env=ENV,
+            cwd=REPO)
+        assert r.returncode != 0
+
+
 def test_ingest_status_filter_and_lenient(tmp_path):
     crawl, src = _write_crawl(tmp_path, n=120)
     # corrupt one gzip member in file a: lenient run must survive
