@@ -12,6 +12,14 @@ One subprocess per level (a JVM cannot change master in-process),
 best-of-N reps within one session. Prints one JSON line
 {"lo": .., "hi": .., "eff": ..} and appends to BENCH/runs.jsonl with
 kind=fused.
+
+SCALE_PIN=1 pins each level to exactly its core count with
+taskset -c 0..N-1. Unpinned local[N] understates efficiency: the JVM's
+GC/shuffle/scheduler threads and the forked Python workers of the LOW
+level overflow onto the box's idle cores (31 spare at local[1]),
+inflating the denominator's per-core throughput in a way no real
+N-core executor enjoys. Pinning makes local[N] a true N-core machine —
+the faithful single-box analogue of an N-executor cluster.
 """
 
 from __future__ import annotations
@@ -77,14 +85,19 @@ spark.stop()
 """
 
 
-def _run(code: str, args: list[str]) -> str:
-    out = subprocess.run([sys.executable, "-c", code % {"repo": REPO}] + args,
-                         capture_output=True, text=True, check=True, cwd=REPO)
+def _run(code: str, args: list[str], pin_cpus: int | None = None) -> str:
+    cmd = [sys.executable, "-c", code % {"repo": REPO}] + args
+    if pin_cpus is not None:
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                         cwd=REPO)
     return out.stdout
 
 
-def run_level(cpus: int, rows: int, reps: int, path: str) -> dict:
-    out = _run(_CHILD, [str(cpus), str(rows), str(reps), path])
+def run_level(cpus: int, rows: int, reps: int, path: str,
+              pin: bool = False) -> dict:
+    out = _run(_CHILD, [str(cpus), str(rows), str(reps), path],
+               pin_cpus=cpus if pin else None)
     line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
@@ -94,6 +107,7 @@ def main():
     reps = int(os.environ.get("SCALE_REPS", "2"))
     rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
     n_lo = int(os.environ.get("SCALE_N", "8"))
+    pin = os.environ.get("SCALE_PIN", "0") == "1"
     # INTERLEAVE the two levels (lo,hi,lo,hi,...): co-tenant load on
     # this box drifts on minute scales, so back-to-back blocks bias
     # whichever level runs in the quiet window; alternating spreads the
@@ -103,14 +117,15 @@ def main():
         path = os.path.join(tmp, "pages")
         _run(_GEN, [str(rows), path])
         for _ in range(rounds):
-            r_lo = run_level(n_lo, rows, reps, path)
-            r_hi = run_level(4 * n_lo, rows, reps, path)
+            r_lo = run_level(n_lo, rows, reps, path, pin=pin)
+            r_hi = run_level(4 * n_lo, rows, reps, path, pin=pin)
             if lo is None or r_lo["wall"] < lo["wall"]:
                 lo = r_lo
             if hi is None or r_hi["wall"] < hi["wall"]:
                 hi = r_hi
     eff = hi["gbps"] / (4 * lo["gbps"])
-    rec = {"kind": "fused", "lo": lo, "hi": hi, "eff": round(eff, 3)}
+    rec = {"kind": "fused_pinned" if pin else "fused",
+           "lo": lo, "hi": hi, "eff": round(eff, 3)}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")

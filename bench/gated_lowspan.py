@@ -32,10 +32,26 @@ def quiet(max_probe: float, max_load: float) -> bool:
     return load1 < max_load and probe() < max_probe
 
 
+def reference_gbps() -> float:
+    """Unpinned 8-core fused encode, 1 rep — the throughput canary.
+    Clean-window level on this box is ~0.37-0.41 GB/s; values far below
+    mean co-tenant contention that would poison a scaling sample."""
+    env = dict(os.environ, SCALE_N="2", SCALE_REPS="1", SCALE_ROUNDS="1",
+               SCALE_PIN="0")
+    r = subprocess.run([sys.executable,
+                        os.path.join(REPO, "bench", "fused_scaling.py")],
+                       env=env, capture_output=True, text=True)
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        return 0.0
+    return json.loads(line[-1])["hi"]["gbps"]
+
+
 def main() -> None:
     attempts = int(os.environ.get("GATE_ATTEMPTS", "6"))
     max_probe = float(os.environ.get("GATE_PROBE", "0.19"))
     max_load = float(os.environ.get("GATE_LOAD", "1.5"))
+    min_ref = float(os.environ.get("GATE_MIN_REF", "0.30"))
     spans = [int(s) for s in
              os.environ.get("GATE_SPANS", "1,2").split(",")]
     done = 0
@@ -43,9 +59,17 @@ def main() -> None:
         if not quiet(max_probe, max_load):
             time.sleep(30)
             continue
+        if min_ref > 0:
+            ref = reference_gbps()
+            print(json.dumps({"ref_gbps": round(ref, 4),
+                              "clean": ref >= min_ref}), flush=True)
+            if ref < min_ref:
+                time.sleep(120)
+                continue
         n = spans[done % len(spans)]
         env = dict(os.environ, SCALE_N=str(n), SCALE_REPS="2",
-                   SCALE_ROUNDS="2")
+                   SCALE_ROUNDS="2",
+                   SCALE_PIN=os.environ.get("GATE_PIN", "1"))
         t0 = time.time()
         r = subprocess.run([sys.executable,
                             os.path.join(REPO, "bench", "fused_scaling.py")],
