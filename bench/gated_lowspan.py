@@ -66,17 +66,23 @@ def main() -> None:
             if ref < min_ref:
                 time.sleep(120)
                 continue
+        kind = os.environ.get("GATE_KIND", "fused")
         n = spans[done % len(spans)]
         env = dict(os.environ, SCALE_N=str(n), SCALE_REPS="2",
                    SCALE_ROUNDS="2",
                    SCALE_PIN=os.environ.get("GATE_PIN", "1"))
+        script = ("cluster_scaling.py" if kind == "cluster"
+                  else "fused_scaling.py")
         t0 = time.time()
         r = subprocess.run([sys.executable,
-                            os.path.join(REPO, "bench", "fused_scaling.py")],
+                            os.path.join(REPO, "bench", script)],
                            env=env, capture_output=True, text=True)
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         post = probe()
-        rec = {"span": f"{n}->{4*n}", "wall": round(time.time() - t0, 1),
+        rec = {"kind": kind,
+               "span": "1->4 executors" if kind == "cluster"
+               else f"{n}->{4*n}",
+               "wall": round(time.time() - t0, 1),
                "post_probe": round(post, 3),
                "clean": post < max_probe,
                "result": json.loads(line[-1]) if line else None}
