@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .text import TOKEN_SPLIT
+
 _SPAN = 1 << 32     # md5 8-hex-digit prefix space
 
 
@@ -86,3 +88,50 @@ def stratified_quota_sql(table: str, strata_col: str, key_col: str,
         f"SELECT *, row_number() OVER (PARTITION BY {strata_col} "
         f"ORDER BY {_key_sql(key_col, seed)}, "
         f"{key_col}) AS _hr FROM {table}) WHERE _hr <= {quota}")
+
+
+def _budget_col(strata_col: str, budgets: dict[str, int]) -> Column:
+    for v in budgets.values():
+        if v < 0:
+            raise ValueError(f"budgets must be >= 0, got {v}")
+    out = F.lit(-1)     # unlisted stratum: cum >= 1 > -1 drops every row
+    for k, v in budgets.items():
+        out = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(out)
+    return out
+
+
+def token_budget_mix(df: DataFrame, strata_col: str, key_col: str,
+                     text_col: str, budgets: dict[str, int],
+                     seed: str = "ohs") -> DataFrame:
+    """Per-stratum TOKEN budgets — how training mixes are actually
+    specced ("20B tokens of en, 5B of de"). Rows rank by hash order
+    (the stratified_quota draw) and a row survives while the stratum's
+    running token total, itself included, stays within the stratum's
+    budget; strata missing from ``budgets`` are dropped. Deterministic
+    on any partitioning; same window shuffle shape (one window keyed by
+    the stratum) and the same growth stability as stratified_quota."""
+    nt = F.size(F.split(F.col(text_col), TOKEN_SPLIT))
+    w = Window.partitionBy(strata_col) \
+        .orderBy(_rank_col(key_col, seed), F.col(key_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ct = "_ct"
+    while ct in df.columns:
+        ct += "_"
+    return (df.withColumn(ct, F.sum(nt).over(w))
+              .filter(F.col(ct) <= _budget_col(strata_col, budgets))
+              .drop(ct))
+
+
+def token_budget_mix_sql(table: str, strata_col: str, key_col: str,
+                         text_col: str, budgets: dict[str, int],
+                         seed: str = "ohs") -> str:
+    """DuckDB twin of token_budget_mix (same window, same tie-break,
+    same inclusive-cumsum budget rule)."""
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in budgets.items())
+    return (
+        f"SELECT * EXCLUDE (_ct) FROM ("
+        f"SELECT *, sum(len(string_split_regex({text_col}, '\\s+'))) "
+        f"OVER (PARTITION BY {strata_col} "
+        f"ORDER BY {_key_sql(key_col, seed)}, {key_col} "
+        f"ROWS UNBOUNDED PRECEDING) AS _ct FROM {table}) "
+        f"WHERE _ct <= CASE {strata_col} {case} ELSE -1 END")

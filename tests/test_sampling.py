@@ -112,3 +112,55 @@ def test_quota_zero_and_negative(spark, docs):
     assert sampling.stratified_quota(docs, "lang", "doc_id", 0).count() == 0
     with pytest.raises(ValueError):
         sampling.stratified_quota(docs, "lang", "doc_id", -1)
+
+
+def test_token_budget_mix_golden(spark):
+    # 'en' budget 7 tokens: rows rank by hash; running total stops
+    # inside the budget. 'de' unlisted -> dropped entirely.
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "d e f"), (3, "en", "g h"),
+         (4, "de", "x y")], ["doc_id", "lang", "text"])
+    got = sampling.token_budget_mix(
+        df, "lang", "doc_id", "text", {"en": 7})
+    rows = got.collect()
+    assert all(r.lang == "en" for r in rows)
+    total = sum(len(r.text.split()) for r in rows)
+    assert 0 < total <= 7
+    # budget 0: nothing survives anywhere
+    assert sampling.token_budget_mix(
+        df, "lang", "doc_id", "text", {"en": 0}).count() == 0
+    with pytest.raises(ValueError):
+        sampling.token_budget_mix(df, "lang", "doc_id", "text", {"en": -1})
+
+
+def test_token_budget_mix_matches_duckdb(spark, docs):
+    import duckdb
+
+    budgets = {"en": 4000, "de": 1500}
+    got = sorted(r.doc_id for r in sampling.token_budget_mix(
+        docs, "lang", "doc_id", "text", budgets).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = sorted(r[0] for r in con.execute(
+        "SELECT doc_id FROM (" + sampling.token_budget_mix_sql(
+            "documents", "lang", "doc_id", "text", budgets) + ")"
+    ).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_token_budget_mix_partitioning_invariant_and_growth(spark, docs):
+    budgets = {"en": 3000}
+    a = sorted(r.doc_id for r in sampling.token_budget_mix(
+        docs, "lang", "doc_id", "text", budgets).collect())
+    b = sorted(r.doc_id for r in sampling.token_budget_mix(
+        docs.repartition(17), "lang", "doc_id", "text", budgets).collect())
+    assert a == b and a
+    # growth stability: with half the corpus, the mix is a superset of
+    # the full-corpus mix restricted to surviving ids (new rows can
+    # only push out rows that hash AFTER them)
+    half = docs.filter("doc_id % 2 = 0")
+    h = sorted(r.doc_id for r in sampling.token_budget_mix(
+        half, "lang", "doc_id", "text", budgets).collect())
+    full_even = [i for i in a if i % 2 == 0]
+    assert set(full_even) <= set(h)
