@@ -213,6 +213,64 @@ def test_follow_incremental_drains(tmp_path):
         assert r.returncode != 0
 
 
+def test_continuous_pipeline_incremental_encode(tmp_path, spark):
+    """The full continuous north-rule chain through its CLIs, twice:
+    crawl batch lands -> ingest --follow (only new archives) ->
+    encode_job --fused (only new splits: the ledger anti-join skips
+    every split the first pass encoded) -> decoded text byte-identical
+    across both batches."""
+    import ast
+
+    from orc_haskell_spark import engine, manifest
+
+    t = gen.pages_table(3, 200)
+    rows = [(u, int(ts.timestamp() * 1e6), h) for u, ts, h in zip(
+        t.column("url").to_pylist(), t.column("warc_ts").to_pylist(),
+        t.column("html").to_pylist()) if h is not None]
+    src = {u: x for u, h, x in zip(t.column("url").to_pylist(),
+                                   t.column("html").to_pylist(),
+                                   t.column("text").to_pylist())
+           if h is not None}
+    half = len(rows) // 2
+    crawl = tmp_path / "landing"
+    (crawl / "batch-001").mkdir(parents=True)
+    warc.write_warc_file(str(crawl / "batch-001" / "a.warc.gz"),
+                         rows[:half])
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "encoded")
+
+    def summary(r):
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("summary:")][-1]
+        return ast.literal_eval(line.split("summary:", 1)[1].strip())
+
+    _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+         "--follow", "--extract", "main", "--commit-iceberg")
+    s1 = summary(_run("encode_job.py", "--input", pages, "--output", out,
+                      "--fused", "--partitions", "2"))
+    assert s1["splits_done_before"] == 0 and s1["splits_encoded"] > 0
+
+    (crawl / "batch-002").mkdir()
+    warc.write_warc_file(str(crawl / "batch-002" / "b.warc.gz"),
+                         rows[half:])
+    _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+         "--follow", "--extract", "main", "--commit-iceberg")
+    s2 = summary(_run("encode_job.py", "--input", pages, "--output", out,
+                      "--fused", "--partitions", "2"))
+    # second pass: every first-pass split skipped, only new ones encoded
+    assert s2["splits_done_before"] == s1["splits_encoded"]
+    assert s2["splits_encoded"] > 0
+    assert s2["splits_total"] == s2["splits_done_before"] \
+        + s2["splits_encoded"]
+
+    enc = manifest.read_fused_encoded(spark, out)
+    ingested = spark.read.parquet(os.path.join(pages, "data"))
+    dec = engine.decode_table(enc, ingested.schema)
+    got = {r.url: r.text for r in dec.collect()}
+    assert len(got) == len(rows)
+    assert all(got[u] == src[u] for u, _ts, _h in rows)
+
+
 def test_ingest_status_filter_and_lenient(tmp_path):
     crawl, src = _write_crawl(tmp_path, n=120)
     # corrupt one gzip member in file a: lenient run must survive
