@@ -120,6 +120,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return base.select(F.col(id_col), perms.alias("sig"))
 
 
+def _banded_sig(sig_df: DataFrame, id_col: str, bands: int,
+                band_r: int) -> DataFrame:
+    """(id, band) rows: band = index + the band's signature slice,
+    pipe-joined. One string per band keeps the join key narrow."""
+    return sig_df.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"concat(b, '|', concat_ws('|', slice(sig, b * {band_r} + 1, {band_r}))))"
+        )).alias("band"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, num_perm: int = 64,
                       band_r: int = 4, shingle_n: int = 3) -> DataFrame:
@@ -132,12 +144,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     bands = num_perm // band_r
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
-    banded = sig.select(
-        id_col,
-        F.explode(F.expr(
-            f"transform(sequence(0, {bands - 1}), b -> "
-            f"concat(b, '|', concat_ws('|', slice(sig, b * {band_r} + 1, {band_r}))))"
-        )).alias("band"))
+    banded = _banded_sig(sig, id_col, bands, band_r)
     cand = (banded.alias("x").join(banded.alias("y"), "band")
             .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(F.col(f"x.{id_col}").alias("id_a"),
@@ -434,3 +441,116 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     # the last localCheckpoint, or just let executor eviction drop it
     return labels.select(F.col("id").alias(id_col),
                          F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a persisted MinHash-LSH index for continuous ingest
+# ---------------------------------------------------------------------------
+
+def _index_meta_path(path: str) -> str:
+    import os
+    return os.path.join(path, "meta.json")
+
+
+def _check_index_meta(path: str, num_perm: int, band_r: int,
+                      shingle_n: int, threshold: float) -> None:
+    """Create-or-verify the index config: matching a batch against an
+    index built with different parameters silently changes recall and
+    the verification threshold — refuse loudly instead."""
+    import json
+    import os
+    meta = {"num_perm": num_perm, "band_r": band_r,
+            "shingle_n": shingle_n, "threshold": threshold}
+    p = _index_meta_path(path)
+    if os.path.exists(p):
+        with open(p) as f:
+            have = json.load(f)
+        if have != meta:
+            raise ValueError(f"minhash index at {path!r} was built with "
+                             f"{have}, got {meta}")
+        return
+    os.makedirs(path, exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, p)
+
+
+def dedup_incremental(spark, new_df: DataFrame, id_col: str,
+                      text_col: str, index_path: str, batch_id: str,
+                      threshold: float = 0.8, num_perm: int = 64,
+                      band_r: int = 4, shingle_n: int = 3,
+                      commit: bool = True) -> DataFrame:
+    """Near-dup pairs of a NEW batch against everything already
+    indexed plus the batch itself — the continuous-ingest face of
+    ``minhash_lsh_pairs``. Returns (id_a, id_b, jacc), id_a < id_b,
+    every pair involving >= 1 new document; pairs internal to earlier
+    batches were reported when those batches were processed, so
+    processing batches b1..bk one by one yields EXACTLY
+    ``minhash_lsh_pairs(b1 | ... | bk)`` as the union
+    (pinned in tests/test_dedup_incremental.py).
+
+    The index persists (id, band) rows and the exact shingle sets
+    (verification uses true Jaccard, identical to the batch operator)
+    as parquet under ``index_path``, partitioned by batch: commits are
+    per-batch directory overwrites, so re-running a crashed batch is
+    idempotent, and ``commit=False`` is a pure dry run. Batch ids must
+    be unique per ingested batch (reusing one replaces that batch's
+    index rows — the replay semantics).
+
+    100 TB shape: the band join shuffles O(docs x bands) narrow rows on
+    the band key, exactly the batch operator's shape; the index side
+    scans only band/shingle columns (column pruning), and verification
+    joins fetch shingles for candidate ids only. Growth is linear in
+    corpus size; each new batch costs O(batch x bands + candidates).
+    """
+    bands = num_perm // band_r
+    _check_index_meta(index_path, num_perm, band_r, shingle_n, threshold)
+    if not str(batch_id) or "/" in str(batch_id):
+        raise ValueError(f"bad batch_id {batch_id!r}")
+    sig = minhash_signatures(new_df, id_col, text_col, num_perm,
+                             shingle_n)
+    new_bands = _banded_sig(sig, id_col, bands, band_r)
+    new_sh = new_df.select(F.col(id_col),
+                           _shingles(text_col, shingle_n).alias("sh"))
+
+    import os
+    bands_root = os.path.join(index_path, "bands")
+    sh_root = os.path.join(index_path, "shingles")
+
+    def _read_or_empty(root, like):
+        try:
+            return spark.read.parquet(root).select(*like.columns)
+        except Exception:
+            return spark.createDataFrame([], like.schema)
+
+    old_bands = _read_or_empty(bands_root, new_bands)
+    old_sh = _read_or_empty(sh_root, new_sh)
+    all_bands = old_bands.unionByName(new_bands)
+    cand = (new_bands.alias("x").join(all_bands.alias("y"), "band")
+            .filter(F.col(f"x.{id_col}") != F.col(f"y.{id_col}"))
+            .select(F.least(f"x.{id_col}", f"y.{id_col}").alias("id_a"),
+                    F.greatest(f"x.{id_col}", f"y.{id_col}").alias("id_b"))
+            .distinct())
+    sh = old_sh.unionByName(new_sh)
+    verified = (cand
+                .join(sh.selectExpr(f"{id_col} as id_a", "sh as sh_a"),
+                      "id_a")
+                .join(sh.selectExpr(f"{id_col} as id_b", "sh as sh_b"),
+                      "id_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("jacc", F.col("inter") / (
+                    F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+                .filter(F.col("jacc") >= threshold)
+                .select("id_a", "id_b", F.round("jacc", 6).alias("jacc")))
+    if commit:
+        # materialize BEFORE the overwrite: a replayed batch_id replaces
+        # index files the lazy result still reads (FILE_NOT_EXIST on a
+        # later collect otherwise)
+        verified = verified.localCheckpoint(eager=True)
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(bands_root, f"batch={batch_id}"))
+        new_sh.write.mode("overwrite").parquet(
+            os.path.join(sh_root, f"batch={batch_id}"))
+    return verified

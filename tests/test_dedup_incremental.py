@@ -1,0 +1,80 @@
+"""Incremental MinHash-LSH dedup against a persisted index
+(orc_haskell_spark/pipeline/dedup.py::dedup_incremental): batch-by-batch
+processing must reproduce the whole-corpus batch operator exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from orc_haskell_spark.pipeline import dedup
+
+SF = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present")
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b, r.jacc) for r in df.collect()}
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    """Processing two halves sequentially yields exactly the batch
+    operator's pairs: batch-1 internal pairs from the first call,
+    everything touching batch 2 from the second."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    want = _pairs(dedup.minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert want                               # corpus has near-dups
+    idx = str(tmp_path / "mh_index")
+    p1 = _pairs(dedup.dedup_incremental(spark, b1, "doc_id", "text",
+                                        idx, batch_id="b1"))
+    p2 = _pairs(dedup.dedup_incremental(spark, b2, "doc_id", "text",
+                                        idx, batch_id="b2"))
+    assert p1 | p2 == want
+    # second call reported no batch-1-internal pair again
+    b1_ids = {r.doc_id for r in b1.select("doc_id").collect()}
+    assert not any(a in b1_ids and b in b1_ids for a, b, _ in p2)
+
+
+def test_replay_same_batch_is_idempotent(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    idx = str(tmp_path / "mh_index")
+    first = _pairs(dedup.dedup_incremental(spark, docs, "doc_id", "text",
+                                           idx, batch_id="b1"))
+    again = _pairs(dedup.dedup_incremental(spark, docs, "doc_id", "text",
+                                           idx, batch_id="b1"))
+    # replay with the SAME batch id overwrites its own index rows:
+    # no duplicate index entries afterwards
+    assert first == again
+    n_bands = spark.read.parquet(os.path.join(idx, "bands")).count()
+    assert n_bands == 120 * 16                # 64 perms / r=4 -> 16 bands
+
+
+def test_dry_run_leaves_index_unchanged(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    idx = str(tmp_path / "mh_index")
+    dedup.dedup_incremental(spark, docs, "doc_id", "text", idx,
+                            batch_id="b1").collect()
+    before = spark.read.parquet(os.path.join(idx, "bands")).count()
+    more = spark.read.parquet(f"{SF}/documents.parquet") \
+        .filter("doc_id >= 50").limit(30)
+    dedup.dedup_incremental(spark, more, "doc_id", "text", idx,
+                            batch_id="b2", commit=False).collect()
+    assert spark.read.parquet(os.path.join(idx, "bands")).count() == before
+
+
+def test_config_mismatch_refused(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    idx = str(tmp_path / "mh_index")
+    dedup.dedup_incremental(spark, docs, "doc_id", "text", idx,
+                            batch_id="b1").collect()
+    with pytest.raises(ValueError, match="built with"):
+        dedup.dedup_incremental(spark, docs, "doc_id", "text", idx,
+                                batch_id="b2", num_perm=32)
+    with pytest.raises(ValueError, match="batch_id"):
+        dedup.dedup_incremental(spark, docs, "doc_id", "text", idx,
+                                batch_id="a/b")
