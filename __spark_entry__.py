@@ -22,8 +22,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from orc_haskell_spark import engine, gen, warc  # noqa: E402
-from orc_haskell_spark.pipeline import (dedup, extract, filters,  # noqa: E402
-                                        multimodal, sessions, similarity,
+from orc_haskell_spark.pipeline import (decontam, dedup,  # noqa: E402
+                                        extract, filters, multimodal,
+                                        packing, sessions, similarity,
                                         text)
 
 _WORKERS_READY: set[int] = set()
@@ -543,8 +544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["warc_ingest_pages"] = _warc_ingest_pages
     q["warc_extract_pages"] = _warc_extract_pages
     # pin each codec path explicitly (operator coverage, SURVEY.md §2.1)
-    q["roundtrip_rle1_lineitem"] = _mk_roundtrip(
-        "lineitem", {"int_codec": "rle1"})
+    # (round 5, session 6) roundtrip_rle1_lineitem gave its 50-cap slot
+    # to decontam_documents (RLE1 stays pinned by the spec goldens, the
+    # C<->numpy roundtrip properties, and tests/test_entry_queries.py
+    # against this same oracle)
+    q["decontam_documents"] = _decontam_documents
     q["roundtrip_fsst_documents"] = _mk_roundtrip(
         "documents", {"string_codec": "fsst"})
     q["roundtrip_dict_documents"] = _mk_roundtrip(
@@ -569,7 +573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orcfile_bloom_scan_orders"] = _orcfile_bloom_scan
     q["parquet_to_orc_orders"] = _parquet_to_orc_roundtrip
     q["orcfile_cpp_read_lineitem"] = _mk_orcfile_cpp_cross("lineitem")
-    q["orcfile_cpp_read_documents"] = _mk_orcfile_cpp_cross("documents")
+    # (round 5, session 6) orcfile_cpp_read_documents gave its 50-cap
+    # slot to pack_plan_documents (the C++-written string/dict ORC
+    # cross-read stays pinned in tests/test_entry_queries.py against
+    # this same oracle, plus the pytest interop matrix)
+    q["pack_plan_documents"] = _pack_plan_documents
     q["decoded_agg_lineitem"] = _decoded_agg_lineitem
     q["decoded_window_orders"] = _decoded_window_orders
     q["manifest_rows_documents"] = _manifest_rows_documents
@@ -783,6 +791,25 @@ def _quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("_aug", aug).select(
         "doc_id", *filters.gopher_cols("text"),
         F.md5(filters.redact_cols("_aug")).alias("redacted_md5"))
+
+
+def _decontam_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over documents: the eval set is every
+    50th document (SQL-reconstructible), n=8 word-grams so the seeded
+    docs self-hit and true near-dups surface; eval grams broadcast,
+    corpus grams never shuffle (pipeline/decontam.py)."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 50 = 0") \
+        .select(F.col("doc_id").alias("bid"), "text")
+    return decontam.contamination(docs, "doc_id", "text", bench, n=8)
+
+
+def _pack_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout over documents sharded by source: the
+    (doc x sequence) rows of a 64-token concat-and-split
+    (pipeline/packing.py) — shard-keyed window cumsum, no global sort."""
+    return packing.pack_plan(_load(spark, sf_dir, "documents"),
+                             "doc_id", "text", 64, shard_col="source")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list:
@@ -1319,7 +1346,8 @@ def oracle_sql() -> dict[str, str]:
         f"200 AS status FROM documents")
     o["warc_extract_pages"] = (
         f"SELECT {_WARC_URL_SQL} AS url, text FROM documents")
-    o["roundtrip_rle1_lineitem"] = _select_sql("lineitem")
+    o["decontam_documents"] = _DECONTAM_ORACLE_SQL
+    o["pack_plan_documents"] = _PACK_PLAN_ORACLE_SQL
     o["roundtrip_fsst_documents"] = _select_sql("documents")
     o["roundtrip_dict_documents"] = _select_sql("documents")
     o["fused_roundtrip_documents"] = _select_sql("documents")
@@ -1379,7 +1407,6 @@ FROM sess GROUP BY user_id, sid"""
         "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 "
         "GROUP BY l_returnflag")
     o["orcfile_cpp_read_lineitem"] = _select_sql("lineitem")
-    o["orcfile_cpp_read_documents"] = _select_sql("documents")
     o["decoded_agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 2) AS sum_qty, "
@@ -1648,6 +1675,62 @@ SELECT w.doc_id, CAST(w.n_chars AS INT) AS n_chars, p.top_gram,
        round(coalesce(p.dupc, 0) * 1.0 / greatest(w.n_chars, 1), 5)
          AS dup3gram_char_frac
 FROM w LEFT JOIN p USING (doc_id)"""
+
+# DuckDB twin of _decontam_documents (pipeline/decontam.py semantics):
+# same single-space word split, same 8-gram windows, eval set = every
+# 50th document, count of OCCURRENCES hitting any distinct eval gram,
+# frac rounded 6, contaminated = frac > 0.
+_DECONTAM_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM d, unnest(generate_series(1, len(w) - 7)) AS t(i)
+), b AS (
+  SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 50 = 0) bb,
+       unnest(generate_series(1, len(w) - 7)) AS t(i)
+), s AS (
+  SELECT d.doc_id,
+         count(g.gram) AS ngram_count,
+         count(b.gram) AS contaminated_ngrams
+  FROM d LEFT JOIN g USING (doc_id) LEFT JOIN b ON g.gram = b.gram
+  GROUP BY d.doc_id)
+SELECT doc_id, ngram_count, contaminated_ngrams,
+       round(CASE WHEN ngram_count > 0
+                  THEN contaminated_ngrams / ngram_count
+                  ELSE 0.0 END, 6) AS contamination_frac,
+       (CASE WHEN ngram_count > 0
+             THEN contaminated_ngrams / ngram_count
+             ELSE 0.0 END) > 0 AS contaminated
+FROM s"""
+
+# DuckDB twin of _pack_plan_documents (pipeline/packing.py semantics):
+# same \\s+ tokenizer, per-source stream order by doc_id, budget 64.
+_PACK_PLAN_ORACLE_SQL = r"""
+WITH d AS (
+  SELECT source AS shard, doc_id,
+         len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+           AS stream_start
+  FROM d WHERE n_tokens > 0
+), e AS (
+  SELECT shard, doc_id, n_tokens, stream_start, seq_id
+  FROM c, unnest(generate_series(stream_start // 64,
+       (stream_start + n_tokens - 1) // 64)) AS t(seq_id)
+)
+SELECT shard, seq_id, doc_id,
+       greatest(stream_start, seq_id * 64) - stream_start AS tok_start,
+       least(stream_start + n_tokens, seq_id * 64 + 64)
+         - greatest(stream_start, seq_id * 64) AS tok_len,
+       greatest(stream_start, seq_id * 64) - seq_id * 64
+         AS seq_tok_start
+FROM e"""
 
 
 def _quality_filter_oracle_sql() -> str:

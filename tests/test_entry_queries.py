@@ -78,11 +78,40 @@ def test_roundtrip_zlib_orders_still_oracle_exact(spark, oracle):
 def test_orcfile_roundtrip_documents_still_oracle_exact(spark, oracle):
     """Swapped out of the gate (round 5, for text_repetition_documents);
     pinned here — our ORC writer's string path stays gate-covered via
-    orcfile_cpp_read_documents and the fused ORC encode row."""
+    the fused ORC encode row (cpp_read_documents is pinned below)."""
     n = _compare(spark, oracle, "orcfile_roundtrip_documents",
                  query_fn=e._mk_orcfile_roundtrip("documents"),
                  oracle_sql=e._select_sql("documents"))
     assert n > 0
+
+
+def test_roundtrip_rle1_lineitem_still_oracle_exact(spark, oracle):
+    """Swapped out of the gate (round 5 session 6, for
+    decontam_documents); pinned here — RLE1 also stays covered by the
+    ORC-spec goldens and the C<->numpy roundtrip properties."""
+    n = _compare(spark, oracle, "roundtrip_rle1_lineitem",
+                 query_fn=e._mk_roundtrip("lineitem",
+                                          {"int_codec": "rle1"}),
+                 oracle_sql=e._select_sql("lineitem"))
+    assert n > 0
+
+
+def test_orcfile_cpp_read_documents_still_oracle_exact(spark, oracle):
+    """Swapped out of the gate (round 5 session 6, for
+    pack_plan_documents); pinned here — the C++-written string/dict ORC
+    cross-read, plus the pytest interop matrix."""
+    n = _compare(spark, oracle, "orcfile_cpp_read_documents",
+                 query_fn=e._mk_orcfile_cpp_cross("documents"),
+                 oracle_sql=e._select_sql("documents"))
+    assert n > 0
+
+
+def test_decontam_gate_preflight(spark, oracle):
+    assert _compare(spark, oracle, "decontam_documents") > 0
+
+
+def test_pack_plan_gate_preflight(spark, oracle):
+    assert _compare(spark, oracle, "pack_plan_documents") > 0
 
 
 def test_quality_filter_gate_preflight(spark, oracle):
