@@ -85,3 +85,28 @@ def choose_string_codec(arr: pa.Array, data: "np.ndarray",
     if best != "direct" and est[best] >= 0.95 * est["direct"]:
         return "direct", None
     return best, (fsst_table if best == "fsst" else None)
+
+
+FLOAT_BSS_MIN_BYTES = 4096  # below this the measurement is noise
+
+
+def choose_float_codec(vals: "np.ndarray", compression: str = "none",
+                       compression_level: int | None = None) -> str:
+    """Pick 'raw' | 'bss' for an f4/f8 column.
+
+    Byte-stream-split is size-neutral without an outer codec, so 'raw'
+    wins immediately when compression is off. Otherwise both layouts
+    are compressed on the same sample and the smaller wins, with the
+    same 5% hysteresis toward the simpler layout as the string chooser.
+    """
+    if compression == "none" or vals.nbytes < FLOAT_BSS_MIN_BYTES:
+        return "raw"
+    from . import block, floats
+
+    k = min(len(vals), max(1, SAMPLE_BYTES // vals.dtype.itemsize))
+    sample = np.ascontiguousarray(vals[:k])
+    raw_sz = len(block.compress(sample.tobytes(), compression,
+                                compression_level))
+    bss_sz = len(block.compress(floats.bss_encode(sample), compression,
+                                compression_level))
+    return "bss" if bss_sz < 0.95 * raw_sz else "raw"

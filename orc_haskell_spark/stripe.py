@@ -37,7 +37,8 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
-from .codecs import bitpack, block, byte_rle, rle1, rle2, selector, timestamps
+from .codecs import (bitpack, block, byte_rle, floats, rle1, rle2,
+                     selector, timestamps)
 from .codecs import fsst as fsst_codec
 from .codecs.strings import (
     build_string_array,
@@ -141,12 +142,20 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
         return {"kind": "int", "codec": codec}, {"DATA": data}
 
     if pa.types.is_floating(typ):
-        # decode assumes f4/f8 raw LE; refuse float16 at encode time so a
+        # decode assumes f4/f8; refuse float16 at encode time so a
         # corrupt stripe is never persisted
         if not (pa.types.is_float32(typ) or pa.types.is_float64(typ)):
             raise NotImplementedError(f"float type {typ} not supported (f4/f8 only)")
-        vals = np.asarray(arr)
-        return {"kind": "float"}, {"DATA": vals.astype(vals.dtype.newbyteorder("<")).tobytes()}
+        vals = np.asarray(arr).astype(
+            np.asarray(arr).dtype.newbyteorder("<"), copy=False)
+        # raw LE (the reference layout) vs byte-stream-split, measured
+        # under the configured outer compression (selector.py)
+        fcodec = selector.choose_float_codec(
+            vals, cfg.get("compression", "none"),
+            cfg.get("compression_level"))
+        data = floats.bss_encode(vals) if fcodec == "bss" \
+            else vals.tobytes()
+        return {"kind": "float", "codec": fcodec}, {"DATA": data}
 
     if pa.types.is_timestamp(typ):
         us = np.asarray(arr.cast(pa.int64())).astype(np.int64, copy=False)
@@ -349,7 +358,10 @@ def _decode_values(meta: dict, streams: dict[str, bytes], n: int,
 
     if kind == "float":
         dt = np.dtype("<f4") if pa.types.is_float32(typ) else np.dtype("<f8")
-        vals = np.frombuffer(streams["DATA"], dtype=dt, count=n)
+        if meta.get("codec", "raw") == "bss":   # pre-BSS stripes: raw
+            vals = floats.bss_decode(streams["DATA"], n, dt.itemsize)
+        else:
+            vals = np.frombuffer(streams["DATA"], dtype=dt, count=n)
         return pa.array(vals, type=typ)
 
     if kind == "timestamp":
