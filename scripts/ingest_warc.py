@@ -92,6 +92,13 @@ def main() -> None:
     ap.add_argument("--max-files-per-batch", type=int, default=0,
                     help="with --follow: admission control — cap the "
                          "archives per micro-batch (0 = unlimited)")
+    ap.add_argument("--dedup-index", default=None, metavar="DIR",
+                    help="with --follow: near-dup-check each drained "
+                         "batch against every page crawled so far "
+                         "(persisted MinHash-LSH index at DIR, exact "
+                         "Jaccard verification); distinct-url pairs "
+                         "land under <output>/dup_pairs/batch=N. "
+                         "Requires --extract")
     args = ap.parse_args()
     status = parse_status(args.keep_status)
     if args.follow:
@@ -102,11 +109,15 @@ def main() -> None:
         if args.append:
             raise SystemExit("--follow is always incremental; drop "
                              "--append")
+        if args.dedup_index and args.extract == "none":
+            raise SystemExit("--dedup-index needs extracted text "
+                             "(--extract main|visible)")
         follow(args, status)
         return
-    if args.poll_interval is not None or args.max_files_per_batch:
-        raise SystemExit("--poll-interval/--max-files-per-batch need "
-                         "--follow")
+    if args.poll_interval is not None or args.max_files_per_batch \
+            or args.dedup_index:
+        raise SystemExit("--poll-interval/--max-files-per-batch/"
+                         "--dedup-index need --follow")
 
     from pyspark.sql import Observation, SparkSession
     from pyspark.sql import functions as F
@@ -193,7 +204,7 @@ def follow(args, status) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from orc_haskell_spark.pipeline import text
+    from orc_haskell_spark.pipeline import dedup, text
     from orc_haskell_spark.warc_stream import WarcStreamDataSource
 
     spark = (SparkSession.builder.appName("orc-haskell-spark-ingest")
@@ -234,7 +245,20 @@ def follow(args, status) -> None:
             rows += n
             kept += 1
         shutil.rmtree(stage, ignore_errors=True)
-        print(f"batch {batch_id}: rows={rows} parts={kept}")
+        dups = ""
+        if args.dedup_index and rows:
+            # distinct-url near-dups of THIS batch vs everything crawled
+            # so far + itself; replaying the batch overwrites its own
+            # index rows and pairs dir, so this stays exactly-once too
+            batch_pages = spark.read.parquet(
+                os.path.join(data_dir, f"batch{batch_id:06d}-*.parquet"))
+            pairs = dedup.dedup_incremental(
+                spark, batch_pages, "url", "text", args.dedup_index,
+                batch_id=str(batch_id))
+            pairs.write.mode("overwrite").parquet(os.path.join(
+                args.output, "dup_pairs", f"batch={batch_id}"))
+            dups = f" dup_pairs={pairs.count()}"
+        print(f"batch {batch_id}: rows={rows} parts={kept}{dups}")
 
     reader = (spark.readStream.format("warc_stream")
               .option("strict", "false" if args.lenient else "true"))

@@ -213,6 +213,48 @@ def test_follow_incremental_drains(tmp_path):
         assert r.returncode != 0
 
 
+def test_follow_dedup_index_finds_cross_batch_near_dups(tmp_path, spark):
+    """--follow --dedup-index: a page recrawled VERBATIM under a new
+    url in a later batch is reported as a near-dup pair of that later
+    drain; batch-1-internal pairs are reported by drain 1 only."""
+    body = ("<html><body><p>" + " ".join(f"tok{i}" for i in range(60))
+            + "</p></body></html>").encode()
+    other = ("<html><body><p>" + " ".join(f"z{i}" for i in range(60))
+             + "</p></body></html>").encode()
+    crawl = tmp_path / "landing"
+    (crawl / "b1").mkdir(parents=True)
+    warc.write_warc_file(str(crawl / "b1" / "a.warc.gz"), [
+        ("http://a.example/1", 1_700_000_000_000_000, body),
+        ("http://a.example/2", 1_700_000_000_000_000, other)])
+    pages = str(tmp_path / "pages")
+    idx = str(tmp_path / "mh_index")
+    r1 = _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+              "--follow", "--extract", "main", "--dedup-index", idx)
+    assert "dup_pairs=0" in r1.stdout          # no dups inside batch 1
+
+    (crawl / "b2").mkdir()
+    warc.write_warc_file(str(crawl / "b2" / "b.warc.gz"), [
+        ("http://b.example/copy", 1_700_000_100_000_000, body)])
+    r2 = _run("ingest_warc.py", "--input", str(crawl), "--output", pages,
+              "--follow", "--extract", "main", "--dedup-index", idx)
+    assert "dup_pairs=1" in r2.stdout
+    got = pq.read_table(os.path.join(pages, "dup_pairs"))
+    rows = sorted(zip(got.column("id_a").to_pylist(),
+                      got.column("id_b").to_pylist(),
+                      got.column("jacc").to_pylist()))
+    assert rows == [("http://a.example/1", "http://b.example/copy", 1.0)]
+    # flag hygiene: --dedup-index without --follow / without text
+    for bad in (["--dedup-index", idx],
+                ["--follow", "--extract", "none", "--dedup-index", idx]):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "ingest_warc.py"),
+             "--input", str(crawl), "--output", pages, *bad],
+            capture_output=True, text=True, timeout=120, env=ENV,
+            cwd=REPO)
+        assert r.returncode != 0
+
+
 def test_continuous_pipeline_incremental_encode(tmp_path, spark):
     """The full continuous north-rule chain through its CLIs, twice:
     crawl batch lands -> ingest --follow (only new archives) ->
