@@ -105,7 +105,10 @@ def start_cluster(n_workers: int, cores_per: int) -> list[subprocess.Popen]:
                           "-h", "127.0.0.1", "-p", str(MASTER_PORT),
                           "--webui-port", str(MASTER_PORT + 1000))]
     time.sleep(8)
+    ncpu = os.cpu_count() or 1
     base = int(os.environ.get("CLUSTER_CORE_BASE", "24"))
+    if base + n_workers * cores_per > ncpu:   # smaller host: shift down
+        base = max(0, ncpu - n_workers * cores_per)
     for i in range(n_workers):
         # high cores by default: kernel housekeeping and stray host
         # processes gravitate to low core ids
@@ -143,7 +146,8 @@ def submit(cores_max: int, cores_per: int, rows: int, reps: int,
            "--conf", "spark.scheduler.maxRegisteredResourcesWaitingTime=60s",
            "--conf", "spark.sql.session.timeZone=UTC",
            child, str(rows), str(reps), path, str(cores_max)]
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=scratch)
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=scratch,
+                         timeout=900)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not lines:
         raise RuntimeError(out.stderr[-3000:])

@@ -126,9 +126,12 @@ def main():
     eff = hi["gbps"] / (4 * lo["gbps"])
     rec = {"kind": "fused_pinned" if pin else "fused",
            "lo": lo, "hi": hi, "eff": round(eff, 3)}
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    # SCALE_NO_RECORD=1: probe/canary invocations (gated_lowspan's
+    # reference run) must not masquerade as measurements in runs.jsonl
+    if os.environ.get("SCALE_NO_RECORD") != "1":
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
 
 

@@ -37,7 +37,7 @@ def reference_gbps() -> float:
     Clean-window level on this box is ~0.37-0.41 GB/s; values far below
     mean co-tenant contention that would poison a scaling sample."""
     env = dict(os.environ, SCALE_N="2", SCALE_REPS="1", SCALE_ROUNDS="1",
-               SCALE_PIN="0")
+               SCALE_PIN="0", SCALE_NO_RECORD="1")
     r = subprocess.run([sys.executable,
                         os.path.join(REPO, "bench", "fused_scaling.py")],
                        env=env, capture_output=True, text=True)

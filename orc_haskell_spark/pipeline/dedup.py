@@ -504,10 +504,13 @@ def dedup_incremental(spark, new_df: DataFrame, id_col: str,
     joins fetch shingles for candidate ids only. Growth is linear in
     corpus size; each new batch costs O(batch x bands + candidates).
     """
-    bands = num_perm // band_r
-    _check_index_meta(index_path, num_perm, band_r, shingle_n, threshold)
     if not str(batch_id) or "/" in str(batch_id):
-        raise ValueError(f"bad batch_id {batch_id!r}")
+        raise ValueError(f"bad batch_id {batch_id!r}")   # before any
+    bands = num_perm // band_r                           # side effect
+    _check_index_meta(index_path, num_perm, band_r, shingle_n, threshold)
+    # one row per id: a duplicated id inside the batch would multiply
+    # every verified pair through the shingle joins below
+    new_df = new_df.dropDuplicates([id_col])
     sig = minhash_signatures(new_df, id_col, text_col, num_perm,
                              shingle_n)
     new_bands = _banded_sig(sig, id_col, bands, band_r)
@@ -518,14 +521,24 @@ def dedup_incremental(spark, new_df: DataFrame, id_col: str,
     bands_root = os.path.join(index_path, "bands")
     sh_root = os.path.join(index_path, "shingles")
 
-    def _read_or_empty(root, like):
-        try:
-            return spark.read.parquet(root).select(*like.columns)
-        except Exception:
+    def _read_old(root, like):
+        # missing dir = fresh index; anything ELSE (corrupt part,
+        # permissions) must propagate — silently treating it as empty
+        # would drop every cross-batch pair with zero diagnostics
+        if not os.path.isdir(root):
             return spark.createDataFrame([], like.schema)
+        df = spark.read.parquet(root)
+        # a replayed batch must not read its own stale partition (it
+        # is about to be overwritten, and its rows would double-count)
+        # (partition values may infer as int — compare as strings)
+        df = df.filter(F.col("batch").cast("string") != str(batch_id))
+        # an id re-ingested in THIS batch supersedes its older index
+        # rows, so verification sees exactly one shingle set per id
+        df = df.join(new_df.select(id_col), id_col, "left_anti")
+        return df.select(*like.columns)
 
-    old_bands = _read_or_empty(bands_root, new_bands)
-    old_sh = _read_or_empty(sh_root, new_sh)
+    old_bands = _read_old(bands_root, new_bands)
+    old_sh = _read_old(sh_root, new_sh)
     all_bands = old_bands.unionByName(new_bands)
     cand = (new_bands.alias("x").join(all_bands.alias("y"), "band")
             .filter(F.col(f"x.{id_col}") != F.col(f"y.{id_col}"))

@@ -50,6 +50,7 @@ from .codecs.strings import (
 # bump on any incompatible change to the stripe payload layout (v2 =
 # FSST piece framing); decode_stripe rejects other versions loudly
 STRIPE_FORMAT_VERSION = 2
+BSS_FORMAT_VERSION = 3      # v2 + byte-stream-split float payloads
 
 DEFAULT_CONFIG: dict[str, Any] = {
     "int_codec": "rle2",          # "rle1" for reference-writer parity
@@ -518,12 +519,19 @@ def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None,
             "streams": entries,
             "raw_bytes": raw_col,
         })
+    # stripe FORMAT version: bump on any incompatible payload-layout
+    # change so resumed runs over persisted stripe dirs fail loudly
+    # instead of mis-decoding. v2 = FSST piece framing (u32 piece count
+    # + per-piece lengths). v3 = byte-stream-split float payloads —
+    # written ONLY when a column actually uses BSS, so BSS-free stripes
+    # stay v2 and remain readable by pre-BSS readers (a pre-BSS reader
+    # would otherwise frombuffer the transposed planes as raw floats
+    # and return garbage silently).
+    import json as _json
+    uses_bss = any('"codec": "bss"' in _json.dumps(c["meta"])
+                   for c in columns)
     footer = {
-        # stripe FORMAT version: bump on any incompatible payload-layout
-        # change so resumed runs over persisted stripe dirs fail loudly
-        # instead of mis-decoding. v2 = FSST piece framing (u32 piece
-        # count + per-piece lengths). decode_stripe dispatches on it.
-        "v": STRIPE_FORMAT_VERSION,
+        "v": BSS_FORMAT_VERSION if uses_bss else STRIPE_FORMAT_VERSION,
         "n_rows": batch.num_rows,
         "schema_b64": base64.b64encode(batch.schema.serialize().to_pybytes()).decode(),
         "columns": columns,
@@ -639,10 +647,11 @@ def decode_stripe(footer: dict, payload: bytes | memoryview,
     # framing): defaulting to the CURRENT version would wave exactly the
     # legacy payloads this guard exists to reject loudly
     ver = footer.get("v", 1)
-    if ver != STRIPE_FORMAT_VERSION:
+    if ver not in (STRIPE_FORMAT_VERSION, BSS_FORMAT_VERSION):
         raise ValueError(
             f"stripe format v{ver} not supported by this reader "
-            f"(expects v{STRIPE_FORMAT_VERSION}); re-encode the source")
+            f"(expects v{STRIPE_FORMAT_VERSION}-v{BSS_FORMAT_VERSION}); "
+            f"re-encode the source")
     schema = pa.ipc.read_schema(
         pa.py_buffer(base64.b64decode(footer["schema_b64"]))
     )

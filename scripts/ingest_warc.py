@@ -123,7 +123,6 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from orc_haskell_spark import warc
-    from orc_haskell_spark.pipeline import text
 
     spark = (SparkSession.builder.appName("orc-haskell-spark-ingest")
              .config("spark.sql.session.timeZone", "UTC")
@@ -155,21 +154,11 @@ def main() -> None:
     # extraction runs INSIDE the scan worker (read_warc extract=):
     # a separate extract_df stage would ship every html payload
     # Python->JVM->Python between two mapInArrow stages (~2x slower)
-    df = warc.read_warc(spark, args.input,
-                        num_partitions=args.partitions,
-                        strict=not args.lenient,
-                        extract=None if args.extract == "none"
-                        else args.extract)
-    if status is not None:
-        df = df.filter(F.col("status").between(*status))
-    if args.extract == "none":
-        df = df.withColumn("text", F.lit(None).cast("string"))
-    if args.lang_id and args.extract != "none":
-        # Catalyst expression, no extra pass; 'und' when no votes
-        df = df.withColumn("lang", text._langid_cols("text")[0])
-    else:
-        df = df.withColumn("lang", F.lit("und"))
-    df = df.select("url", "warc_ts", "html", "text", "lang")
+    df = _to_pages(warc.read_warc(spark, args.input,
+                                  num_partitions=args.partitions,
+                                  strict=not args.lenient,
+                                  extract=None if args.extract == "none"
+                                  else args.extract), args, status)
 
     obs = Observation("ingest")
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"),
@@ -180,6 +169,26 @@ def main() -> None:
           f"html_bytes={obs.get['html_bytes']}")
     _maybe_commit(args, data_dir)
     spark.stop()
+
+
+def _to_pages(df, args, status):
+    """Scanned WARC rows -> the pages schema. ONE implementation shared
+    by the batch path and every --follow micro-batch, so the two tables
+    can never silently diverge."""
+    from pyspark.sql import functions as F
+
+    from orc_haskell_spark.pipeline import text
+
+    if status is not None:
+        df = df.filter(F.col("status").between(*status))
+    if args.extract == "none":
+        df = df.withColumn("text", F.lit(None).cast("string"))
+    if args.lang_id and args.extract != "none":
+        # Catalyst expression, no extra pass; 'und' when no votes
+        df = df.withColumn("lang", text._langid_cols("text")[0])
+    else:
+        df = df.withColumn("lang", F.lit("und"))
+    return df.select("url", "warc_ts", "html", "text", "lang")
 
 
 def follow(args, status) -> None:
@@ -204,7 +213,7 @@ def follow(args, status) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from orc_haskell_spark.pipeline import dedup, text
+    from orc_haskell_spark.pipeline import dedup
     from orc_haskell_spark.warc_stream import WarcStreamDataSource
 
     spark = (SparkSession.builder.appName("orc-haskell-spark-ingest")
@@ -216,16 +225,7 @@ def follow(args, status) -> None:
     os.makedirs(data_dir, exist_ok=True)
 
     def sink(batch_df, batch_id: int) -> None:
-        df = batch_df
-        if status is not None:
-            df = df.filter(F.col("status").between(*status))
-        if args.extract == "none":
-            df = df.withColumn("text", F.lit(None).cast("string"))
-        if args.lang_id and args.extract != "none":
-            df = df.withColumn("lang", text._langid_cols("text")[0])
-        else:
-            df = df.withColumn("lang", F.lit("und"))
-        df = df.select("url", "warc_ts", "html", "text", "lang")
+        df = _to_pages(batch_df, args, status)
 
         stage = os.path.join(stage_root, f"batch-{batch_id}")
         shutil.rmtree(stage, ignore_errors=True)
@@ -252,6 +252,11 @@ def follow(args, status) -> None:
             # index rows and pairs dir, so this stays exactly-once too
             batch_pages = spark.read.parquet(
                 os.path.join(data_dir, f"batch{batch_id:06d}-*.parquet"))
+            # extraction-failed/empty pages all share the degenerate
+            # shingle set [""] — k such pages would verify as O(k^2)
+            # jacc=1.0 pairs; they are not near-dup signal
+            batch_pages = batch_pages.filter(
+                "text is not null and length(text) > 0")
             pairs = dedup.dedup_incremental(
                 spark, batch_pages, "url", "text", args.dedup_index,
                 batch_id=str(batch_id))

@@ -41,17 +41,44 @@ def test_incremental_equals_batch(spark, tmp_path):
 
 
 def test_replay_same_batch_is_idempotent(spark, tmp_path):
+    """Crash-replay: the second call runs with the batch's OWN stale
+    index partition on disk — it must be excluded, or every pair row
+    multiplies through the doubled shingle joins."""
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
     idx = str(tmp_path / "mh_index")
-    first = _pairs(dedup.dedup_incremental(spark, docs, "doc_id", "text",
-                                           idx, batch_id="b1"))
-    again = _pairs(dedup.dedup_incremental(spark, docs, "doc_id", "text",
-                                           idx, batch_id="b1"))
-    # replay with the SAME batch id overwrites its own index rows:
-    # no duplicate index entries afterwards
-    assert first == again
+    first = dedup.dedup_incremental(spark, docs, "doc_id", "text",
+                                    idx, batch_id="b1").collect()
+    again = dedup.dedup_incremental(spark, docs, "doc_id", "text",
+                                    idx, batch_id="b1").collect()
+    key = lambda rows: sorted((r.id_a, r.id_b, r.jacc) for r in rows)
+    assert key(first) == key(again)
+    # ROW-level: no duplicated pair rows (set-compare would hide them)
+    assert len(again) == len(set(key(again)))
     n_bands = spark.read.parquet(os.path.join(idx, "bands")).count()
     assert n_bands == 120 * 16                # 64 perms / r=4 -> 16 bands
+
+
+def test_recrawled_id_supersedes_old_index_rows(spark, tmp_path):
+    """The same id re-ingested in a later batch replaces its indexed
+    text: pairs verify against the NEW shingles, once, and an id never
+    pairs with its own older version."""
+    idx = str(tmp_path / "mh_index")
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = spark.createDataFrame(
+        [("u1", base), ("u2", "totally different words here now ok")],
+        ["doc_id", "text"])
+    dedup.dedup_incremental(spark, b1, "doc_id", "text", idx,
+                            batch_id="b1").collect()
+    # batch 2: u1 RECRAWLED with changed text; u3 duplicates the NEW u1
+    b2 = spark.createDataFrame(
+        [("u1", base + " extra"), ("u3", base + " extra")],
+        ["doc_id", "text"])
+    rows = dedup.dedup_incremental(spark, b2, "doc_id", "text", idx,
+                                   batch_id="b2").collect()
+    got = sorted((r.id_a, r.id_b, r.jacc) for r in rows)
+    # exactly one u1-u3 pair at jacc 1.0 (new text vs new text), no
+    # duplicate rows from the superseded b1 copy of u1
+    assert got == [("u1", "u3", 1.0)]
 
 
 def test_dry_run_leaves_index_unchanged(spark, tmp_path):

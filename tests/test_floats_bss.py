@@ -66,3 +66,23 @@ def test_pre_bss_stripes_still_decode():
     meta.pop("codec")
     dec = stripe.decode_column(meta, streams, pa.float64())
     assert np.array_equal(np.asarray(dec), vals)
+
+
+def test_bss_stripes_carry_format_v3():
+    """Stripes containing BSS float payloads must be versioned so a
+    pre-BSS reader (exact v2 check) rejects them loudly instead of
+    frombuffer-ing transposed planes as raw floats."""
+    rng = np.random.default_rng(3)
+    fl = pa.record_batch({"x": pa.array(
+        rng.normal(size=60000).astype("<f4"), type=pa.float32())})
+    footer, payload = stripe.encode_stripe(
+        fl, dict(stripe.DEFAULT_CONFIG, compression="zlib"))
+    assert footer["v"] == stripe.BSS_FORMAT_VERSION
+    got = stripe.decode_stripe(footer, payload)
+    assert np.array_equal(np.asarray(got.column("x")).view(np.uint8),
+                          np.asarray(fl.column("x")).view(np.uint8))
+    # BSS-free stripes stay v2 (readable by pre-BSS readers)
+    ints = pa.record_batch({"y": pa.array([1, 2, 3], pa.int64())})
+    footer2, _ = stripe.encode_stripe(
+        ints, dict(stripe.DEFAULT_CONFIG, compression="zlib"))
+    assert footer2["v"] == stripe.STRIPE_FORMAT_VERSION
