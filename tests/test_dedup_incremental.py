@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from orc_haskell_spark.pipeline import dedup
 
@@ -92,6 +93,42 @@ def test_dry_run_leaves_index_unchanged(spark, tmp_path):
     dedup.dedup_incremental(spark, more, "doc_id", "text", idx,
                             batch_id="b2", commit=False).collect()
     assert spark.read.parquet(os.path.join(idx, "bands")).count() == before
+
+
+def test_random_corpora_incremental_equals_batch(spark, tmp_path):
+    """Property over randomized corpora: for random docs with seeded
+    near-dup families and a random 3-way batch split, processing the
+    batches in order reproduces minhash_lsh_pairs of the whole corpus
+    exactly. (Deterministic seeds; hypothesis-style without the Spark
+    session cost per example.)"""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(50)]
+        docs = []
+        for i in range(60):
+            words = [rng.choice(vocab) for _ in range(rng.randint(6, 20))]
+            docs.append((i, " ".join(words)))
+            if rng.random() < 0.3:      # seeded near-dup: mutate 1 word
+                mut = list(words)
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+                docs.append((1000 + i, " ".join(mut)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        want = _pairs(dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.6))
+        idx = str(tmp_path / f"idx{seed}")
+        got = set()
+        splits = [rng.randrange(3) for _ in docs]
+        for k in range(3):
+            ids = [d[0] for d, s in zip(docs, splits) if s == k]
+            b = df.filter(F.col("doc_id").isin(ids))
+            if not ids:
+                continue
+            got |= _pairs(dedup.dedup_incremental(
+                spark, b, "doc_id", "text", idx, batch_id=f"b{k}",
+                threshold=0.6))
+        assert got == want, (seed, got ^ want)
 
 
 def test_config_mismatch_refused(spark, tmp_path):
