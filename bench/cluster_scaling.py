@@ -106,6 +106,10 @@ def start_cluster(n_workers: int, cores_per: int) -> list[subprocess.Popen]:
                           "--webui-port", str(MASTER_PORT + 1000))]
     time.sleep(8)
     ncpu = os.cpu_count() or 1
+    if n_workers * cores_per > ncpu:
+        raise SystemExit(
+            f"host has {ncpu} cores; {n_workers} x {cores_per}-core "
+            f"pinned workers need {n_workers * cores_per}")
     base = int(os.environ.get("CLUSTER_CORE_BASE", "24"))
     if base + n_workers * cores_per > ncpu:   # smaller host: shift down
         base = max(0, ncpu - n_workers * cores_per)

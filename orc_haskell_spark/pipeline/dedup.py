@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TOKEN_SPLIT = "\\s+"
 
@@ -504,7 +504,12 @@ def dedup_incremental(spark, new_df: DataFrame, id_col: str,
     joins fetch shingles for candidate ids only. Growth is linear in
     corpus size; each new batch costs O(batch x bands + candidates).
     """
-    if not str(batch_id) or "/" in str(batch_id):
+    batch_id = str(batch_id)
+    if not batch_id or "/" in batch_id or (
+            batch_id.isdigit() and str(int(batch_id)) != batch_id):
+        # leading-zero numerics are rejected: Spark partition-value
+        # inference parses 'batch=0006' as int 6, so the replay
+        # self-exclusion filter could no longer match it
         raise ValueError(f"bad batch_id {batch_id!r}")   # before any
     bands = num_perm // band_r                           # side effect
     _check_index_meta(index_path, num_perm, band_r, shingle_n, threshold)
@@ -522,19 +527,37 @@ def dedup_incremental(spark, new_df: DataFrame, id_col: str,
     sh_root = os.path.join(index_path, "shingles")
 
     def _read_old(root, like):
-        # missing dir = fresh index; anything ELSE (corrupt part,
+        # missing path = fresh index; anything ELSE (corrupt part,
         # permissions) must propagate — silently treating it as empty
-        # would drop every cross-batch pair with zero diagnostics
-        if not os.path.isdir(root):
-            return spark.createDataFrame([], like.schema)
-        df = spark.read.parquet(root)
+        # would drop every cross-batch pair with zero diagnostics.
+        # Existence is probed via the read itself so remote stores
+        # (s3://, hdfs://) work — os.path would call every remote
+        # index fresh forever.
+        from pyspark.errors import AnalysisException
+        try:
+            df = spark.read.parquet(root)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return spark.createDataFrame([], like.schema)
+            raise
         # a replayed batch must not read its own stale partition (it
         # is about to be overwritten, and its rows would double-count)
         # (partition values may infer as int — compare as strings)
         df = df.filter(F.col("batch").cast("string") != str(batch_id))
         # an id re-ingested in THIS batch supersedes its older index
-        # rows, so verification sees exactly one shingle set per id
+        # rows...
         df = df.join(new_df.select(id_col), id_col, "left_anti")
+        # ...and an id recrawled in an EARLIER batch keeps only its
+        # latest version: older partitions still hold superseded rows
+        # on disk (commits never rewrite other batches), so pick the
+        # max batch per id. (length, value) ordering is monotone for
+        # unpadded numerics, fixed-width padded ids and date strings
+        # alike — and batch ids are already required to be monotone.
+        b = F.col("batch").cast("string")
+        w = Window.partitionBy(id_col).orderBy(
+            F.length(b).desc(), b.desc())
+        df = df.withColumn("_br", F.dense_rank().over(w)) \
+            .filter(F.col("_br") == 1)
         return df.select(*like.columns)
 
     old_bands = _read_old(bands_root, new_bands)

@@ -527,9 +527,15 @@ def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None,
     # stay v2 and remain readable by pre-BSS readers (a pre-BSS reader
     # would otherwise frombuffer the transposed planes as raw floats
     # and return garbage silently).
-    import json as _json
-    uses_bss = any('"codec": "bss"' in _json.dumps(c["meta"])
-                   for c in columns)
+    def _has_bss(m) -> bool:
+        if isinstance(m, dict):
+            return m.get("codec") == "bss" or any(
+                _has_bss(v) for v in m.values())
+        if isinstance(m, (list, tuple)):
+            return any(_has_bss(v) for v in m)
+        return False
+
+    uses_bss = any(_has_bss(c["meta"]) for c in columns)
     footer = {
         "v": BSS_FORMAT_VERSION if uses_bss else STRIPE_FORMAT_VERSION,
         "n_rows": batch.num_rows,

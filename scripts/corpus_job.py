@@ -72,6 +72,10 @@ def main() -> None:
                     help="emit fixed-budget training sequences")
     ap.add_argument("--pack-shard-col", default=None)
     args = ap.parse_args()
+    # validate BEFORE the expensive stages run: a malformed budget
+    # string must fail at parse time, not after hours of dedup
+    budgets = parse_budgets(args.sample_tokens) if args.sample_tokens \
+        else None
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -85,16 +89,25 @@ def main() -> None:
     df = spark.read.parquet(args.input)
     stats = {"input_rows": df.count()}
 
+    def _stage(name, out):
+        # persist each stage boundary: the per-stage count AND the next
+        # stage both read it, and without a cache every count replays
+        # the whole upstream chain (stage N costs stages 1..N again)
+        out = out.persist()
+        stats[name] = out.count()
+        df.unpersist()
+        return out
+
+    df = df.persist()
     if args.quality_filter:
         keep = filters.gopher_stats(df, ic, tc).filter("keep").select(ic)
-        df = df.join(keep, ic, "left_semi")
-        stats["after_quality"] = df.count()
+        df = _stage("after_quality", df.join(keep, ic, "left_semi"))
 
     if args.decontam:
         bench = spark.read.parquet(args.decontam)
-        df = decontam.decontaminate(df, ic, tc, bench, tc,
-                                    n=args.decontam_n)
-        stats["after_decontam"] = df.count()
+        df = _stage("after_decontam",
+                    decontam.decontaminate(df, ic, tc, bench, tc,
+                                           n=args.decontam_n))
 
     if args.dedup:
         pairs = dedup.minhash_lsh_pairs(df, ic, tc,
@@ -102,13 +115,11 @@ def main() -> None:
         clusters = dedup.dedup_clusters(df, pairs, ic)
         keepers = clusters.groupBy("cluster_id") \
             .agg(F.min(ic).alias(ic)).select(ic)
-        df = df.join(keepers, ic, "left_semi")
-        stats["after_dedup"] = df.count()
+        df = _stage("after_dedup", df.join(keepers, ic, "left_semi"))
 
-    if args.sample_tokens:
-        budgets = parse_budgets(args.sample_tokens)
-        df = sampling.token_budget_mix(df, args.lang_col, ic, tc, budgets)
-        stats["after_sample"] = df.count()
+    if budgets is not None:
+        df = _stage("after_sample", sampling.token_budget_mix(
+            df, args.lang_col, ic, tc, budgets))
 
     mix_dir = os.path.join(args.output, "mix")
     df.write.mode("errorifexists").parquet(mix_dir)
@@ -125,10 +136,18 @@ def main() -> None:
             os.path.join(args.output, "sequences")) \
             .agg(F.count("*"), F.sum("n_tokens")).collect()[0]
         stats["sequences"] = agg[0]
-        stats["sequence_tokens"] = agg[1]
+        stats["sequence_tokens"] = agg[1] or 0
 
-    with open(os.path.join(args.output, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
+    blob = json.dumps(stats, indent=1)
+    stats_path = os.path.join(args.output, "stats.json")
+    if "://" in args.output:
+        # object-store output: a local open() cannot create
+        # s3://.../stats.json — write through Spark instead
+        spark.createDataFrame([(blob,)], "v string").coalesce(1) \
+            .write.mode("overwrite").text(stats_path)
+    else:
+        with open(stats_path, "w") as f:
+            f.write(blob)
     print("stats:", json.dumps(stats))
     spark.stop()
 

@@ -211,7 +211,6 @@ def follow(args, status) -> None:
 
     import pyarrow.parquet as pq
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     from orc_haskell_spark.pipeline import dedup
     from orc_haskell_spark.warc_stream import WarcStreamDataSource

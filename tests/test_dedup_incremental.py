@@ -80,6 +80,18 @@ def test_recrawled_id_supersedes_old_index_rows(spark, tmp_path):
     # exactly one u1-u3 pair at jacc 1.0 (new text vs new text), no
     # duplicate rows from the superseded b1 copy of u1
     assert got == [("u1", "u3", 1.0)]
+    # batch 3: u4 duplicates u1's SUPERSEDED b1 text — older partitions
+    # still hold it on disk, but only u1's LATEST version may verify:
+    # jacc vs current text is 6/7 (not the stale 1.0), exactly once
+    b3 = spark.createDataFrame([("u4", base)], ["doc_id", "text"])
+    rows3 = dedup.dedup_incremental(spark, b3, "doc_id", "text", idx,
+                                    batch_id="b3").collect()
+    got3 = sorted((r.id_a, r.id_b, round(r.jacc, 4)) for r in rows3)
+    assert got3 == [("u1", "u4", 0.8571), ("u3", "u4", 0.8571)], got3
+    assert len(rows3) == 2                 # no duplicate stale rows
+    with pytest.raises(ValueError, match="batch_id"):
+        dedup.dedup_incremental(spark, b3, "doc_id", "text", idx,
+                                batch_id="007")
 
 
 def test_dry_run_leaves_index_unchanged(spark, tmp_path):
