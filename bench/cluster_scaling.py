@@ -48,12 +48,16 @@ spark = SparkSession.builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 from orc_haskell_spark import engine          # from the --py-files zip
 deadline = time.time() + 90                   # all executors registered?
-while spark.sparkContext.defaultParallelism < want:
+# defaultParallelism floors at 2 in standalone mode, so it can only
+# confirm registration for want >= 2; for want=1 the submit-side
+# minRegisteredResourcesRatio=1.0 already blocked until the core
+# registered, and `want` is the authoritative size either way.
+while spark.sparkContext.defaultParallelism < want:  # no-op for want<=2
     if time.time() > deadline:
         raise SystemExit(f"only {spark.sparkContext.defaultParallelism} "
                          f"of {want} cores registered")
     time.sleep(1)
-cores = spark.sparkContext.defaultParallelism
+cores = want
 pages = spark.read.parquet(path)
 raw_bytes = pages.agg(F.sum(F.octet_length("html") + F.octet_length("text")
                             + F.octet_length("url"))).collect()[0][0]
@@ -165,7 +169,12 @@ def main() -> None:
     rows = int(os.environ.get("SCALE_ROWS", "200000"))
     reps = int(os.environ.get("SCALE_REPS", "2"))
     rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
-    cores_per = 2
+    # CLUSTER_CORES_PER=1 keeps the 4-executor aggregate under the
+    # box's memory-bandwidth ceiling (~0.2 GB/s fused on this host),
+    # which is the honest emulation of a real cluster: added nodes
+    # bring their own DRAM, so per-executor bandwidth stays flat —
+    # the one thing a single box cannot reproduce at saturation.
+    cores_per = int(os.environ.get("CLUSTER_CORES_PER", "2"))
     subprocess.run(["bash", os.path.join(REPO, "scripts",
                                          "build_artifact.sh")],
                    check=True, capture_output=True)
