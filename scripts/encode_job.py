@@ -97,6 +97,11 @@ def main() -> None:
     ap.add_argument("--key", default="url")
     ap.add_argument("--stripe-rows", type=int, default=65536)
     ap.add_argument("--compression", default="zstd")
+    ap.add_argument("--compression-level", type=int, default=None,
+                    help="outer block codec level (zstd default 3 = "
+                         "size-optimal; 1 trades ~6% size for ~25-30% "
+                         "encode throughput — measured tradeoff in "
+                         "BENCH/BASELINE.md)")
     ap.add_argument("--string-codec", default="auto")
     ap.add_argument("--fused", action="store_true",
                     help="zero-crossing Python-side scan+encode "
@@ -152,6 +157,8 @@ def main() -> None:
         check_where_columns(where, args.input)
     config = {"compression": args.compression,
               "string_codec": args.string_codec}
+    if args.compression_level is not None:
+        config["compression_level"] = args.compression_level
 
     if args.fused:
         if is_iceberg:

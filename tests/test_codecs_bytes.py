@@ -167,6 +167,40 @@ def test_block_unsupported_codec():
         block.compress(b"x", "lzo")  # reference also errors on LZO
 
 
+def test_block_compression_level_roundtrip_and_ordering():
+    """The outer-zstd level knob (BENCH/BASELINE.md §4f.1): every level
+    decodes back bit-identically with the SAME decoder (the frame is
+    level-agnostic), and the size-optimal default (3) is never beaten
+    by the throughput level (1) on compressible text."""
+    raw = (b"the quick brown fox jumps over the lazy dog " * 20000)
+    sizes = {}
+    for lvl in (1, 2, 3, None):
+        out = block.compress(raw, "zstd", lvl)
+        assert block.decompress(out, "zstd") == raw
+        sizes[lvl] = len(out)
+    assert sizes[3] <= sizes[1]
+
+
+def test_stripe_compression_level_plumbs_through():
+    """config={'compression_level': 1} reaches the block layer through
+    encode_stripe, and level-1 stripes decode identically to default."""
+    from orc_haskell_spark import stripe as stripe_mod
+
+    rb = pa.record_batch({
+        "url": pa.array([f"https://x.example/{i}" for i in range(4000)]),
+        "text": pa.array([f"document body {i} " * 12 for i in range(4000)]),
+    })
+    foot1, data1 = stripe_mod.encode_stripe(rb, {"compression_level": 1})
+    foot3, data3 = stripe_mod.encode_stripe(rb, {})
+    d1 = stripe_mod.decode_stripe(foot1, data1)
+    d3 = stripe_mod.decode_stripe(foot3, data3)
+    assert d1.equals(d3)
+    assert d1.column("text").to_pylist() == rb.column("text").to_pylist()
+    # levels produce different frames (proves the knob reached zstd);
+    # size ordering is only guaranteed on large payloads (block test)
+    assert data1 != data3
+
+
 def test_fsst_native_and_numpy_interchangeable():
     """The C kernel and the numpy lockstep parse are alternative encoders
     over the same symbol-table format: each decoder must decode the other
