@@ -969,7 +969,7 @@ SELECT 'fake' AS mode, 'all' AS codec, n AS items, c AS checksum_sum
   FROM fake
 UNION ALL SELECT 'real', codec, n, c FROM imgagg
 UNION ALL SELECT 'real', 'pcm16', n, c FROM pcm
-UNION ALL SELECT 'real', 'jpeg', 33, 18125454
+UNION ALL SELECT 'real', 'jpeg', 33, 18125099
 UNION ALL SELECT 'real', 'y4m', 50, 2698307
 UNION ALL SELECT 'real', 'mjpeg', 50, 2890386
 """
