@@ -47,7 +47,10 @@ PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", max(2000, int(200_000 
 # and wait (bounded) for it to reach its clean-window level. Clean
 # samples on this box: 0.37-0.48 s; dirty windows: 0.8-2.8 s.
 CANARY_OK_S = float(os.environ.get("SPARK_GRAFT_CANARY_OK_S", "0.85"))
-QUIET_WAIT_S = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "420"))
+# bounded so the worst case (box dirty the whole run) adds at most
+# QUIET_WAIT + MIDRUN_WAIT ≈ 9 min to the bench — visible-noise beats
+# a driver-side timeout with no BENCH record at all
+QUIET_WAIT_S = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "300"))
 
 
 def _canary_once(table) -> float:
@@ -121,7 +124,7 @@ def main() -> None:
         # shared budget (seconds) for mid-run waits across ALL queries,
         # so a permanently-dirty box can't stall the bench unboundedly
         wait_budget = [float(os.environ.get(
-            "SPARK_GRAFT_MIDRUN_WAIT_S", "300"))]
+            "SPARK_GRAFT_MIDRUN_WAIT_S", "240"))]
 
         def best_of(n: int, fn, max_extra: int = 2) -> tuple[float, list[float]]:
             """min + all samples: single samples on this box vary 2-3x
