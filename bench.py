@@ -292,7 +292,12 @@ def main() -> None:
         extras["native_kernels"] = native.load() is not None
         extras.update(gate)
         # label the run dirty if the burst arrived AFTER the pre-gate:
-        # the in-bench canary (orc_oracle) is the same op + threshold
+        # the in-bench canary (orc_oracle) is the same op + threshold.
+        # The label is CONSERVATIVE — per-query minima can still be at
+        # their clean-window records (best-of + mid-run resampling land
+        # samples between bursts); it flags that the WINDOW was noisy,
+        # not that every number is.
+        extras["canary_ok_s"] = CANARY_OK_S
         if dto > CANARY_OK_S:
             extras["dirty_window"] = True
         total = sum(queries.values())
