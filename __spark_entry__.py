@@ -969,9 +969,9 @@ SELECT 'fake' AS mode, 'all' AS codec, n AS items, c AS checksum_sum
   FROM fake
 UNION ALL SELECT 'real', codec, n, c FROM imgagg
 UNION ALL SELECT 'real', 'pcm16', n, c FROM pcm
-UNION ALL SELECT 'real', 'jpeg', 33, 18125099
+UNION ALL SELECT 'real', 'jpeg', 33, 18124814
 UNION ALL SELECT 'real', 'y4m', 50, 2698307
-UNION ALL SELECT 'real', 'mjpeg', 50, 2890386
+UNION ALL SELECT 'real', 'mjpeg', 50, 2890398
 """
 
 _MEDIA_FRAMES_ORACLE_SQL = """
@@ -980,9 +980,9 @@ WITH v AS (SELECT i::BIGINT AS i, 2 + i % 4 AS nf,
            FROM range(300) t(i) WHERE i % 3 = 2)
 SELECT codec, SUM(nf + 1)::BIGINT AS frames, COUNT(*)::BIGINT AS videos,
        CASE codec WHEN 'y4m' THEN 10356671
-            ELSE 13597860 END::BIGINT AS checksum_sum,
+            ELSE 13597812 END::BIGINT AS checksum_sum,
        CAST(CASE codec WHEN 'y4m' THEN 23020.812
-            ELSE 30153.095 END AS DOUBLE) AS luma_sum
+            ELSE 30153.027 END AS DOUBLE) AS luma_sum
 FROM v GROUP BY codec
 """
 

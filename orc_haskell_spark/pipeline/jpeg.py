@@ -22,9 +22,11 @@ spec):
   payloads for the media driver queries and fixtures for the
   pixel-exactness tests.
 
-The IDCT is the standard separable float transform; tests validate the
-vectorized einsum path pixel-exactly against an independent naive
-per-pixel double-loop implementation on crafted coefficient fixtures.
+The IDCT is a fixed-point separable transform (15-bit scaled basis,
+int64 sums — bit-identical across hosts, unlike BLAS float matmuls);
+tests validate the vectorized einsum path pixel-exactly against an
+independent naive per-pixel double-loop implementation on crafted
+coefficient fixtures, and within tolerance of the true float formula.
 """
 
 from __future__ import annotations
@@ -54,6 +56,20 @@ def _dct_matrix() -> np.ndarray:
 
 
 _C = _dct_matrix()
+
+# Fixed-point DCT basis (15-bit fraction: max |sum| ~ 2^46, well
+# inside int64; basis error ~2^-16 keeps every sample within 0.02 of
+# the float formula). The float einsum path (optimize=True) lowered
+# to BLAS matmuls whose summation order follows the host's SIMD
+# dispatch, so np.rint ties a last-ulp apart flipped pixels BETWEEN
+# MACHINES and the frozen media goldens were host-dependent (round-5
+# gate: jpeg checksum 18125454 on one box, 18125099 on another, same
+# code). Integer addition is associative — the scaled int64 transform
+# below is bit-identical on every host, and /2^30 is an exact binary
+# scale, so rint() sees the same value everywhere.
+_DCT_SCALE_BITS = 15
+_CI = np.rint(_C * (1 << _DCT_SCALE_BITS)).astype(np.int64)
+_DCT_DIV = float(1 << (2 * _DCT_SCALE_BITS))
 
 # luminance quantization base (ITU-T T.81 Annex K.1, spec constants —
 # the published example table every JPEG writer quality-scales)
@@ -86,15 +102,20 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
 
 def idct_blocks(coeffs: np.ndarray) -> np.ndarray:
     """(n, 8, 8) dequantized coefficients -> (n, 8, 8) float samples
-    (level-shifted back by +128, NOT yet rounded/clipped)."""
-    return np.einsum("ui,nuv,vj->nij", _C, coeffs.astype(np.float64), _C,
-                     optimize=True) + 128.0
+    (level-shifted back by +128, NOT yet rounded/clipped). Exact
+    fixed-point separable transform (see _CI above): int64 einsum, no
+    BLAS, machine-independent."""
+    t = np.einsum("ui,nuv,vj->nij", _CI, coeffs.astype(np.int64), _CI)
+    return t / _DCT_DIV + 128.0
 
 
 def fdct_blocks(samples: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) uint8 samples -> (n, 8, 8) float DCT coefficients."""
-    f = samples.astype(np.float64) - 128.0
-    return np.einsum("ui,nij,vj->nuv", _C, f, _C, optimize=True)
+    """(n, 8, 8) uint8 samples -> (n, 8, 8) float DCT coefficients.
+    Same fixed-point basis as idct_blocks, so fixture payloads are
+    byte-identical across hosts."""
+    f = samples.astype(np.int64) - 128
+    t = np.einsum("ui,nij,vj->nuv", _CI, f, _CI)
+    return t / _DCT_DIV
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ import pytest
 from orc_haskell_spark.pipeline import jpeg, multimodal
 
 
-def naive_idct(coeff: np.ndarray) -> np.ndarray:
+def naive_idct_float(coeff: np.ndarray) -> np.ndarray:
     """Independent scalar IDCT straight from the T.81 formula (double
     loop, no shared code with the einsum path)."""
     out = np.zeros((8, 8))
@@ -28,17 +28,42 @@ def naive_idct(coeff: np.ndarray) -> np.ndarray:
     return out
 
 
+def naive_idct_fixed(coeff: np.ndarray) -> np.ndarray:
+    """Independent scalar FIXED-POINT IDCT: pure-Python int sums over
+    a round(basis * 2^15) matrix built here from the T.81 cosines —
+    the machine-independent reference the engine must match exactly."""
+    import math
+
+    def ci(u, x):
+        a = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        return int(round(a * math.cos((2 * x + 1) * u * math.pi / 16)
+                         * 32768))
+
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0
+            for u in range(8):
+                for v in range(8):
+                    s += ci(u, x) * ci(v, y) * int(coeff[u, v])
+            out[x, y] = s / float(1 << 30) + 128.0
+    return out
+
+
 def test_idct_matches_naive_formula():
     rng = np.random.default_rng(5)
     coeffs = rng.integers(-500, 500, (4, 8, 8)).astype(np.int64)
     fast = jpeg.idct_blocks(coeffs)
     for i in range(4):
-        ref = naive_idct(coeffs[i].astype(np.float64))
-        assert np.allclose(fast[i], ref, atol=1e-9)
-    # and the rounded uint8 pixels are IDENTICAL (the exactness bar)
+        # bit-exact vs the independent fixed-point scalar reference
+        assert np.array_equal(fast[i], naive_idct_fixed(coeffs[i]))
+        # and within fixed-point tolerance of the true float formula
+        ref = naive_idct_float(coeffs[i].astype(np.float64))
+        assert np.allclose(fast[i], ref, atol=0.05)
+    # rounded uint8 pixels IDENTICAL to the fixed-point reference
     a = np.rint(fast).clip(0, 255).astype(np.uint8)
     for i in range(4):
-        b = np.rint(naive_idct(coeffs[i].astype(np.float64))) \
+        b = np.rint(naive_idct_fixed(coeffs[i])) \
             .clip(0, 255).astype(np.uint8)
         assert np.array_equal(a[i], b)
 
