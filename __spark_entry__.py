@@ -24,8 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from orc_haskell_spark import engine, gen, warc  # noqa: E402
 from orc_haskell_spark.pipeline import (decontam, dedup,  # noqa: E402
                                         extract, filters, multimodal,
-                                        packing, sessions, similarity,
-                                        text)
+                                        packing, pq, sessions,
+                                        similarity, text)
 
 _WORKERS_READY: set[int] = set()
 
@@ -533,8 +533,13 @@ def _orcfile_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for table in ["documents", "lineitem", "orders", "events"]:
+    # (round 5, session 7) roundtrip_orders gave its 50-cap slot to
+    # the PQ encode query: its decimal/date/string surface is the same
+    # codec set roundtrip_lineitem pins, and it stays exactly
+    # oracle-checked in tests/test_entry_queries.py
+    for table in ["documents", "lineitem", "events"]:
         q[f"roundtrip_{table}"] = _mk_roundtrip(table)
+    q["pq_encode_embeddings"] = _pq_encode_embeddings
     # (round 5) roundtrip_dims and roundtrip_direct_documents gave
     # their 50-cap slots to the WARC ingestion pair: both stay exactly
     # pinned by pytest (tests/test_entry_queries.py runs them against
@@ -586,7 +591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fused_roundtrip oracles) gave its 50-cap slot to the ORACLE-
     # checked transform-partitioned iceberg scan
     q["iceberg_transform_events"] = _iceberg_transform_scan
-    q["fused_roundtrip_documents"] = _fused_roundtrip_documents
+    # (round 5, session 7) fused_roundtrip_documents gave its 50-cap
+    # slot to the PQ ADC top-k: the fused encode/decode pair stays
+    # gate-covered by fused_sink_roundtrip + fused_transcode (a strict
+    # superset of its path) and exactly pinned in
+    # tests/test_entry_queries.py
+    q["pq_adc_topk_embeddings"] = _pq_adc_topk_embeddings
     q["fused_sink_roundtrip_documents"] = _fused_sink_roundtrip_documents
     q["fused_transcode_documents"] = _fused_transcode_documents
     q["fused_orc_encode_orders"] = _fused_orc_encode_orders
@@ -860,6 +870,36 @@ def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, "vec_id", "embedding",
                                _query_vec(spark, sf_dir), 10,
                                centroid_mode="first_rows")
+
+
+def _pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize every embedding (pipeline/pq.py): 4 subspaces x
+    16 first-rows centroids -> 4 codes + the self-ADC reconstruction
+    score per vector. Pure-projection encode; the oracle recomputes
+    normalization, codebooks, argmin assignment, and the left-to-right
+    score association from the same table."""
+    from pyspark.sql import functions as F2
+
+    emb = _load(spark, sf_dir, "embeddings")
+    books = pq.pq_codebooks_first_rows(emb, "vec_id", "embedding")
+    coded = pq.pq_encode(emb, "embedding", books, keep_ips=True)
+    recon = None
+    for s in range(4):
+        term = F2.element_at(F2.col(f"_ips{s}"), F2.col(f"_code{s}") + 1)
+        recon = term if recon is None else recon + term
+    return coded.select(
+        "vec_id",
+        *[F2.col(f"_code{s}").alias(f"c{s}") for s in range(4)],
+        F2.round(recon, 5).alias("recon_ip"))
+
+
+def _pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive ADC top-10 over PQ codes (the compressed-domain twin
+    of sim_topk): scores come from a 4x16 lookup table, never from the
+    raw vectors."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return pq.pq_adc_topk(emb, "vec_id", "embedding",
+                          _query_vec(spark, sf_dir), 10)
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,10 +1371,66 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     >= {verify_jaccard}"""
 
 
+# PQ oracles: DuckDB recomputes the normalized vectors, the first-rows
+# codebooks, the argmin code assignment (first-minimum tie-break =
+# list ORDER BY dist, j), and the explicit left-to-right ADC score
+# association — fully independent of the Spark expressions, identical
+# doubles because every fold is left-to-right in both engines.
+_PQ_CODE_CTES = """
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS (SELECT vec_id, CASE WHEN sqrt(list_inner_product(v,v)) = 0
+             THEN 1.0 ELSE sqrt(list_inner_product(v,v)) END AS nr, v
+        FROM raw),
+nv AS (SELECT vec_id, list_transform(v, x -> x / nr) AS v FROM nrm),
+cent AS (SELECT s, vec_id AS j, v[s*16+1 : s*16+16] AS c
+         FROM nv, range(4) t(s) WHERE vec_id < 16),
+sub AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS u
+        FROM nv, range(4) t(s)),
+d AS (SELECT sub.vec_id, sub.s, cent.j,
+             list_inner_product(sub.u, cent.c) AS ip,
+             list_inner_product(cent.c, cent.c)
+               - 2 * list_inner_product(sub.u, cent.c) AS dist
+      FROM sub JOIN cent ON cent.s = sub.s),
+code AS (SELECT vec_id, s, j, ip FROM d
+         QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY dist ASC, j ASC) = 1)
+"""
+
+_PQ_ENCODE_ORACLE_SQL = _PQ_CODE_CTES + """
+SELECT vec_id,
+       MAX(CASE WHEN s=0 THEN j END)::INT AS c0,
+       MAX(CASE WHEN s=1 THEN j END)::INT AS c1,
+       MAX(CASE WHEN s=2 THEN j END)::INT AS c2,
+       MAX(CASE WHEN s=3 THEN j END)::INT AS c3,
+       round(((MAX(CASE WHEN s=0 THEN ip END)
+             + MAX(CASE WHEN s=1 THEN ip END))
+             + MAX(CASE WHEN s=2 THEN ip END))
+             + MAX(CASE WHEN s=3 THEN ip END), 5) AS recon_ip
+FROM code GROUP BY vec_id
+"""
+
+_PQ_ADC_TOPK_ORACLE_SQL = _PQ_CODE_CTES + """,
+q AS (SELECT s, u FROM sub WHERE vec_id = 0),
+lut AS (SELECT cent.s, cent.j, list_inner_product(q.u, cent.c) AS ip
+        FROM cent JOIN q ON q.s = cent.s),
+scored AS (SELECT code.vec_id,
+       ((MAX(CASE WHEN code.s=0 THEN lut.ip END)
+       + MAX(CASE WHEN code.s=1 THEN lut.ip END))
+       + MAX(CASE WHEN code.s=2 THEN lut.ip END))
+       + MAX(CASE WHEN code.s=3 THEN lut.ip END) AS score
+  FROM code JOIN lut ON lut.s = code.s AND lut.j = code.j
+  GROUP BY code.vec_id)
+SELECT vec_id, round(score, 5) AS score FROM scored
+ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
-    for table in ["documents", "lineitem", "orders", "events"]:
+    for table in ["documents", "lineitem", "events"]:
         o[f"roundtrip_{table}"] = _select_sql(table)
+    o["pq_encode_embeddings"] = _PQ_ENCODE_ORACLE_SQL
+    o["pq_adc_topk_embeddings"] = _PQ_ADC_TOPK_ORACLE_SQL
     # WARC pair: the oracle reconstructs every page from the documents
     # view with the same SQL-expressible constructors the fixture used;
     # warc_extract's oracle selects the SOURCE text (it does not re-run
@@ -1350,7 +1446,6 @@ def oracle_sql() -> dict[str, str]:
     o["pack_plan_documents"] = _PACK_PLAN_ORACLE_SQL
     o["roundtrip_fsst_documents"] = _select_sql("documents")
     o["roundtrip_dict_documents"] = _select_sql("documents")
-    o["fused_roundtrip_documents"] = _select_sql("documents")
     o["fused_sink_roundtrip_documents"] = _select_sql("documents")
     o["fused_transcode_documents"] = _select_sql("documents")
     o["fused_orc_encode_orders"] = _select_sql("orders")

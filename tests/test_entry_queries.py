@@ -106,6 +106,34 @@ def test_orcfile_cpp_read_documents_still_oracle_exact(spark, oracle):
     assert n > 0
 
 
+def test_roundtrip_orders_still_oracle_exact(spark, oracle):
+    """Swapped out of the gate (round 5 session 7, for
+    pq_encode_embeddings); pinned here — orders' decimal/date/string
+    codec surface is the same set roundtrip_lineitem pins."""
+    n = _compare(spark, oracle, "roundtrip_orders",
+                 query_fn=e._mk_roundtrip("orders"),
+                 oracle_sql=e._select_sql("orders"))
+    assert n > 0
+
+
+def test_fused_roundtrip_documents_still_oracle_exact(spark, oracle):
+    """Swapped out of the gate (round 5 session 7, for
+    pq_adc_topk_embeddings); pinned here — the gate keeps the strict
+    superset paths (fused_sink_roundtrip + fused_transcode)."""
+    n = _compare(spark, oracle, "fused_roundtrip_documents",
+                 query_fn=e._fused_roundtrip_documents,
+                 oracle_sql=e._select_sql("documents"))
+    assert n > 0
+
+
+def test_pq_encode_gate_preflight(spark, oracle):
+    assert _compare(spark, oracle, "pq_encode_embeddings") == 500
+
+
+def test_pq_adc_topk_gate_preflight(spark, oracle):
+    assert _compare(spark, oracle, "pq_adc_topk_embeddings") == 10
+
+
 def test_decontam_gate_preflight(spark, oracle):
     assert _compare(spark, oracle, "decontam_documents") > 0
 
