@@ -92,21 +92,39 @@ FLOAT_BSS_MIN_BYTES = 4096  # below this the measurement is noise
 
 def choose_float_codec(vals: "np.ndarray", compression: str = "none",
                        compression_level: int | None = None) -> str:
-    """Pick 'raw' | 'bss' for an f4/f8 column.
+    """Pick 'raw' | 'bss' | 'alp' for an f4/f8 column.
 
-    Byte-stream-split is size-neutral without an outer codec, so 'raw'
-    wins immediately when compression is off. Otherwise both layouts
-    are compressed on the same sample and the smaller wins, with the
-    same 5% hysteresis toward the simpler layout as the string chooser.
+    All candidates are measured on the same prefix sample under the
+    configured outer codec and the smallest wins, with the string
+    chooser's 5% hysteresis toward the simpler layout. Byte-stream-
+    split is size-neutral without an outer codec so it only competes
+    when compression is on; ALP shrinks on its own (integers bit-pack
+    below the IEEE754 width) so it competes even uncompressed. Random-
+    mantissa data (embeddings, measurements at full precision) fails
+    ALP's encodability gate and falls through to raw/BSS.
     """
-    if compression == "none" or vals.nbytes < FLOAT_BSS_MIN_BYTES:
+    if vals.nbytes < FLOAT_BSS_MIN_BYTES:
         return "raw"
-    from . import block, floats
+    from . import alp, block, floats, rle2
+
+    def outer(b: bytes) -> int:
+        if compression == "none" or not b:
+            return len(b)
+        return len(block.compress(b, compression, compression_level))
 
     k = min(len(vals), max(1, SAMPLE_BYTES // vals.dtype.itemsize))
     sample = np.ascontiguousarray(vals[:k])
-    raw_sz = len(block.compress(sample.tobytes(), compression,
-                                compression_level))
-    bss_sz = len(block.compress(floats.bss_encode(sample), compression,
-                                compression_level))
-    return "bss" if bss_sz < 0.95 * raw_sz else "raw"
+    est: dict[str, float] = {"raw": outer(sample.tobytes())}
+    if compression != "none":
+        est["bss"] = outer(floats.bss_encode(sample))
+    enc = alp.encode(sample)
+    if enc is not None:
+        _e, _f, ints, pos, exc = enc
+        est["alp"] = (outer(rle2.encode(ints, True))
+                      + len(rle2.encode(pos, False))
+                      + exc.nbytes)
+    order = {"raw": 0, "bss": 1, "alp": 2}
+    best = min(est, key=lambda c: (est[c], order[c]))
+    if best != "raw" and est[best] >= 0.95 * est["raw"]:
+        return "raw"
+    return best

@@ -37,7 +37,7 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
-from .codecs import (bitpack, block, byte_rle, floats, rle1, rle2,
+from .codecs import (alp, bitpack, block, byte_rle, floats, rle1, rle2,
                      selector, timestamps)
 from .codecs import fsst as fsst_codec
 from .codecs.strings import (
@@ -51,10 +51,12 @@ from .codecs.strings import (
 # FSST piece framing); decode_stripe rejects other versions loudly
 STRIPE_FORMAT_VERSION = 2
 BSS_FORMAT_VERSION = 3      # v2 + byte-stream-split float payloads
+ALP_FORMAT_VERSION = 4      # v3 + ALP float payloads (codecs/alp.py)
 
 DEFAULT_CONFIG: dict[str, Any] = {
     "int_codec": "rle2",          # "rle1" for reference-writer parity
     "string_codec": "auto",       # "direct" | "dict" | "fsst" | "auto"
+    "float_codec": None,          # None=measured | "raw" | "bss" | "alp"
     "compression": "zstd",        # outer block layer; "none" to disable
     "compression_level": 3,
     "compression_min_bytes": 256,  # don't frame tiny streams
@@ -149,11 +151,24 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
             raise NotImplementedError(f"float type {typ} not supported (f4/f8 only)")
         vals = np.asarray(arr).astype(
             np.asarray(arr).dtype.newbyteorder("<"), copy=False)
-        # raw LE (the reference layout) vs byte-stream-split, measured
-        # under the configured outer compression (selector.py)
-        fcodec = selector.choose_float_codec(
+        # raw LE (the reference layout) vs byte-stream-split vs ALP,
+        # measured under the configured outer compression (selector.py)
+        fcodec = cfg.get("float_codec") or selector.choose_float_codec(
             vals, cfg.get("compression", "none"),
             cfg.get("compression_level"))
+        if fcodec == "alp":
+            enc = alp.encode(vals)
+            if enc is None:  # forced ALP on an inexpressible column
+                fcodec = "raw"
+            else:
+                e, f, ints, pos, exc = enc
+                icodec, data = _encode_int_stream(ints, cfg)
+                pcodec, pstream = _encode_uint_stream(pos, cfg)
+                return ({"kind": "float", "codec": "alp", "e": e, "f": f,
+                         "icodec": icodec, "pcodec": pcodec,
+                         "n_exc": len(pos)},
+                        {"DATA": data, "ALP_POS": pstream,
+                         "ALP_EXC": exc.tobytes()})
         data = floats.bss_encode(vals) if fcodec == "bss" \
             else vals.tobytes()
         return {"kind": "float", "codec": fcodec}, {"DATA": data}
@@ -359,7 +374,15 @@ def _decode_values(meta: dict, streams: dict[str, bytes], n: int,
 
     if kind == "float":
         dt = np.dtype("<f4") if pa.types.is_float32(typ) else np.dtype("<f8")
-        if meta.get("codec", "raw") == "bss":   # pre-BSS stripes: raw
+        fcodec = meta.get("codec", "raw")       # pre-BSS stripes: raw
+        if fcodec == "alp":
+            ints = _decode_int_stream(_buf(streams["DATA"]),
+                                      meta["icodec"])[:n]
+            pos = _decode_uint_stream(_buf(streams["ALP_POS"]),
+                                      meta["pcodec"])[:meta["n_exc"]]
+            vals = alp.decode(ints, meta["e"], meta["f"], pos,
+                              streams["ALP_EXC"], dt)
+        elif fcodec == "bss":
             vals = floats.bss_decode(streams["DATA"], n, dt.itemsize)
         else:
             vals = np.frombuffer(streams["DATA"], dtype=dt, count=n)
@@ -527,17 +550,22 @@ def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None,
     # stay v2 and remain readable by pre-BSS readers (a pre-BSS reader
     # would otherwise frombuffer the transposed planes as raw floats
     # and return garbage silently).
-    def _has_bss(m) -> bool:
+    def _has_codec(m, want: str) -> bool:
         if isinstance(m, dict):
-            return m.get("codec") == "bss" or any(
-                _has_bss(v) for v in m.values())
+            return m.get("codec") == want or any(
+                _has_codec(v, want) for v in m.values())
         if isinstance(m, (list, tuple)):
-            return any(_has_bss(v) for v in m)
+            return any(_has_codec(v, want) for v in m)
         return False
 
-    uses_bss = any(_has_bss(c["meta"]) for c in columns)
+    if any(_has_codec(c["meta"], "alp") for c in columns):
+        fmt_version = ALP_FORMAT_VERSION
+    elif any(_has_codec(c["meta"], "bss") for c in columns):
+        fmt_version = BSS_FORMAT_VERSION
+    else:
+        fmt_version = STRIPE_FORMAT_VERSION
     footer = {
-        "v": BSS_FORMAT_VERSION if uses_bss else STRIPE_FORMAT_VERSION,
+        "v": fmt_version,
         "n_rows": batch.num_rows,
         "schema_b64": base64.b64encode(batch.schema.serialize().to_pybytes()).decode(),
         "columns": columns,
@@ -653,10 +681,11 @@ def decode_stripe(footer: dict, payload: bytes | memoryview,
     # framing): defaulting to the CURRENT version would wave exactly the
     # legacy payloads this guard exists to reject loudly
     ver = footer.get("v", 1)
-    if ver not in (STRIPE_FORMAT_VERSION, BSS_FORMAT_VERSION):
+    if ver not in (STRIPE_FORMAT_VERSION, BSS_FORMAT_VERSION,
+                   ALP_FORMAT_VERSION):
         raise ValueError(
             f"stripe format v{ver} not supported by this reader "
-            f"(expects v{STRIPE_FORMAT_VERSION}-v{BSS_FORMAT_VERSION}); "
+            f"(expects v{STRIPE_FORMAT_VERSION}-v{ALP_FORMAT_VERSION}); "
             f"re-encode the source")
     schema = pa.ipc.read_schema(
         pa.py_buffer(base64.b64decode(footer["schema_b64"]))

@@ -1,0 +1,206 @@
+"""ALP float codec (codecs/alp.py + selector/stripe wiring): bit-exact
+roundtrips including every IEEE754 special, measured three-way selection
+against raw/BSS, stripe integration, and the v4 format gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from orc_haskell_spark import stripe
+from orc_haskell_spark.codecs import alp, selector
+
+
+def _roundtrip(vals: np.ndarray) -> np.ndarray:
+    enc = alp.encode(vals)
+    assert enc is not None
+    e, f, ints, pos, exc = enc
+    return alp.decode(ints, e, f, pos, exc.tobytes(), vals.dtype)
+
+
+def _bits(a: np.ndarray) -> np.ndarray:
+    return a.view(np.uint32 if a.dtype.itemsize == 4 else np.uint64)
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def test_decimal_doubles_roundtrip_with_zero_exceptions():
+    rng = np.random.default_rng(0)
+    prices = np.round(rng.uniform(0, 100_000, 50_000), 2)
+    e, f, ints, pos, exc = alp.encode(prices)
+    assert len(pos) == 0
+    dec = alp.decode(ints, e, f, pos, exc.tobytes(), np.float64)
+    assert np.array_equal(_bits(dec), _bits(prices))
+
+
+def test_specials_become_exceptions_and_roundtrip_bit_exact():
+    rng = np.random.default_rng(42)
+    vals = np.round(rng.uniform(-500, 500, 1000), 2)
+    specials = [np.nan, -0.0, np.inf, -np.inf, np.pi, 5e-324, 1.7e308]
+    vals[: len(specials)] = specials
+    e, f, ints, pos, exc = alp.encode(vals)
+    assert len(pos) >= len(specials)  # every special took the exception path
+    dec = alp.decode(ints, e, f, pos, exc.tobytes(), vals.dtype)
+    assert np.array_equal(_bits(dec), _bits(vals))
+    # -0.0 must NOT decode to +0.0: the check is bit equality
+    assert np.signbit(dec[1])
+
+
+def test_nan_payload_preserved():
+    # a non-default NaN payload survives the exception path untouched
+    weird_nan = np.frombuffer(
+        np.uint64(0x7FF8_0000_DEAD_BEEF).tobytes(), np.float64)[0]
+    vals = np.array([1.5, weird_nan, 2.5] * 100, dtype=np.float64)
+    assert np.array_equal(_bits(_roundtrip(vals)), _bits(vals))
+
+
+def test_float32_roundtrip():
+    rng = np.random.default_rng(1)
+    vals = np.round(rng.uniform(-1000, 1000, 30_000), 1).astype(np.float32)
+    vals[7] = np.float32("nan")
+    vals[11] = -np.float32(0.0)
+    dec = _roundtrip(vals)
+    assert dec.dtype == np.float32
+    assert np.array_equal(_bits(dec), _bits(vals))
+
+
+def test_random_mantissa_data_is_refused():
+    rng = np.random.default_rng(2)
+    assert alp.encode(rng.normal(size=10_000)) is None
+    assert alp.encode(np.empty(0, np.float64)) is None
+
+
+@given(st.lists(st.one_of(
+    st.decimals(min_value=-10**9, max_value=10**9, places=3,
+                allow_nan=False, allow_infinity=False).map(float),
+    st.floats(width=64, allow_nan=True, allow_infinity=True)),
+    min_size=1, max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_property_mixed_decimals_and_arbitrary_roundtrip(xs):
+    vals = np.array(xs, dtype=np.float64)
+    enc = alp.encode(vals)
+    if enc is None:  # encodability gate may refuse; that's a valid answer
+        return
+    e, f, ints, pos, exc = enc
+    dec = alp.decode(ints, e, f, pos, exc.tobytes(), np.float64)
+    assert np.array_equal(_bits(dec), _bits(vals))
+
+
+# ---------------------------------------------------------------- selector
+
+
+def test_selector_picks_alp_on_decimal_data_even_uncompressed():
+    rng = np.random.default_rng(3)
+    prices = np.round(rng.uniform(0, 100_000, 60_000), 2)
+    assert selector.choose_float_codec(prices, "none") == "alp"
+    assert selector.choose_float_codec(prices, "zstd", 3) == "alp"
+
+
+def test_selector_still_picks_bss_on_random_mantissas():
+    rng = np.random.default_rng(4)
+    vals = rng.normal(size=100_000).astype("<f4")
+    assert selector.choose_float_codec(vals, "zlib", 6) == "bss"
+    assert selector.choose_float_codec(vals, "none") == "raw"
+
+
+# ---------------------------------------------------------------- stripe
+
+
+def test_stripe_alp_roundtrip_and_v4_format():
+    rng = np.random.default_rng(5)
+    prices = np.round(rng.uniform(0, 10_000, 60_000), 2)
+    batch = pa.record_batch({"p": pa.array(prices)})
+    footer, payload = stripe.encode_stripe(batch, stripe.DEFAULT_CONFIG)
+    col = footer["columns"][0]["meta"]
+    assert col["codec"] == "alp"
+    assert footer["v"] == stripe.ALP_FORMAT_VERSION
+    got = stripe.decode_stripe(footer, payload)
+    assert np.array_equal(_bits(np.asarray(got.column("p"))),
+                          _bits(prices))
+    # ALP beats the raw layout on the wire (the whole point)
+    raw_footer, raw_payload = stripe.encode_stripe(
+        batch, dict(stripe.DEFAULT_CONFIG, float_codec="raw"))
+    assert len(payload) < 0.75 * len(raw_payload)
+
+
+def test_stripe_alp_with_nulls_and_exceptions():
+    vals = [12.25, None, float("nan"), 3.5, None, float("inf"), -0.0] \
+        + [round(0.01 * k, 2) for k in range(200)]
+    arr = pa.array(vals, type=pa.float64())
+    cfg = dict(stripe.DEFAULT_CONFIG, float_codec="alp",
+               compression="none")
+    meta, streams = stripe.encode_column("x", arr, cfg)
+    assert meta["codec"] == "alp" and meta["nullable"]
+    dec = stripe.decode_column(meta, streams, pa.float64())
+    res = dec.to_pylist()
+    assert res[1] is None and res[4] is None
+    assert res[0] == 12.25 and res[3] == 3.5
+    assert np.isnan(res[2]) and np.isinf(res[5])
+    assert np.signbit(res[6]) and res[6] == 0.0
+
+
+def test_forced_alp_on_inexpressible_column_falls_back_to_raw():
+    rng = np.random.default_rng(6)
+    vals = rng.normal(size=5_000)
+    arr = pa.array(vals)
+    cfg = dict(stripe.DEFAULT_CONFIG, float_codec="alp")
+    meta, streams = stripe.encode_column("x", arr, cfg)
+    assert meta["codec"] == "raw"
+    dec = stripe.decode_column(meta, streams, pa.float64())
+    assert np.array_equal(_bits(np.asarray(dec)), _bits(vals))
+
+
+def test_alp_respects_rle1_int_codec_config():
+    rng = np.random.default_rng(7)
+    prices = np.round(rng.uniform(0, 100, 20_000), 2)
+    arr = pa.array(prices)
+    cfg = dict(stripe.DEFAULT_CONFIG, float_codec="alp", int_codec="rle1")
+    meta, streams = stripe.encode_column("x", arr, cfg)
+    assert meta["codec"] == "alp"
+    assert meta["icodec"] == "rle1" and meta["pcodec"] == "rle1"
+    dec = stripe.decode_column(meta, streams, pa.float64())
+    assert np.array_equal(_bits(np.asarray(dec)), _bits(prices))
+
+
+def test_pre_alp_reader_version_gate():
+    """An ALP stripe presented to a reader that only knows v2/v3 must
+    reject by version, never frombuffer the int stream as floats —
+    that is exactly what the v4 bump guarantees (see the rejection
+    test in test_stripe.py, which pins max-version+1)."""
+    rng = np.random.default_rng(8)
+    prices = np.round(rng.uniform(0, 10_000, 30_000), 2)
+    batch = pa.record_batch({"p": pa.array(prices)})
+    footer, payload = stripe.encode_stripe(batch, stripe.DEFAULT_CONFIG)
+    assert footer["v"] == 4
+    # BSS/ALP-free stripes still write v2 so old readers keep working
+    ints = pa.record_batch({"y": pa.array([1, 2, 3], pa.int64())})
+    footer2, _ = stripe.encode_stripe(ints, stripe.DEFAULT_CONFIG)
+    assert footer2["v"] == stripe.STRIPE_FORMAT_VERSION
+
+
+def test_engine_parquet_roundtrip_hits_alp(tmp_path, spark):
+    """End-to-end: a parquet table with decimal-like doubles encodes
+    through the fused path with ALP columns and decodes bit-identical."""
+    import pyarrow.parquet as pq
+    from orc_haskell_spark import engine, manifest
+
+    rng = np.random.default_rng(9)
+    tbl = pa.table({
+        "k": pa.array(np.arange(20_000, dtype=np.int64)),
+        "price": pa.array(np.round(rng.uniform(0, 9_999, 20_000), 2)),
+    })
+    src = tmp_path / "src.parquet"
+    pq.write_table(tbl, src)
+    out = tmp_path / "enc"
+    manifest.encode_parquet_to_dir(spark, str(src), str(out))
+    enc = manifest.read_encoded(spark, str(out))
+    src_df = spark.read.parquet(str(src))
+    back = engine.decode_table(enc.drop("part_id"), src_df.schema) \
+        .toPandas().sort_values("k").reset_index(drop=True)
+    assert np.array_equal(
+        back["price"].to_numpy().view(np.uint64),
+        tbl.column("price").to_numpy().view(np.uint64))

@@ -199,8 +199,9 @@ def test_stripe_format_version_rejected():
     batch = pa.RecordBatch.from_pydict({"x": [1, 2, 3]})
     footer, payload = stripe.encode_stripe(batch)
     assert footer["v"] == stripe.STRIPE_FORMAT_VERSION
-    # v3 (BSS) is accepted; anything past it, and legacy v1, reject
-    footer["v"] = stripe.BSS_FORMAT_VERSION + 1
+    # v3 (BSS) and v4 (ALP) are accepted; anything past them, and
+    # legacy v1, reject
+    footer["v"] = stripe.ALP_FORMAT_VERSION + 1
     with pytest.raises(ValueError, match="stripe format"):
         stripe.decode_stripe(footer, payload)
     footer["v"] = 1
