@@ -103,6 +103,9 @@ def main() -> None:
                          "encode throughput — measured tradeoff in "
                          "BENCH/BASELINE.md)")
     ap.add_argument("--string-codec", default="auto")
+    ap.add_argument("--float-codec", default="auto",
+                    choices=["auto", "raw", "bss", "alp"],
+                    help="auto = measured raw/BSS/ALP argmin per column")
     ap.add_argument("--fused", action="store_true",
                     help="zero-crossing Python-side scan+encode "
                          "(keeps input layout; no row shuffle)")
@@ -157,6 +160,8 @@ def main() -> None:
         check_where_columns(where, args.input)
     config = {"compression": args.compression,
               "string_codec": args.string_codec}
+    if args.float_codec != "auto":
+        config["float_codec"] = args.float_codec
     if args.compression_level is not None:
         config["compression_level"] = args.compression_level
 
