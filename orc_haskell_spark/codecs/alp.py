@@ -144,3 +144,81 @@ def decode(ints: np.ndarray, e: int, f: int, exc_pos: np.ndarray,
         vals[exc_pos.astype(np.int64)] = np.frombuffer(
             exc_buf, dtype=dtype, count=len(exc_pos))
     return vals
+
+
+# ------------------------------------------------------------- ALP-RD
+# The paper's second mode, for "real doubles" — full-precision values
+# (embeddings, sensor readings) whose mantissas defeat the decimal
+# transform. The IEEE754 bit pattern splits at a cut point: the LEFT
+# part (sign + exponent + top mantissa bits, at most 16 bits) repeats
+# heavily and dictionary-encodes into 3-bit codes; the RIGHT part is
+# incompressible mantissa noise stored bit-packed at its exact width.
+# Left patterns outside the 8-entry dictionary become exceptions
+# (u16 pattern + position). Lossless by construction: encode splits
+# bits, decode reassembles them — no arithmetic ever touches values.
+
+RD_DICT_BITS = 3    # 8-entry left dictionary (paper default)
+RD_MAX_LEFT = 16    # left parts are at most 16 bits (fit u16 exceptions)
+
+
+def rd_choose(vals: np.ndarray):
+    """Pick (right_width, left_dictionary) minimizing estimated encoded
+    bytes on a strided sample; None when no cut beats the raw layout
+    by >=5% (hash-like bit patterns with no repeating left parts)."""
+    if vals.size == 0:
+        return None
+    total = vals.dtype.itemsize * 8
+    step = max(1, vals.size // _SAMPLE)
+    s = _native_bits(np.ascontiguousarray(vals[::step][:_SAMPLE]))
+    best = None
+    best_cost = np.inf
+    for left_bits in range(1, RD_MAX_LEFT + 1):
+        r = total - left_bits
+        left = (s >> r).astype(np.uint16)
+        uniq, counts = np.unique(left, return_counts=True)
+        top = np.argsort(counts)[::-1][: 1 << RD_DICT_BITS]
+        covered = int(counts[top].sum())
+        cost = (s.size * (RD_DICT_BITS + r) / 8
+                + (s.size - covered) * (2 + 4))
+        if cost < best_cost:
+            best_cost = cost
+            best = (r, np.sort(uniq[top]).astype(np.uint16))
+    if best is None or best_cost >= 0.95 * s.size * vals.dtype.itemsize:
+        return None
+    return best
+
+
+def rd_encode(vals: np.ndarray, plan=None):
+    """f4/f8 column -> (r, dict, codes, right, exc_pos, exc_left) or
+    None. ``codes`` indexes ``dict`` (exception slots point at entry
+    0); ``right`` holds the low ``r`` bits verbatim."""
+    if plan is None:
+        plan = rd_choose(vals)
+    if plan is None:
+        return None
+    r, dict_left = plan
+    bits = _native_bits(np.ascontiguousarray(vals)).astype(np.uint64)
+    left = (bits >> np.uint64(r)).astype(np.uint16)
+    right = bits & np.uint64((1 << r) - 1)
+    code = np.searchsorted(dict_left, left)
+    code = np.minimum(code, len(dict_left) - 1)
+    good = dict_left[code] == left
+    codes = np.where(good, code, 0).astype(np.uint64)
+    exc_pos = np.flatnonzero(~good).astype(np.uint64)
+    return r, dict_left, codes, right, exc_pos, left[~good]
+
+
+def rd_decode(codes: np.ndarray, right: np.ndarray, r: int,
+              dict_left: np.ndarray, exc_pos: np.ndarray,
+              exc_buf: bytes | np.ndarray, dtype: np.dtype) -> np.ndarray:
+    """Reassemble (dict[code] << r) | right, scatter left exceptions."""
+    dtype = np.dtype(dtype)
+    left = np.asarray(dict_left, np.uint16)[codes.astype(np.int64)] \
+        .astype(np.uint64)
+    if len(exc_pos):
+        left[exc_pos.astype(np.int64)] = np.frombuffer(
+            exc_buf, np.uint16, count=len(exc_pos)).astype(np.uint64)
+    bits = (left << np.uint64(r)) | right
+    if dtype.itemsize == 4:
+        return bits.astype(np.uint32).view(np.float32)
+    return bits.view(np.float64)

@@ -105,7 +105,7 @@ def choose_float_codec(vals: "np.ndarray", compression: str = "none",
     """
     if vals.nbytes < FLOAT_BSS_MIN_BYTES:
         return "raw"
-    from . import alp, block, floats, rle2
+    from . import alp, bitpack, block, floats, rle2
 
     def outer(b: bytes) -> int:
         if compression == "none" or not b:
@@ -123,7 +123,15 @@ def choose_float_codec(vals: "np.ndarray", compression: str = "none",
         est["alp"] = (outer(rle2.encode(ints, True))
                       + len(rle2.encode(pos, False))
                       + exc.nbytes)
-    order = {"raw": 0, "bss": 1, "alp": 2}
+    enc_rd = alp.rd_encode(sample)
+    if enc_rd is not None:
+        r, dl, codes, right, pos, excl = enc_rd
+        est["alp_rd"] = (outer(bitpack.pack_width(right, r))
+                         + len(bitpack.pack_width(codes,
+                                                  alp.RD_DICT_BITS))
+                         + len(rle2.encode(pos, False))
+                         + excl.nbytes + 2 * len(dl))
+    order = {"raw": 0, "bss": 1, "alp": 2, "alp_rd": 3}
     best = min(est, key=lambda c: (est[c], order[c]))
     if best != "raw" and est[best] >= 0.95 * est["raw"]:
         return "raw"

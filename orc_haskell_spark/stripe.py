@@ -156,6 +156,21 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
         fcodec = cfg.get("float_codec") or selector.choose_float_codec(
             vals, cfg.get("compression", "none"),
             cfg.get("compression_level"))
+        if fcodec == "alp_rd":
+            enc = alp.rd_encode(vals)
+            if enc is None:  # forced ALP-RD on an incompressible column
+                fcodec = "raw"
+            else:
+                r, dl, codes, right, pos, excl = enc
+                pcodec, pstream = _encode_uint_stream(pos, cfg)
+                return ({"kind": "float", "codec": "alp_rd", "r": r,
+                         "dict": [int(x) for x in dl], "pcodec": pcodec,
+                         "n_exc": len(pos)},
+                        {"DATA": bitpack.pack_width(right, r),
+                         "RD_CODES": bitpack.pack_width(
+                             codes, alp.RD_DICT_BITS),
+                         "RD_EXC_POS": pstream,
+                         "RD_EXC": excl.tobytes()})
         if fcodec == "alp":
             enc = alp.encode(vals)
             if enc is None:  # forced ALP on an inexpressible column
@@ -375,7 +390,17 @@ def _decode_values(meta: dict, streams: dict[str, bytes], n: int,
     if kind == "float":
         dt = np.dtype("<f4") if pa.types.is_float32(typ) else np.dtype("<f8")
         fcodec = meta.get("codec", "raw")       # pre-BSS stripes: raw
-        if fcodec == "alp":
+        if fcodec == "alp_rd":
+            right = bitpack.unpack_width(_buf(streams["DATA"]), n,
+                                         meta["r"])
+            codes = bitpack.unpack_width(_buf(streams["RD_CODES"]), n,
+                                         alp.RD_DICT_BITS)
+            pos = _decode_uint_stream(_buf(streams["RD_EXC_POS"]),
+                                      meta["pcodec"])[:meta["n_exc"]]
+            vals = alp.rd_decode(codes, right, meta["r"],
+                                 np.asarray(meta["dict"], np.uint16),
+                                 pos, streams["RD_EXC"], dt)
+        elif fcodec == "alp":
             ints = _decode_int_stream(_buf(streams["DATA"]),
                                       meta["icodec"])[:n]
             pos = _decode_uint_stream(_buf(streams["ALP_POS"]),
@@ -558,7 +583,8 @@ def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None,
             return any(_has_codec(v, want) for v in m)
         return False
 
-    if any(_has_codec(c["meta"], "alp") for c in columns):
+    if any(_has_codec(c["meta"], w)
+           for c in columns for w in ("alp", "alp_rd")):
         fmt_version = ALP_FORMAT_VERSION
     elif any(_has_codec(c["meta"], "bss") for c in columns):
         fmt_version = BSS_FORMAT_VERSION

@@ -104,7 +104,8 @@ def test_selector_still_picks_bss_on_random_mantissas():
     rng = np.random.default_rng(4)
     vals = rng.normal(size=100_000).astype("<f4")
     assert selector.choose_float_codec(vals, "zlib", 6) == "bss"
-    assert selector.choose_float_codec(vals, "none") == "raw"
+    # uncompressed, ALP-RD's 0.88x beats raw (BSS is size-neutral there)
+    assert selector.choose_float_codec(vals, "none") == "alp_rd"
 
 
 # ---------------------------------------------------------------- stripe
@@ -204,3 +205,88 @@ def test_engine_parquet_roundtrip_hits_alp(tmp_path, spark):
     assert np.array_equal(
         back["price"].to_numpy().view(np.uint64),
         tbl.column("price").to_numpy().view(np.uint64))
+
+
+# ---------------------------------------------------------------- ALP-RD
+
+
+def test_rd_roundtrip_f8_with_specials():
+    rng = np.random.default_rng(10)
+    vals = rng.normal(size=50_000)
+    vals[:4] = [np.nan, -0.0, np.inf, 5e-324]
+    r, dl, codes, right, pos, excl = alp.rd_encode(vals)
+    dec = alp.rd_decode(codes, right, r, dl, pos, excl.tobytes(),
+                        np.float64)
+    assert np.array_equal(_bits(dec), _bits(vals))
+
+
+def test_rd_roundtrip_f4():
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=50_000).astype(np.float32)
+    r, dl, codes, right, pos, excl = alp.rd_encode(vals)
+    assert 16 <= r < 32
+    dec = alp.rd_decode(codes, right, r, dl, pos, excl.tobytes(),
+                        np.float32)
+    assert np.array_equal(_bits(dec), _bits(vals))
+
+
+def test_rd_refuses_hash_like_bit_patterns():
+    rng = np.random.default_rng(12)
+    noise = rng.integers(0, 2**63, 20_000, dtype=np.int64) \
+        .view(np.float64)
+    assert alp.rd_choose(noise) is None
+    assert alp.rd_encode(np.empty(0, np.float64)) is None
+
+
+@given(st.lists(st.floats(width=64, allow_nan=True,
+                          allow_infinity=True),
+                min_size=1, max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_rd_property_arbitrary_floats_roundtrip(xs):
+    vals = np.array(xs, dtype=np.float64)
+    enc = alp.rd_encode(vals)
+    if enc is None:
+        return
+    r, dl, codes, right, pos, excl = enc
+    dec = alp.rd_decode(codes, right, r, dl, pos, excl.tobytes(),
+                        np.float64)
+    assert np.array_equal(_bits(dec), _bits(vals))
+
+
+def test_selector_picks_rd_on_full_precision_f4_uncompressed():
+    rng = np.random.default_rng(13)
+    vals = rng.normal(size=60_000).astype(np.float32)
+    assert selector.choose_float_codec(vals, "none") == "alp_rd"
+
+
+def test_stripe_rd_roundtrip_v4_and_nulls():
+    rng = np.random.default_rng(14)
+    raw = rng.normal(size=30_000)
+    vals = [None if i % 97 == 0 else float(raw[i])
+            for i in range(len(raw))]
+    arr = pa.array(vals, type=pa.float64())
+    cfg = dict(stripe.DEFAULT_CONFIG, float_codec="alp_rd",
+               compression="none")
+    batch = pa.record_batch({"x": arr})
+    footer, payload = stripe.encode_stripe(batch, cfg)
+    meta = footer["columns"][0]["meta"]
+    assert meta["codec"] == "alp_rd" and meta["nullable"]
+    assert footer["v"] == stripe.ALP_FORMAT_VERSION
+    got = stripe.decode_stripe(footer, payload)
+    assert got.column("x").equals(batch.column("x"))
+    # RD payload beats raw on the wire even without an outer codec
+    raw_footer, raw_payload = stripe.encode_stripe(
+        batch, dict(stripe.DEFAULT_CONFIG, float_codec="raw",
+                    compression="none"))
+    assert len(payload) < 0.95 * len(raw_payload)
+
+
+def test_forced_rd_on_incompressible_column_falls_back_to_raw():
+    rng = np.random.default_rng(15)
+    noise = rng.integers(0, 2**63, 8_000, dtype=np.int64) \
+        .view(np.float64)
+    cfg = dict(stripe.DEFAULT_CONFIG, float_codec="alp_rd")
+    meta, streams = stripe.encode_column("x", pa.array(noise), cfg)
+    assert meta["codec"] == "raw"
+    dec = stripe.decode_column(meta, streams, pa.float64())
+    assert np.array_equal(_bits(np.asarray(dec)), _bits(noise))

@@ -27,7 +27,9 @@ def test_bss_roundtrip_bit_exact(xs, dt):
 
 def test_choose_raw_without_outer_compression():
     vals = np.random.default_rng(0).normal(size=50000).astype("<f4")
-    assert selector.choose_float_codec(vals, "none") == "raw"
+    # ALP-RD (left-dictionary bit split) shrinks full-precision floats
+    # even without an outer codec, so it displaced raw here
+    assert selector.choose_float_codec(vals, "none") == "alp_rd"
     assert selector.choose_float_codec(vals[:10], "zlib") == "raw"  # tiny
 
 
@@ -50,7 +52,8 @@ def test_stripe_roundtrip_records_codec_and_is_bit_exact():
                           vals.view(np.uint8))
     # BSS stream must be smaller once the outer block layer compresses
     raw_meta, raw_streams = stripe.encode_column(
-        "x", arr, dict(stripe.DEFAULT_CONFIG, compression="none"))
+        "x", arr, dict(stripe.DEFAULT_CONFIG, compression="none",
+                       float_codec="raw"))
     assert raw_meta["codec"] == "raw"
     import zlib
     assert len(zlib.compress(streams["DATA"], 6)) < \
