@@ -70,8 +70,16 @@ def choose_string_codec(arr: pa.Array, data: "np.ndarray",
             idx, dlens, ddata = dictionary_encode_sorted(s_arr)
             idx_bytes = len(rle2.encode(idx.astype(np.int64), False))
             row_scale = n / k
+            # dictionary payload: plain vs front-coded, whichever the
+            # stripe encoder would pick (it re-measures on the full dict)
+            from .strings import front_code
+
+            plens, sdata = front_code(dlens, ddata)
+            payload = min(outer(ddata.tobytes()),
+                          outer(sdata.tobytes())
+                          + len(rle2.encode(plens, False)))
             # the dictionary is paid once per stripe, indices per row
-            est["dict"] = (outer(ddata.tobytes()) + len(dlens) * 1.2
+            est["dict"] = (payload + len(dlens) * 1.2
                            + idx_bytes * row_scale)
     fsst_table = None
     if "fsst" in allowed and data_nbytes >= FSST_MIN_BYTES:
