@@ -25,7 +25,7 @@ import tempfile
 
 _SRC_NAMES = ["fsst_kernel.c", "bitpack_kernel.c", "rle2_kernel.c",
               "rle2_encode_kernel.c", "rle1_kernel.c", "byte_rle_kernel.c",
-              "png_kernel.c"]
+              "png_kernel.c", "frontcode_kernel.c"]
 
 
 def _read_sources() -> list[bytes]:
@@ -150,6 +150,13 @@ def load() -> ctypes.CDLL | None:
         lib.png_unfilter.restype = ctypes.c_long
         lib.png_unfilter.argtypes = [u8p, ctypes.c_long, ctypes.c_long,
                                      ctypes.c_long, u8p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.front_code_encode.restype = ctypes.c_long
+        lib.front_code_encode.argtypes = [
+            u8p, i64p, ctypes.c_long, ctypes.c_int64, i64p, u8p]
+        lib.front_code_decode.restype = ctypes.c_long
+        lib.front_code_decode.argtypes = [
+            i64p, i64p, ctypes.c_long, u8p, ctypes.c_long, u8p]
         _lib = lib
     except Exception:
         _lib = None

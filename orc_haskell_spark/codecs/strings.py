@@ -120,10 +120,31 @@ def _padded_matrix(data: np.ndarray, offs: np.ndarray, lens: np.ndarray,
 
 def front_code(dlens: np.ndarray, ddata: np.ndarray
                ) -> tuple[np.ndarray, np.ndarray]:
-    """Sorted dict (lengths, concat bytes) -> (prefix lens, suffix bytes)."""
+    """Sorted dict (lengths, concat bytes) -> (prefix lens, suffix bytes).
+
+    C kernel when available (frontcode_kernel.c — one sequential pass;
+    the numpy matrix compare below is the semantics reference and the
+    ORC_HS_NO_NATIVE fallback)."""
     n = dlens.size
     if n == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint8)
+    from . import native
+
+    lib = native.load()
+    if lib is not None:
+        import ctypes
+
+        lens64 = np.ascontiguousarray(dlens, dtype=np.int64)
+        data = np.ascontiguousarray(ddata, dtype=np.uint8)
+        plens = np.empty(n, dtype=np.int64)
+        out = np.empty(max(data.size, 1), dtype=np.uint8)
+        m = lib.front_code_encode(
+            native.ptr(data, ctypes.c_uint8),
+            native.ptr(lens64, ctypes.c_int64), n, FC_MAX_PREFIX,
+            native.ptr(plens, ctypes.c_int64),
+            native.ptr(out, ctypes.c_uint8))
+        if m >= 0:
+            return plens.astype(np.uint64), out[:m]
     lens = dlens.astype(np.int64)
     offs = np.zeros(n, np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
@@ -159,6 +180,24 @@ def front_decode(plens: np.ndarray, full_lens: np.ndarray,
     n = plens.size
     if n == 0:
         return np.zeros(0, np.uint8)
+    from . import native
+
+    lib = native.load()
+    if lib is not None:
+        import ctypes
+
+        plens64 = np.ascontiguousarray(plens, dtype=np.int64)
+        full64 = np.ascontiguousarray(full_lens, dtype=np.int64)
+        sdata64 = np.ascontiguousarray(sdata, dtype=np.uint8)
+        out = np.empty(max(int(full64.sum()), 1), dtype=np.uint8)
+        m = lib.front_code_decode(
+            native.ptr(plens64, ctypes.c_int64),
+            native.ptr(full64, ctypes.c_int64), n,
+            native.ptr(sdata64, ctypes.c_uint8), sdata64.size,
+            native.ptr(out, ctypes.c_uint8))
+        if m < 0:
+            raise ValueError("front-coded dictionary stream corrupt")
+        return out[:m]
     plens = plens.astype(np.int64)
     full = full_lens.astype(np.int64)
     slens = full - plens
