@@ -25,7 +25,11 @@ addition like FSST and byte-stream-split.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
+
+from . import native
 
 # 10^k is exactly representable in float64 for k <= 22; int64 verify
 # cuts off near 2^62 anyway, so 18 digits is the useful ceiling.
@@ -123,6 +127,23 @@ def encode(vals: np.ndarray, pair: tuple[int, int] | None = None):
         return None
     e, f = pair
     vals = np.ascontiguousarray(vals)
+    lib = native.load()
+    if lib is not None and vals.size:
+        # one fused C pass: transform + bit-verify + exception stream +
+        # fill back-patch (the numpy twin below is ~10 array passes)
+        width = vals.dtype.itemsize
+        ints = np.empty(vals.size, np.int64)
+        exc_pos = np.empty(vals.size, np.uint64)
+        exc_vals = np.empty(vals.size, vals.dtype)
+        fn = lib.alp_encode_f4 if width == 4 else lib.alp_encode_f8
+        vt = ctypes.c_float if width == 4 else ctypes.c_double
+        n_exc = fn(native.ptr(vals, vt), vals.size,
+                   float(F10[e]), float(IF10[f]), float(F10[f]),
+                   float(IF10[e]),
+                   native.ptr(ints, ctypes.c_int64),
+                   native.ptr(exc_pos, ctypes.c_uint64),
+                   native.ptr(exc_vals, vt))
+        return e, f, ints, exc_pos[:n_exc].copy(), exc_vals[:n_exc].copy()
     v64 = vals.astype(np.float64) if vals.dtype.itemsize == 4 else vals
     ints, good = _try_pair(v64, _native_bits(vals), e, f,
                            vals.dtype.itemsize)

@@ -25,7 +25,7 @@ import tempfile
 
 _SRC_NAMES = ["fsst_kernel.c", "bitpack_kernel.c", "rle2_kernel.c",
               "rle2_encode_kernel.c", "rle1_kernel.c", "byte_rle_kernel.c",
-              "png_kernel.c", "frontcode_kernel.c"]
+              "png_kernel.c", "frontcode_kernel.c", "alp_kernel.c"]
 
 
 def _read_sources() -> list[bytes]:
@@ -157,6 +157,17 @@ def load() -> ctypes.CDLL | None:
         lib.front_code_decode.restype = ctypes.c_long
         lib.front_code_decode.argtypes = [
             i64p, i64p, ctypes.c_long, u8p, ctypes.c_long, u8p]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.alp_encode_f8.restype = ctypes.c_long
+        lib.alp_encode_f8.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, i64p, u64p, ctypes.POINTER(ctypes.c_double)]
+        lib.alp_encode_f4.restype = ctypes.c_long
+        lib.alp_encode_f4.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, i64p, u64p, ctypes.POINTER(ctypes.c_float)]
         _lib = lib
     except Exception:
         _lib = None

@@ -290,3 +290,37 @@ def test_forced_rd_on_incompressible_column_falls_back_to_raw():
     assert meta["codec"] == "raw"
     dec = stripe.decode_column(meta, streams, pa.float64())
     assert np.array_equal(_bits(np.asarray(dec)), _bits(noise))
+
+
+# ------------------------------------------------- C kernel ↔ numpy twin
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.integers(-10**6, 10**6).map(lambda i: i / 100.0),
+        st.floats(width=64, allow_nan=True, allow_infinity=True)),
+    min_size=1, max_size=300),
+    st.sampled_from([np.float32, np.float64]))
+def test_property_c_numpy_encode_identity(xs, dtype):
+    """alp_kernel.c is a bit-for-bit twin of the numpy _try_pair path:
+    same ints, same exception positions, same exception bit patterns —
+    including NaN payloads, -0.0, infinities and denormals."""
+    from orc_haskell_spark.codecs import native
+
+    lib = native.load()
+    if lib is None:
+        pytest.skip("no C compiler")
+    vals = np.array(xs, dtype=dtype)
+    pair = alp.choose_pair(vals) or (2, 0)  # force a pair so both paths run
+    c_enc = alp.encode(vals, pair)
+    saved = (native._lib, native._tried)
+    try:
+        native._lib, native._tried = None, True
+        np_enc = alp.encode(vals, pair)
+    finally:
+        native._lib, native._tried = saved
+    assert c_enc[:2] == np_enc[:2]
+    assert np.array_equal(c_enc[2], np_enc[2])          # ints (incl. fill)
+    assert np.array_equal(c_enc[3], np_enc[3])          # exception positions
+    assert np.array_equal(_bits(c_enc[4]), _bits(np_enc[4]))  # exact bits
