@@ -218,6 +218,27 @@ def rd_encode(vals: np.ndarray, plan=None):
     if plan is None:
         return None
     r, dict_left = plan
+    lib = native.load()
+    if lib is not None and vals.size:
+        # one fused C pass: bit-split + 8-entry dict lookup + exception
+        # stream (the numpy twin below is ~6 array passes)
+        vals = np.ascontiguousarray(vals)
+        dict_left = np.ascontiguousarray(dict_left, np.uint16)
+        codes = np.empty(vals.size, np.uint64)
+        right = np.empty(vals.size, np.uint64)
+        exc_pos = np.empty(vals.size, np.uint64)
+        exc_left = np.empty(vals.size, np.uint16)
+        fn = (lib.alp_rd_encode_f4 if vals.dtype.itemsize == 4
+              else lib.alp_rd_encode_f8)
+        vt = ctypes.c_float if vals.dtype.itemsize == 4 else ctypes.c_double
+        n_exc = fn(native.ptr(vals, vt), vals.size, int(r),
+                   native.ptr(dict_left, ctypes.c_uint16), len(dict_left),
+                   native.ptr(codes, ctypes.c_uint64),
+                   native.ptr(right, ctypes.c_uint64),
+                   native.ptr(exc_pos, ctypes.c_uint64),
+                   native.ptr(exc_left, ctypes.c_uint16))
+        return (r, dict_left, codes, right,
+                exc_pos[:n_exc].copy(), exc_left[:n_exc].copy())
     bits = _native_bits(np.ascontiguousarray(vals)).astype(np.uint64)
     left = (bits >> np.uint64(r)).astype(np.uint16)
     right = bits & np.uint64((1 << r) - 1)
@@ -234,6 +255,24 @@ def rd_decode(codes: np.ndarray, right: np.ndarray, r: int,
               exc_buf: bytes | np.ndarray, dtype: np.dtype) -> np.ndarray:
     """Reassemble (dict[code] << r) | right, scatter left exceptions."""
     dtype = np.dtype(dtype)
+    lib = native.load()
+    if lib is not None and codes.size:
+        dl = np.ascontiguousarray(dict_left, np.uint16)
+        codes = np.ascontiguousarray(codes, np.uint64)
+        right = np.ascontiguousarray(right, np.uint64)
+        bits = np.empty(codes.size, np.uint64)
+        lib.alp_rd_decode(native.ptr(codes, ctypes.c_uint64),
+                          native.ptr(right, ctypes.c_uint64), int(r),
+                          native.ptr(dl, ctypes.c_uint16), codes.size,
+                          native.ptr(bits, ctypes.c_uint64))
+        if len(exc_pos):
+            p = exc_pos.astype(np.int64)
+            excl = np.frombuffer(exc_buf, np.uint16,
+                                 count=len(exc_pos)).astype(np.uint64)
+            bits[p] = (excl << np.uint64(r)) | right[p]
+        if dtype.itemsize == 4:
+            return bits.astype(np.uint32).view(np.float32)
+        return bits.view(np.float64)
     left = np.asarray(dict_left, np.uint16)[codes.astype(np.int64)] \
         .astype(np.uint64)
     if len(exc_pos):

@@ -90,3 +90,79 @@ long alp_encode_f4(const float *v, long n,
             ints[exc_pos[j]] = fill;
     return n_exc;
 }
+
+/* ALP-RD split: the single-pass C twin of alp.rd_encode / rd_decode.
+ *
+ * Encode semantics pinned to the numpy path bit-for-bit:
+ *   left  = bits(v) >> r            (uint16; r >= 16 for f8, >= 16 for f4)
+ *   right = bits(v) & ((1<<r)-1)    (stored widened to uint64)
+ *   code  = searchsorted(dict, left) clamped to dn-1   (dict sorted, dn<=8)
+ *   good  = dict[code] == left; bad slots -> code 0 + (pos, left) exception
+ * Decode reassembles (dict[code] << r) | right into raw bit patterns;
+ * exception scatter stays in numpy (O(n_exc)).
+ */
+
+static inline int rd_lookup(const uint16_t *dict, int dn, uint16_t left)
+{
+    int idx = 0;
+    for (int i = 0; i < dn; i++)       /* branch-free searchsorted, dn<=8 */
+        idx += dict[i] < left;
+    return idx < dn ? idx : dn - 1;
+}
+
+long alp_rd_encode_f8(const double *v, long n, int r,
+                      const uint16_t *dict, int dn,
+                      uint64_t *codes, uint64_t *right,
+                      uint64_t *exc_pos, uint16_t *exc_left)
+{
+    const uint64_t mask = (r >= 64) ? ~0ULL : ((1ULL << r) - 1);
+    long n_exc = 0;
+    for (long k = 0; k < n; k++) {
+        uint64_t bits;
+        memcpy(&bits, &v[k], 8);
+        uint16_t left = (uint16_t)(bits >> r);
+        right[k] = bits & mask;
+        int idx = rd_lookup(dict, dn, left);
+        if (dict[idx] == left) {
+            codes[k] = (uint64_t)idx;
+        } else {
+            codes[k] = 0;
+            exc_pos[n_exc] = (uint64_t)k;
+            exc_left[n_exc] = left;
+            n_exc++;
+        }
+    }
+    return n_exc;
+}
+
+long alp_rd_encode_f4(const float *v, long n, int r,
+                      const uint16_t *dict, int dn,
+                      uint64_t *codes, uint64_t *right,
+                      uint64_t *exc_pos, uint16_t *exc_left)
+{
+    const uint64_t mask = (1ULL << r) - 1;
+    long n_exc = 0;
+    for (long k = 0; k < n; k++) {
+        uint32_t bits;
+        memcpy(&bits, &v[k], 4);
+        uint16_t left = (uint16_t)(bits >> r);
+        right[k] = (uint64_t)bits & mask;
+        int idx = rd_lookup(dict, dn, left);
+        if (dict[idx] == left) {
+            codes[k] = (uint64_t)idx;
+        } else {
+            codes[k] = 0;
+            exc_pos[n_exc] = (uint64_t)k;
+            exc_left[n_exc] = left;
+            n_exc++;
+        }
+    }
+    return n_exc;
+}
+
+void alp_rd_decode(const uint64_t *codes, const uint64_t *right, int r,
+                   const uint16_t *dict, long n, uint64_t *out_bits)
+{
+    for (long k = 0; k < n; k++)
+        out_bits[k] = ((uint64_t)dict[codes[k]] << r) | right[k];
+}

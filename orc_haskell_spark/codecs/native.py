@@ -168,6 +168,18 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_float), ctypes.c_long,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, i64p, u64p, ctypes.POINTER(ctypes.c_float)]
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.alp_rd_encode_f8.restype = ctypes.c_long
+        lib.alp_rd_encode_f8.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+            u16p, ctypes.c_int, u64p, u64p, u64p, u16p]
+        lib.alp_rd_encode_f4.restype = ctypes.c_long
+        lib.alp_rd_encode_f4.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+            u16p, ctypes.c_int, u64p, u64p, u64p, u16p]
+        lib.alp_rd_decode.restype = None
+        lib.alp_rd_decode.argtypes = [
+            u64p, u64p, ctypes.c_int, u16p, ctypes.c_long, u64p]
         _lib = lib
     except Exception:
         _lib = None

@@ -324,3 +324,43 @@ def test_property_c_numpy_encode_identity(xs, dtype):
     assert np.array_equal(c_enc[2], np_enc[2])          # ints (incl. fill)
     assert np.array_equal(c_enc[3], np_enc[3])          # exception positions
     assert np.array_equal(_bits(c_enc[4]), _bits(np_enc[4]))  # exact bits
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.floats(width=32, allow_nan=True, allow_infinity=True),
+        st.floats(width=64, allow_nan=True, allow_infinity=True)),
+    min_size=1, max_size=300),
+    st.sampled_from([np.float32, np.float64]))
+def test_property_rd_c_numpy_identity(xs, dtype):
+    """The ALP-RD C kernels are bit-for-bit twins of the numpy
+    rd_encode / rd_decode paths: same codes, right parts, exception
+    streams, and identical reassembled bit patterns."""
+    from orc_haskell_spark.codecs import native
+
+    lib = native.load()
+    if lib is None:
+        pytest.skip("no C compiler")
+    vals = np.array(xs, dtype=dtype)
+    plan = alp.rd_choose(vals)
+    if plan is None:  # force a plan so both paths run
+        plan = (vals.dtype.itemsize * 8 - 4,
+                np.sort(np.unique((alp._native_bits(vals) >>
+                                   (vals.dtype.itemsize * 8 - 4))
+                                  .astype(np.uint16)))[:8])
+    c_enc = alp.rd_encode(vals, plan)
+    saved = (native._lib, native._tried)
+    try:
+        native._lib, native._tried = None, True
+        np_enc = alp.rd_encode(vals, plan)
+        np_dec = alp.rd_decode(np_enc[2], np_enc[3], np_enc[0], np_enc[1],
+                               np_enc[4], np_enc[5].tobytes(), dtype)
+    finally:
+        native._lib, native._tried = saved
+    for i in range(6):
+        assert np.array_equal(np.asarray(c_enc[i]), np.asarray(np_enc[i])), i
+    c_dec = alp.rd_decode(c_enc[2], c_enc[3], c_enc[0], c_enc[1],
+                          c_enc[4], c_enc[5].tobytes(), dtype)
+    assert np.array_equal(_bits(c_dec), _bits(np_dec))
+    assert np.array_equal(_bits(c_dec), _bits(vals))
