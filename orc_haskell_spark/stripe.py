@@ -63,6 +63,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "compression_level": 3,
     "compression_min_bytes": 256,  # don't frame tiny streams
     "bloom_columns": [],          # per-stripe blooms for point lookups
+    "sort_within": [],            # stripe-local clustering sort (engine.py)
 }
 
 # fixed bloom geometry (engine.bloom_prune_stripes refuses to prune a
