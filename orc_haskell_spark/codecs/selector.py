@@ -57,6 +57,21 @@ def choose_string_codec(arr: pa.Array, data: "np.ndarray",
     scale = data_nbytes / sample.nbytes
     est: dict[str, float] = {"direct": outer(sample.tobytes()) * scale}
 
+    # direct may carry a front-coded value stream (stripe.py re-measures
+    # on the full stream) — let the estimate see that, or sorted key
+    # columns (sort_within layouts) would mis-route to FSST
+    k_fc = max(1, min(n, int(n * (SAMPLE_BYTES / data_nbytes))
+                      if data_nbytes > SAMPLE_BYTES else n))
+    from .strings import front_code, string_parts
+
+    fc_data, fc_lens = string_parts(arr.slice(0, k_fc))
+    if fc_data.nbytes:
+        plens, fdata = front_code(fc_lens.astype(np.int64), fc_data)
+        est["direct"] = min(
+            est["direct"],
+            (outer(fdata.tobytes()) + len(rle2.encode(plens, False)))
+            * (n / k_fc))
+
     if "dict" in allowed:
         distinct = pc.count_distinct(arr).as_py()
         if distinct < DICT_CARDINALITY_GATE * n:

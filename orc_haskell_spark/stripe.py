@@ -64,6 +64,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "compression_min_bytes": 256,  # don't frame tiny streams
     "bloom_columns": [],          # per-stripe blooms for point lookups
     "sort_within": [],            # stripe-local clustering sort (engine.py)
+    "string_fc": True,            # front-code trial on DIRECT value streams
 }
 
 # fixed bloom geometry (engine.bloom_prune_stripes refuses to prune a
@@ -373,10 +374,44 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
             )
         choice = "direct"  # incompressible escape
     lcodec, lstream = _encode_uint_stream(lengths.view(np.uint64), cfg)
-    return (
-        {"kind": "str", "enc": "direct", "lcodec": lcodec},
-        {"DATA": data.tobytes(), "LENGTH": lstream},
-    )
+    meta = {"kind": "str", "enc": "direct", "lcodec": lcodec}
+    streams = {"DATA": data.tobytes(), "LENGTH": lstream}
+    # front-code the VALUE stream when it wins under the outer codec —
+    # the payoff case is a stripe-locally sorted key column
+    # (config["sort_within"] layouts): consecutive urls share long
+    # prefixes that zstd's match finder only partially recovers. The
+    # trial costs one extra outer compression of DATA, so the verdict
+    # is cached per (column, task) like the string-codec choice.
+    fckey = ("directfc", name)
+    fc = cache.get(fckey) if cache is not None else None
+    if not cfg.get("string_fc", True):
+        fc = False
+    if fc is None and data.nbytes >= cfg.get("compression_min_bytes", 256):
+        plens, sdata = front_code(lengths.astype(np.int64), data)
+        pcodec, pstream = _encode_uint_stream(plens, cfg)
+        comp = cfg.get("compression", "none")
+        lvl = cfg.get("compression_level")
+
+        def outer(b: bytes) -> int:
+            return len(block.compress(b, comp, lvl)) if comp != "none" \
+                and b else len(b)
+
+        fc = (outer(sdata.tobytes()) + len(pstream)
+              < 0.95 * outer(data.tobytes()))
+        if cache is not None:
+            cache[fckey] = fc
+        if fc:
+            meta.update(fc=True, pcodec=pcodec)
+            streams["DATA"] = sdata.tobytes()
+            streams["PREFIX"] = pstream
+        return meta, streams
+    if fc:
+        plens, sdata = front_code(lengths.astype(np.int64), data)
+        pcodec, pstream = _encode_uint_stream(plens, cfg)
+        meta.update(fc=True, pcodec=pcodec)
+        streams["DATA"] = sdata.tobytes()
+        streams["PREFIX"] = pstream
+    return meta, streams
 
 
 # ------------------------------------------------------------------ column decode
@@ -545,7 +580,12 @@ def _decode_string(meta, streams, n, typ):
     enc = meta["enc"]
     lengths = _decode_uint_stream(_buf(streams["LENGTH"]), meta["lcodec"]).astype(np.int64)
     if enc == "direct":
-        return build_string_array(_buf(streams["DATA"]), lengths[:n], typ)
+        data = _buf(streams["DATA"])
+        if meta.get("fc"):
+            plens = _decode_uint_stream(_buf(streams["PREFIX"]),
+                                        meta["pcodec"])[:n]
+            data = front_decode(plens, lengths[:n], data)
+        return build_string_array(data, lengths[:n], typ)
     if enc == "fsst":
         data = fsst_codec.decompress(_buf(streams["FSST_TABLE"]), _buf(streams["DATA"]))
         return build_string_array(data, lengths[:n], typ)

@@ -114,3 +114,75 @@ def test_fused_parquet_path_honors_sort(spark, tmp_path):
                                       memoryview(row.data))])
         urls = tbl["url"].to_pylist()
         assert urls == sorted(urls)
+
+
+# ------------------------------------- direct-stream front-coding synergy
+
+
+def _stripe_roundtrip(tbl: pa.Table, cfg: dict):
+    import json as _json
+
+    from orc_haskell_spark import stripe as stripe_mod
+    footer, payload = stripe_mod.encode_stripe(
+        tbl.to_batches()[0], cfg, cache={})
+    footer = _json.loads(_json.dumps(footer))
+    back = stripe_mod.decode_stripe(footer, memoryview(payload))
+    return footer, payload, pa.Table.from_batches([back])
+
+
+def _col_meta(footer, name):
+    for c in footer["columns"]:
+        if c["name"] == name:
+            return c["meta"]
+    raise KeyError(name)
+
+
+def test_sorted_direct_urls_front_code_and_roundtrip():
+    urls = sorted(f"https://www.host-{i % 37:03d}.example.org/c/"
+                  f"{i:06d}/page.html" for i in range(5000))
+    tbl = pa.table({"url": urls})
+    footer, payload, back = _stripe_roundtrip(tbl, {"compression": "zstd"})
+    meta = _col_meta(footer, "url")
+    assert meta["enc"] == "direct" or meta["enc"] == "dict"
+    if meta["enc"] == "direct":
+        assert meta.get("fc") is True
+        assert footer["v"] >= 4
+    assert back["url"].to_pylist() == urls
+
+
+def test_shuffled_hash_strings_refuse_front_coding():
+    rng = np.random.default_rng(3)
+    vals = [rng.bytes(24).hex() for _ in range(4000)]
+    tbl = pa.table({"h": vals})
+    footer, payload, back = _stripe_roundtrip(
+        tbl, {"compression": "zstd", "string_codec": "direct"})
+    meta = _col_meta(footer, "h")
+    assert meta["enc"] == "direct" and not meta.get("fc")
+    assert back["h"].to_pylist() == vals
+
+
+def test_direct_fc_wire_win_on_sorted_urls():
+    urls = sorted(f"https://www.host-{i % 37:03d}.example.org/c/"
+                  f"{i:06d}/page.html" for i in range(8000))
+    tbl = pa.table({"url": urls})
+    import json as _json
+
+    from orc_haskell_spark import stripe as stripe_mod
+    _, p_fc = stripe_mod.encode_stripe(
+        tbl.to_batches()[0], {"compression": "zstd",
+                              "string_codec": "direct"}, cache={})
+    # control: same codec + same outer compression, fc trial disabled
+    _, p_plain = stripe_mod.encode_stripe(
+        tbl.to_batches()[0], {"compression": "zstd",
+                              "string_codec": "direct",
+                              "string_fc": False}, cache={})
+    assert len(p_fc) < len(p_plain), (len(p_fc), len(p_plain))
+
+
+def test_nullable_direct_fc_roundtrip():
+    urls = sorted(f"https://site-{i % 11}.org/p/{i:05d}" for i in range(3000))
+    vals = [None if i % 7 == 0 else urls[i] for i in range(3000)]
+    tbl = pa.table({"url": pa.array(vals, pa.string())})
+    footer, payload, back = _stripe_roundtrip(
+        tbl, {"compression": "zstd", "string_codec": "direct"})
+    assert back["url"].to_pylist() == vals
