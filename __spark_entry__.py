@@ -537,7 +537,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the PQ encode query: its decimal/date/string surface is the same
     # codec set roundtrip_lineitem pins, and it stays exactly
     # oracle-checked in tests/test_entry_queries.py
-    for table in ["documents", "lineitem", "events"]:
+    # (round 5, session 8) roundtrip_documents runs the sort_within
+    # clustering layout + direct-fc trial (engine.py/stripe.py): the
+    # oracle is SELECT * with an order-insensitive compare, so the
+    # stripe-local permutation must be value-exact — this pins the
+    # layout path through the driver gate. Default-config documents
+    # encode stays pinned by the dict/fsst variants below and pytest.
+    q["roundtrip_documents"] = _mk_roundtrip(
+        "documents", {"sort_within": ["lang", "doc_id"]})
+    for table in ["lineitem", "events"]:
         q[f"roundtrip_{table}"] = _mk_roundtrip(table)
     q["pq_encode_embeddings"] = _pq_encode_embeddings
     # (round 5) roundtrip_dims and roundtrip_direct_documents gave
