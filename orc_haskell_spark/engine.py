@@ -102,14 +102,10 @@ def make_encode_fn(stripe_rows: int = DEFAULT_STRIPE_ROWS,
                    config: dict | None = None):
     """Build the mapInArrow function: Iterator[RecordBatch] -> encoded rows."""
 
-    # compression-aware layout: cluster rows inside each stripe by the
-    # given key(s) before encoding. Dictionaries / front-coding / FSST /
-    # RLE are all per-stripe, so a stripe-local sort captures the
-    # clustering win of a partition-level sortWithinPartitions while
-    # keeping memory bounded at one stripe and working identically on
-    # the fused (zero-crossing) path. Decode returns the sorted order —
-    # a permutation of the source rows, every value bit-identical.
-    sort_cols = list((config or {}).get("sort_within") or [])
+    # config["sort_within"] (compression-aware stripe-local clustering)
+    # is applied inside stripe_mod.encode_stripe so every encode
+    # surface — this mapInArrow path, the fused scan paths, and the
+    # manifest sinks — shares one implementation.
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -122,15 +118,6 @@ def make_encode_fn(stripe_rows: int = DEFAULT_STRIPE_ROWS,
         for b in _rechunk(batches, stripe_rows, stripe_bytes):
             if b is None or b.num_rows == 0:
                 continue
-            if sort_cols:
-                missing = [c for c in sort_cols
-                           if c not in b.schema.names]
-                if missing:
-                    raise ValueError(
-                        f"sort_within columns {missing} not in stripe "
-                        f"schema {b.schema.names} (projected reads must "
-                        f"include the sort key)")
-                b = b.sort_by([(c, "ascending") for c in sort_cols])
             footer, payload = stripe_mod.encode_stripe(b, config, cache)
             yield pa.RecordBatch.from_arrays(
                 [

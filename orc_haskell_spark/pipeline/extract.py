@@ -289,9 +289,15 @@ def _fast_feed(sink: _Sink, html: str) -> None:
                 closer = (_MS_CLOSE_CD if sect in _MS_CDATA else
                           _MS_CLOSE_IF if sect in _MS_COND else None)
                 if closer is None:
-                    # strict RAISES on unknown keywords; skip robustly
                     gt = html.find(">", lt + 1)
-                    pos = gt + 1 if gt >= 0 else n
+                    if gt < 0:
+                        # no '>' ever arrives: html.parser keeps the
+                        # construct incomplete and close() flushes it
+                        # as data — mirror that, don't swallow it
+                        pos = fallback(lt)
+                        continue
+                    # strict RAISES on unknown keywords; skip robustly
+                    pos = gt + 1
                     continue
                 mm = closer.search(html, lt + 3)
                 pos = mm.end() if mm else fallback(lt)

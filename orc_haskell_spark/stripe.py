@@ -611,6 +611,23 @@ def encode_stripe(batch: pa.RecordBatch, cfg: dict | None = None,
     stream directory (kind, offset, length) into the payload.
     """
     cfg = {**DEFAULT_CONFIG, **(cfg or {})}
+    # compression-aware layout: cluster rows inside the stripe by the
+    # configured key(s) before encoding. Dictionaries / front-coding /
+    # FSST / RLE are all per-stripe, so a stripe-local sort captures
+    # the clustering win of a partition-level sortWithinPartitions at
+    # one stripe of memory — and living here, every encode surface
+    # (mapInArrow, fused scans, manifest sinks) shares it. Decode
+    # returns the sorted order: a permutation of the source rows,
+    # every value bit-identical.
+    sort_cols = list(cfg.get("sort_within") or [])
+    if sort_cols:
+        missing = [c for c in sort_cols if c not in batch.schema.names]
+        if missing:
+            raise ValueError(
+                f"sort_within columns {missing} not in stripe schema "
+                f"{batch.schema.names} (projected reads must include "
+                f"the sort key)")
+        batch = batch.sort_by([(c, "ascending") for c in sort_cols])
     comp = cfg["compression"]
     payload = bytearray()
     columns = []

@@ -106,6 +106,11 @@ def main() -> None:
     ap.add_argument("--float-codec", default="auto",
                     choices=["auto", "raw", "bss", "alp"],
                     help="auto = measured raw/BSS/ALP argmin per column")
+    ap.add_argument("--sort-within", default=None, metavar="COLS",
+                    help="comma-separated key(s): cluster rows inside "
+                         "each stripe before encoding (codec-friendly "
+                         "layout for key-correlated columns; decoded "
+                         "output is a bit-identical permutation)")
     ap.add_argument("--fused", action="store_true",
                     help="zero-crossing Python-side scan+encode "
                          "(keeps input layout; no row shuffle)")
@@ -164,6 +169,9 @@ def main() -> None:
         config["float_codec"] = args.float_codec
     if args.compression_level is not None:
         config["compression_level"] = args.compression_level
+    if args.sort_within:
+        config["sort_within"] = [c.strip() for c in
+                                 args.sort_within.split(",") if c.strip()]
 
     if args.fused:
         if is_iceberg:

@@ -163,3 +163,42 @@ def test_parse_where_rejects_double_equals():
         parse_where("lang==en")
     with pytest.raises(SystemExit):
         parse_where("views>=>5")
+
+
+def test_encode_job_cli_sort_within(tmp_path):
+    """--sort-within threads through to the stripe encoder: output
+    stripes decode to a bit-identical permutation, internally sorted."""
+    src = str(tmp_path / "pages.parquet")
+    urls = [f"https://h{i % 9}.org/p/{i:04d}" for i in range(400)]
+    import random
+
+    rng = random.Random(5)
+    rng.shuffle(urls)
+    pq.write_table(pa.table({
+        "url": pa.array(urls),
+        "text": pa.array([f"t {u}" for u in urls])}), src)
+    out = str(tmp_path / "out")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "encode_job.py"),
+         "--input", src, "--output", out, "--partitions", "2",
+         "--sort-within", "url"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+    import glob as _glob
+    import json as _json
+
+    from orc_haskell_spark import stripe as stripe_mod
+    stripes = sorted(_glob.glob(
+        os.path.join(out, "stripes", "**", "*.parquet"), recursive=True))
+    assert stripes
+    got = []
+    for sp in stripes:
+        for row in pq.read_table(sp).to_pylist():
+            tbl = pa.Table.from_batches(
+                [stripe_mod.decode_stripe(_json.loads(row["footer"]),
+                                          memoryview(row["data"]))])
+            col = tbl["url"].to_pylist()
+            assert col == sorted(col)      # stripe-local clustering
+            got.extend(col)
+    assert sorted(got) == sorted(urls)     # bit-identical permutation
