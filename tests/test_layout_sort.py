@@ -186,3 +186,55 @@ def test_nullable_direct_fc_roundtrip():
     footer, payload, back = _stripe_roundtrip(
         tbl, {"compression": "zstd", "string_codec": "direct"})
     assert back["url"].to_pylist() == vals
+
+
+# --------------------------------------------- stripe-level property
+
+
+def test_property_sort_within_is_value_exact_permutation():
+    """Random mixed-type nullable tables, random sort keys: the sorted
+    stripe decodes to exactly the source multiset (bit-level for
+    floats), and is internally ordered by the key."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from orc_haskell_spark import stripe as stripe_mod
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.tuples(
+            st.one_of(st.text(max_size=8), st.none()),
+            st.integers(-2**40, 2**40),
+            st.one_of(st.floats(allow_nan=True, width=64), st.none()),
+        ), min_size=1, max_size=200),
+        st.sampled_from(["k", "i"]),
+        st.sampled_from(["none", "zstd"]))
+    def check(rows, key, comp):
+        ks, is_, fs = zip(*rows)
+        tbl = pa.table({"k": pa.array(ks, pa.string()),
+                        "i": pa.array(is_, pa.int64()),
+                        "f": pa.array(fs, pa.float64())})
+        footer, payload = stripe_mod.encode_stripe(
+            tbl.to_batches()[0],
+            {"compression": comp, "sort_within": [key]}, cache={})
+        back = pa.Table.from_batches([stripe_mod.decode_stripe(
+            _json.loads(_json.dumps(footer)), memoryview(payload))])
+        assert back.num_rows == tbl.num_rows
+        # multiset equality, NaN/None-safe via repr of bit patterns
+        def norm(t):
+            out = []
+            for r in t.to_pylist():
+                f = r["f"]
+                bits = (None if f is None else
+                        np.float64(f).view(np.uint64).item())
+                out.append((r["k"], r["i"], bits))
+            return sorted(out, key=repr)
+        assert norm(back) == norm(tbl)
+        # internal order by the key (nulls-first per pyarrow default
+        # is irrelevant here: just assert non-descending ignoring None)
+        col = [r for r in back[key].to_pylist() if r is not None]
+        assert col == sorted(col)
+
+    check()
