@@ -380,15 +380,25 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
     # the payoff case is a stripe-locally sorted key column
     # (config["sort_within"] layouts): consecutive urls share long
     # prefixes that zstd's match finder only partially recovers. The
-    # trial costs one extra outer compression of DATA, so the verdict
-    # is cached per (column, task) like the string-codec choice.
+    # trial is SAMPLE-BOUNDED (first ~512 KiB of values, like the
+    # selector's estimates): a full-stream trial cost ~35% of the whole
+    # encode kernel when every task sees one stripe (fresh cache per
+    # task — exactly the bench / wide-cluster layout), and a prefix of
+    # a sorted run is the same distribution as the run. The verdict is
+    # still cached per (column, task) like the string-codec choice.
     fckey = ("directfc", name)
     fc = cache.get(fckey) if cache is not None else None
     if not cfg.get("string_fc", True):
         fc = False
     if fc is None and data.nbytes >= cfg.get("compression_min_bytes", 256):
-        plens, sdata = front_code(lengths.astype(np.int64), data)
-        pcodec, pstream = _encode_uint_stream(plens, cfg)
+        lens64 = lengths.astype(np.int64)
+        csum = np.cumsum(lens64)
+        cap = 1 << 19
+        k = int(np.searchsorted(csum, cap, side="right")) + 1
+        k = max(2, min(len(lens64), k))
+        nb = int(csum[k - 1])
+        plens_s, sdata_s = front_code(lens64[:k], data[:nb])
+        _, pstream_s = _encode_uint_stream(plens_s, cfg)
         comp = cfg.get("compression", "none")
         lvl = cfg.get("compression_level")
 
@@ -396,15 +406,10 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
             return len(block.compress(b, comp, lvl)) if comp != "none" \
                 and b else len(b)
 
-        fc = (outer(sdata.tobytes()) + len(pstream)
-              < 0.95 * outer(data.tobytes()))
+        fc = (outer(sdata_s.tobytes()) + len(pstream_s)
+              < 0.95 * outer(data[:nb].tobytes()))
         if cache is not None:
             cache[fckey] = fc
-        if fc:
-            meta.update(fc=True, pcodec=pcodec)
-            streams["DATA"] = sdata.tobytes()
-            streams["PREFIX"] = pstream
-        return meta, streams
     if fc:
         plens, sdata = front_code(lengths.astype(np.int64), data)
         pcodec, pstream = _encode_uint_stream(plens, cfg)
