@@ -263,8 +263,8 @@ def rd_decode(codes: np.ndarray, right: np.ndarray, r: int,
         bits = np.empty(codes.size, np.uint64)
         lib.alp_rd_decode(native.ptr(codes, ctypes.c_uint64),
                           native.ptr(right, ctypes.c_uint64), int(r),
-                          native.ptr(dl, ctypes.c_uint16), codes.size,
-                          native.ptr(bits, ctypes.c_uint64))
+                          native.ptr(dl, ctypes.c_uint16), dl.size,
+                          codes.size, native.ptr(bits, ctypes.c_uint64))
         if len(exc_pos):
             p = exc_pos.astype(np.int64)
             excl = np.frombuffer(exc_buf, np.uint16,

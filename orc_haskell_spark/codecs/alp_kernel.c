@@ -161,8 +161,13 @@ long alp_rd_encode_f4(const float *v, long n, int r,
 }
 
 void alp_rd_decode(const uint64_t *codes, const uint64_t *right, int r,
-                   const uint16_t *dict, long n, uint64_t *out_bits)
+                   const uint16_t *dict, long dn, long n,
+                   uint64_t *out_bits)
 {
-    for (long k = 0; k < n; k++)
-        out_bits[k] = ((uint64_t)dict[codes[k]] << r) | right[k];
+    /* clamp codes against the dictionary size: a corrupt/truncated
+       stripe must not read out of bounds (the numpy twin raises) */
+    for (long k = 0; k < n; k++) {
+        uint64_t c = codes[k] < (uint64_t)dn ? codes[k] : 0;
+        out_bits[k] = ((uint64_t)dict[c] << r) | right[k];
+    }
 }

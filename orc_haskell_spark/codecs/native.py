@@ -179,7 +179,8 @@ def load() -> ctypes.CDLL | None:
             u16p, ctypes.c_int, u64p, u64p, u64p, u16p]
         lib.alp_rd_decode.restype = None
         lib.alp_rd_decode.argtypes = [
-            u64p, u64p, ctypes.c_int, u16p, ctypes.c_long, u64p]
+            u64p, u64p, ctypes.c_int, u16p, ctypes.c_long, ctypes.c_long,
+            u64p]
         _lib = lib
     except Exception:
         _lib = None

@@ -67,10 +67,14 @@ def choose_string_codec(arr: pa.Array, data: "np.ndarray",
     fc_data, fc_lens = string_parts(arr.slice(0, k_fc))
     if fc_data.nbytes:
         plens, fdata = front_code(fc_lens.astype(np.int64), fc_data)
+        # scale by BYTES covered (like est["direct"]), not rows: with
+        # skewed string lengths the first k_fc rows can cover far more
+        # or fewer bytes than SAMPLE_BYTES and a row scale would bias
+        # the estimate, mis-routing dict/fsst columns
         est["direct"] = min(
             est["direct"],
             (outer(fdata.tobytes()) + len(rle2.encode(plens, False)))
-            * (n / k_fc))
+            * (data_nbytes / fc_data.nbytes))
 
     if "dict" in allowed:
         distinct = pc.count_distinct(arr).as_py()

@@ -390,12 +390,15 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
     fc = cache.get(fckey) if cache is not None else None
     if not cfg.get("string_fc", True):
         fc = False
+    if len(lengths) < 2:
+        fc = False  # a single string cannot front-code (and k-clamping
+        #             below assumes >= 2 sampled values)
     if fc is None and data.nbytes >= cfg.get("compression_min_bytes", 256):
         lens64 = lengths.astype(np.int64)
         csum = np.cumsum(lens64)
         cap = 1 << 19
         k = int(np.searchsorted(csum, cap, side="right")) + 1
-        k = max(2, min(len(lens64), k))
+        k = min(len(lens64), max(2, k))
         nb = int(csum[k - 1])
         plens_s, sdata_s = front_code(lens64[:k], data[:nb])
         _, pstream_s = _encode_uint_stream(plens_s, cfg)
@@ -413,6 +416,26 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
     if fc:
         plens, sdata = front_code(lengths.astype(np.int64), data)
         pcodec, pstream = _encode_uint_stream(plens, cfg)
+        vkey = ("directfc_verified", name)
+        if cache is not None and not cache.get(vkey):
+            # the trial above measured only a ~512 KiB prefix; verify
+            # the verdict ONCE per (column, task) against this full
+            # stripe and drop fc when the real streams are not smaller
+            # — a prefix-sorted / tail-shuffled column could otherwise
+            # lock in an inflating fc=True for the whole task
+            comp = cfg.get("compression", "none")
+            lvl = cfg.get("compression_level")
+
+            def outer_full(b: bytes) -> int:
+                return len(block.compress(b, comp, lvl)) \
+                    if comp != "none" and b else len(b)
+
+            if outer_full(sdata.tobytes()) + len(pstream) \
+                    >= 0.95 * outer_full(data.tobytes()):
+                cache[fckey] = fc = False
+            else:
+                cache[vkey] = True
+    if fc:
         meta.update(fc=True, pcodec=pcodec)
         streams["DATA"] = sdata.tobytes()
         streams["PREFIX"] = pstream
