@@ -48,7 +48,10 @@ def _lane(ids: np.ndarray, lane: int) -> np.ndarray:
 
 def _unit(ids: np.ndarray, lane: int) -> np.ndarray:
     """Deterministic uniform [0,1) per row."""
-    return _lane(ids, lane).astype(np.float64) / 2**64
+    # * 2.0**-64 not / 2**64: the Python-int scalar overflows int64
+    # and numpy drops to a pathological slow path (~50x); a power-of-
+    # two multiply is bit-identical (pure exponent shift)
+    return _lane(ids, lane).astype(np.float64) * 2.0**-64
 
 
 # ---- static vocabularies (deterministic at import) ----
@@ -145,7 +148,15 @@ def pages_batch(start: int, n: int) -> pa.RecordBatch:
     j = np.arange(total, dtype=np.uint64) - np.repeat(np.cumsum(wc) - wc, wc).astype(np.uint64)
     with np.errstate(over="ignore"):
         wu = _mix(row_of * _U(0x9E3779B97F4A7C15) + j * _U(0xD1B54A32D192ED03) + _U(SEED))
-    word_idx = ((wu.astype(np.float64) / 2**64) ** 3 * VOCAB_SIZE).astype(np.int64)
+    # x*x*x instead of x**3: numpy routes `** 3` through libm pow at
+    # ~220 ns/element — 200 ms of a 250 ms batch, 80% of generation
+    # wall. The cube can differ from pow() in the last ulp, but the
+    # fixture only consumes floor(x^3 * VOCAB_SIZE): verified
+    # mismatch-free over the exact formula for ids 0..400k (58M words)
+    # plus 167M dense _mix outputs, so the emitted table is
+    # byte-identical where any driver scale reaches.
+    xu = wu.astype(np.float64) * 2.0**-64  # see _unit: / 2**64 is ~50x slower
+    word_idx = (xu * xu * xu * VOCAB_SIZE).astype(np.int64)
     flat_words = _dict_strings(np.minimum(word_idx, VOCAB_SIZE - 1), _VOCAB_PA)
     off = np.zeros(n + 1, dtype=np.int64)
     off[1:] = np.cumsum(wc)

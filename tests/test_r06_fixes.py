@@ -84,3 +84,22 @@ def test_alp_rd_roundtrip_unchanged():
     out = alp.rd_decode(codes, right, r, dl, pos, excl.tobytes(),
                         np.float64)
     assert np.array_equal(out, vals)
+
+
+def test_pages_fixture_digest_pinned():
+    # gen.pages_batch was rewritten for speed (object-array division and
+    # libm pow removed); the fixture must stay byte-identical — pin the
+    # first 20k rows' Arrow buffer digest
+    import hashlib
+
+    from orc_haskell_spark import gen
+
+    t = gen.pages_table(0, 20000)
+    h = hashlib.sha256()
+    for b in t.to_batches():
+        for col in b.columns:
+            for buf in col.buffers():
+                if buf is not None:
+                    h.update(buf)
+    assert h.hexdigest() == ("b06b6d426a0fb4c82bad852a24a527cb"
+                             "7f3ae6be23e84b9e8582ee40910282e2")
