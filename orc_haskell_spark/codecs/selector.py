@@ -118,7 +118,8 @@ FLOAT_BSS_MIN_BYTES = 4096  # below this the measurement is noise
 
 
 def choose_float_codec(vals: "np.ndarray", compression: str = "none",
-                       compression_level: int | None = None) -> str:
+                       compression_level: int | None = None,
+                       return_artifacts: bool = False):
     """Pick 'raw' | 'bss' | 'alp' for an f4/f8 column.
 
     All candidates are measured on the same prefix sample under the
@@ -131,7 +132,7 @@ def choose_float_codec(vals: "np.ndarray", compression: str = "none",
     ALP's encodability gate and falls through to raw/BSS.
     """
     if vals.nbytes < FLOAT_BSS_MIN_BYTES:
-        return "raw"
+        return ("raw", {}) if return_artifacts else "raw"
     from . import alp, bitpack, block, floats, rle2
 
     def outer(b: bytes) -> int:
@@ -141,6 +142,8 @@ def choose_float_codec(vals: "np.ndarray", compression: str = "none",
 
     k = min(len(vals), max(1, SAMPLE_BYTES // vals.dtype.itemsize))
     sample = np.ascontiguousarray(vals[:k])
+    full = k == len(vals)
+    arts: dict = {}
     est: dict[str, float] = {"raw": outer(sample.tobytes())}
     if compression != "none":
         est["bss"] = outer(floats.bss_encode(sample))
@@ -150,6 +153,8 @@ def choose_float_codec(vals: "np.ndarray", compression: str = "none",
         est["alp"] = (outer(rle2.encode(ints, True))
                       + len(rle2.encode(pos, False))
                       + exc.nbytes)
+        if full:
+            arts["alp"] = enc
     enc_rd = alp.rd_encode(sample)
     if enc_rd is not None:
         r, dl, codes, right, pos, excl = enc_rd
@@ -158,8 +163,10 @@ def choose_float_codec(vals: "np.ndarray", compression: str = "none",
                                                   alp.RD_DICT_BITS))
                          + len(rle2.encode(pos, False))
                          + excl.nbytes + 2 * len(dl))
+        if full:
+            arts["alp_rd"] = enc_rd
     order = {"raw": 0, "bss": 1, "alp": 2, "alp_rd": 3}
     best = min(est, key=lambda c: (est[c], order[c]))
     if best != "raw" and est[best] >= 0.95 * est["raw"]:
-        return "raw"
-    return best
+        best = "raw"
+    return (best, arts) if return_artifacts else best

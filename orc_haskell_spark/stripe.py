@@ -156,12 +156,25 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
         vals = np.asarray(arr).astype(
             np.asarray(arr).dtype.newbyteorder("<"), copy=False)
         # raw LE (the reference layout) vs byte-stream-split vs ALP,
-        # measured under the configured outer compression (selector.py)
-        fcodec = cfg.get("float_codec") or selector.choose_float_codec(
-            vals, cfg.get("compression", "none"),
-            cfg.get("compression_level"))
+        # measured under the configured outer compression (selector.py).
+        # The choice is cached per (column, task) like the string codec,
+        # and when the trial's sample covered the whole column its
+        # alp/alp_rd transform is reused — the trial IS the encode then
+        # (the duplicate transform was ~45% of a lineitem double
+        # column's encode cost).
+        arts: dict = {}
+        fkey = ("floatchoice", name)
+        fcodec = cfg.get("float_codec")
+        if fcodec is None and cache is not None:
+            fcodec = cache.get(fkey)
+        if fcodec is None:
+            fcodec, arts = selector.choose_float_codec(
+                vals, cfg.get("compression", "none"),
+                cfg.get("compression_level"), return_artifacts=True)
+            if cache is not None:
+                cache[fkey] = fcodec
         if fcodec == "alp_rd":
-            enc = alp.rd_encode(vals)
+            enc = arts.get("alp_rd") or alp.rd_encode(vals)
             if enc is None:  # forced ALP-RD on an incompressible column
                 fcodec = "raw"
             else:
@@ -176,7 +189,7 @@ def _encode_values(arr: pa.Array, cfg: dict, cache: dict | None = None,
                          "RD_EXC_POS": pstream,
                          "RD_EXC": excl.tobytes()})
         if fcodec == "alp":
-            enc = alp.encode(vals)
+            enc = arts.get("alp") or alp.encode(vals)
             if enc is None:  # forced ALP on an inexpressible column
                 fcodec = "raw"
             else:

@@ -103,3 +103,23 @@ def test_pages_fixture_digest_pinned():
                     h.update(buf)
     assert h.hexdigest() == ("b06b6d426a0fb4c82bad852a24a527cb"
                              "7f3ae6be23e84b9e8582ee40910282e2")
+
+
+def test_float_choice_cached_and_artifacts_reused():
+    # the per-(column, task) float-codec cache and the trial-artifact
+    # reuse must produce the same streams as per-stripe re-measurement
+    import pyarrow.parquet as pq
+
+    li = pq.read_table("/root/testdata/sf0.01/lineitem.parquet")
+    rb = li.slice(0, 4000).combine_chunks().to_batches()[0]
+    one = pa.record_batch(
+        {"l_extendedprice": rb.column(
+            rb.schema.get_field_index("l_extendedprice"))})
+    cache = {}
+    f1, p1 = stripe.encode_stripe(one, None, cache)
+    assert ("floatchoice", "l_extendedprice") in cache
+    # second stripe hits the cache (no artifacts) — must still decode
+    f2, p2 = stripe.encode_stripe(one, None, cache)
+    assert (p1, f1) == (p2, f2)
+    d = stripe.decode_stripe(f2, memoryview(p2))
+    assert d.column(0).to_pylist() == one.column(0).to_pylist()
