@@ -25,7 +25,8 @@ import tempfile
 
 _SRC_NAMES = ["fsst_kernel.c", "bitpack_kernel.c", "rle2_kernel.c",
               "rle2_encode_kernel.c", "rle1_kernel.c", "byte_rle_kernel.c",
-              "png_kernel.c", "frontcode_kernel.c", "alp_kernel.c"]
+              "png_kernel.c", "frontcode_kernel.c", "alp_kernel.c",
+              "extract_kernel.c", "html_entities_gen.c"]
 
 
 def _read_sources() -> list[bytes]:
@@ -181,6 +182,14 @@ def load() -> ctypes.CDLL | None:
         lib.alp_rd_decode.argtypes = [
             u64p, u64p, ctypes.c_int, u16p, ctypes.c_long, ctypes.c_long,
             u64p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.html_extract_batch.restype = ctypes.c_long
+        lib.html_extract_batch.argtypes = [
+            u8p, i64p, ctypes.c_long,
+            i64p, i64p, i64p, u8p,
+            i64p, i64p,
+            i64p, i64p, i64p, u8p,
+            ctypes.c_long, ctypes.c_long]
         _lib = lib
     except Exception:
         _lib = None

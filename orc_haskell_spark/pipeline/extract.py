@@ -369,6 +369,156 @@ def visible_text(html, engine: str = "fast") -> str:
 _MODES = {"main": main_content, "visible": visible_text}
 
 
+# ---- C batch kernel (codecs/extract_kernel.c) -----------------------------
+# The tokenizer + sink + container scoring run in C over a whole batch
+# of documents; Python assembles only each winner's text (slice spans,
+# html.unescape on the few chunks containing '&'). Documents the kernel
+# flags (non-ASCII in Unicode-sensitive constructs — see the kernel
+# header) are re-run through the Python fast engine, so results are
+# ALWAYS the fast engine's, just ~10-30x cheaper on the common case.
+
+def _native_parse_batch(srcs: list[str]):
+    """C-tokenize a list of str documents. Returns None when the kernel
+    is unavailable, else (buf, off, chunk arrays, cont arrays, per-doc
+    ends/best/fallback)."""
+    import ctypes
+
+    import numpy as np
+
+    from ..codecs import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "html_extract_batch"):
+        return None
+    bts = [s.encode("utf-8") for s in srcs]
+    off = np.zeros(len(bts) + 1, np.int64)
+    off[1:] = np.cumsum([len(b) for b in bts])
+    nb = int(off[-1])
+    buf = np.frombuffer(b"".join(bts) + b"\x00", np.uint8)
+    max_chunks = nb + 2 * len(bts) + 16
+    max_conts = nb // 4 + len(bts) + 16
+    chunk_a = np.empty(max_chunks, np.int64)
+    chunk_b = np.empty(max_chunks, np.int64)
+    chunk_cp = np.empty(max_chunks, np.int64)
+    chunk_flags = np.empty(max_chunks, np.uint8)
+    cont_c0 = np.empty(max_conts, np.int64)
+    cont_c1 = np.empty(max_conts, np.int64)
+    doc_chunk_end = np.empty(len(bts), np.int64)
+    doc_cont_end = np.empty(len(bts), np.int64)
+    doc_best = np.empty(len(bts), np.int64)
+    doc_fallback = np.empty(len(bts), np.uint8)
+    i64 = ctypes.c_int64
+    u8 = ctypes.c_uint8
+    rc = lib.html_extract_batch(
+        native.ptr(buf, u8), native.ptr(off, i64), len(bts),
+        native.ptr(chunk_a, i64), native.ptr(chunk_b, i64),
+        native.ptr(chunk_cp, i64), native.ptr(chunk_flags, u8),
+        native.ptr(cont_c0, i64), native.ptr(cont_c1, i64),
+        native.ptr(doc_chunk_end, i64), native.ptr(doc_cont_end, i64),
+        native.ptr(doc_best, i64), native.ptr(doc_fallback, u8),
+        max_chunks, max_conts)
+    if rc != 0:
+        return None
+    return (buf, chunk_a, chunk_b, chunk_flags, cont_c0, cont_c1,
+            doc_chunk_end, doc_best, doc_fallback)
+
+
+def _norm_docs(docs):
+    """(srcs, pos): decoded str per non-null doc + original index."""
+    srcs, pos = [], []
+    for i, h in enumerate(docs):
+        if h is None:
+            continue
+        if isinstance(h, (bytes, bytearray, memoryview)):
+            h = bytes(h).decode("utf-8", "replace")
+        srcs.append(h)
+        pos.append(i)
+    return srcs, pos
+
+
+def _chunk_text(buf, a: int, b: int, flags: int) -> str:
+    from html import unescape
+
+    s = bytes(buf[a:b]).decode("utf-8")
+    return unescape(s) if flags & 2 else s
+
+
+def main_content_batch(docs, engine: str = "fast") -> list:
+    """main_content over a batch (None stays None). engine='fast' uses
+    the C kernel when available, falling back per document to the
+    Python fast engine on the kernel's bail conditions."""
+    out = [None] * len(docs)
+    srcs, pos = _norm_docs(docs)
+    if not srcs:
+        return out
+    parsed = _native_parse_batch(srcs) if engine == "fast" else None
+    if parsed is None:
+        for s, i in zip(srcs, pos):
+            out[i] = main_content(s, engine)
+        return out
+    (buf, chunk_a, chunk_b, chunk_flags, cont_c0, cont_c1,
+     doc_chunk_end, doc_best, doc_fallback) = parsed
+    for d, i in enumerate(pos):
+        if doc_fallback[d]:
+            out[i] = main_content(srcs[d], "fast")
+            continue
+        bi = int(doc_best[d])
+        if bi < 0:
+            out[i] = ""
+            continue
+        parts = []
+        for j in range(int(cont_c0[bi]), int(cont_c1[bi])):
+            fl = int(chunk_flags[j])
+            if fl & 1:
+                continue
+            parts.append(_chunk_text(buf, int(chunk_a[j]),
+                                     int(chunk_b[j]), fl))
+        out[i] = "".join(parts)
+    return out
+
+
+def visible_text_batch(docs, engine: str = "fast") -> list:
+    """visible_text over a batch (None stays None), C-tokenized."""
+    out = [None] * len(docs)
+    srcs, pos = _norm_docs(docs)
+    if not srcs:
+        return out
+    parsed = _native_parse_batch(srcs) if engine == "fast" else None
+    if parsed is None:
+        for s, i in zip(srcs, pos):
+            out[i] = visible_text(s, engine)
+        return out
+    (buf, chunk_a, chunk_b, chunk_flags, cont_c0, cont_c1,
+     doc_chunk_end, doc_best, doc_fallback) = parsed
+    c0 = 0
+    for d, i in enumerate(pos):
+        c1 = int(doc_chunk_end[d])
+        if doc_fallback[d]:
+            out[i] = visible_text(srcs[d], "fast")
+            c0 = c1
+            continue
+        lines, cur = [], []
+        for j in range(c0, c1):
+            fl = int(chunk_flags[j])
+            if fl & 1:
+                line = " ".join("".join(cur).split())
+                if line:
+                    lines.append(line)
+                cur = []
+            else:
+                cur.append(_chunk_text(buf, int(chunk_a[j]),
+                                       int(chunk_b[j]), fl))
+        line = " ".join("".join(cur).split())
+        if line:
+            lines.append(line)
+        out[i] = "\n".join(lines)
+        c0 = c1
+    return out
+
+
+_BATCH_MODES = {"main": main_content_batch, "visible": visible_text_batch}
+
+
 def extract_df(df, html_col: str = "html", mode: str = "main",
                out_col: str = "text", engine: str = "fast"):
     """Append/replace ``out_col`` = extracted text of ``html_col``.
@@ -384,14 +534,15 @@ def extract_df(df, html_col: str = "html", mode: str = "main",
     if engine not in ("fast", "strict"):
         raise ValueError(f"engine={engine!r}: use 'fast' or 'strict'")
 
+    batch_fn = _BATCH_MODES[mode]
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from orc_haskell_spark.engine import clamp_worker_threads
 
         clamp_worker_threads()
         for b in batches:
             html = b.column(html_col).to_pylist()
-            texts = [None if h is None else mode_fn(h, engine)
-                     for h in html]
+            texts = batch_fn(html, engine)
             arrays = [b.column(f.name) for f in fields] + \
                 [pa.array(texts, pa.string())]
             yield pa.RecordBatch.from_arrays(arrays, names=names)

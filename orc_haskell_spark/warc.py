@@ -590,9 +590,19 @@ def read_warc(spark, path: str, num_partitions: int | None = None,
         from orc_haskell_spark.pipeline import extract as xm
 
         clamp_worker_threads()
-        fn_extract = xm._MODES[extract] if extract else None
         rows: list[tuple] = []
         nbytes = 0
+
+        def emit_rows() -> pa.RecordBatch:
+            # extraction runs per ACCUMULATED BATCH (C kernel path in
+            # pipeline/extract), not per record — same results, ~10x
+            # cheaper than the per-row Python tokenizer
+            if extract:
+                texts = xm._BATCH_MODES[extract]([r[4] for r in rows])
+                return _rows_batch(
+                    [r + (t,) for r, t in zip(rows, texts)], extract)
+            return _rows_batch(rows, extract)
+
         for b in batches:
             for f, start, end in zip(b.column("file").to_pylist(),
                                      b.column("start").to_pylist(),
@@ -600,15 +610,13 @@ def read_warc(spark, path: str, num_partitions: int | None = None,
                 for row in iter_warc_file(
                         f, strict=strict, start=start,
                         end=None if end < 0 else end):
-                    if fn_extract is not None:
-                        row = row + (fn_extract(row[4]),)
                     rows.append(row)
                     nbytes += len(row[4] or b"")
                     if len(rows) >= 2048 or nbytes >= (64 << 20):
-                        yield _rows_batch(rows, extract)
+                        yield emit_rows()
                         rows, nbytes = [], 0
         if rows:
-            yield _rows_batch(rows, extract)
+            yield emit_rows()
 
     fdf = spark.createDataFrame(
         spark.sparkContext.parallelize(buckets, len(buckets))
@@ -743,7 +751,6 @@ def write_pages_parquet(spark, warc_path: str, out_dir: str,
         from orc_haskell_spark.sources import commit_part, task_output
 
         clamp_worker_threads()
-        fn_extract = xm._MODES[extract] if extract else None
         pid = TaskContext.get().partitionId()
         fs, staging, final = task_output(out_dir, None, f"{pid:05d}")
         writer = None
@@ -754,11 +761,14 @@ def write_pages_parquet(spark, warc_path: str, out_dir: str,
             nonlocal writer, cols
             if not cols[0]:
                 return
+            # batch extraction at flush time (C kernel path), not per row
+            texts = (xm._BATCH_MODES[extract](cols[2]) if extract
+                     else cols[3])
             rb = pa.record_batch([
                 pa.array(cols[0], pa.string()),
                 pa.array(cols[1], pa.timestamp("us", tz="UTC")),
                 pa.array(cols[2], pa.binary()),
-                pa.array(cols[3], pa.string()),
+                pa.array(texts, pa.string()),
                 pa.array(cols[4], pa.string()),
             ], schema=schema)
             if writer is None:
@@ -782,8 +792,7 @@ def write_pages_parquet(spark, warc_path: str, out_dir: str,
                     cols[0].append(url)
                     cols[1].append(ts)
                     cols[2].append(html)
-                    cols[3].append(fn_extract(html) if fn_extract
-                                   else None)
+                    cols[3].append(None)  # text filled by flush()
                     cols[4].append("und")
                     n_rows += 1
                     if len(cols[0]) >= row_group_rows:

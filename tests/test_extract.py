@@ -204,3 +204,105 @@ def test_extract_df_plan_is_narrow(spark):
     plan = extract.extract_df(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_c_kernel_matches_fast_engine_on_corpora():
+    # the C batch kernel must reproduce the Python fast engine exactly
+    # on both fixture corpora (which are themselves strict-pinned)
+    import pyarrow.parquet as pq
+
+    from orc_haskell_spark import gen
+    from orc_haskell_spark.codecs import native
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no native kernels")
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    import __spark_entry__ as e
+    pages = [e._warc_page_html(d, txt) for d, txt in
+             zip(t["doc_id"].to_pylist(), t["text"].to_pylist())]
+    ghtml = gen.pages_table(0, 500).column("html").to_pylist()
+    for docs in (pages, ghtml):
+        want_m = [None if h is None else extract.main_content(h, "fast")
+                  for h in docs]
+        assert extract.main_content_batch(docs) == want_m
+        want_v = [None if h is None else extract.visible_text(h, "fast")
+                  for h in docs]
+        assert extract.visible_text_batch(docs) == want_v
+
+
+def test_c_kernel_entity_length_semantics():
+    # score equivalence depends on exact html.unescape LENGTH emulation:
+    # drive every stdlib named entity plus numeric edge cases through
+    # the batch path and compare with the Python engine
+    from html.entities import html5
+
+    from orc_haskell_spark.codecs import native
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no native kernels")
+    docs = []
+    for k in sorted(html5):
+        docs.append(f"<main>x&{k}y</main>")
+    for num in ["0", "13", "128", "8364", "55296", "1114111", "1114112",
+                "99999999999999999999", "x41", "X1f", "x110000", "1"]:
+        docs.append(f"<main>a&#{num};b</main>")
+        docs.append(f"<main>a&#{num}b</main>")
+    docs += ["<main>&#;</main>", "<main>&;</main>", "<main>&</main>",
+             "<main>&" + "a" * 40 + ";</main>"]
+    want = [extract.main_content(h, "fast") for h in docs]
+    assert extract.main_content_batch(docs) == want
+
+
+def test_c_kernel_random_bytes_and_fallback_traps():
+    # random bytes (invalid UTF-8) and the Unicode bail traps must agree
+    import random
+
+    from orc_haskell_spark.codecs import native
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no native kernels")
+    rng = random.Random(7)
+    docs = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+            for _ in range(500)]
+    docs += ["<blocKquote>k</blocKquote>".replace("K", "K"),
+             "<div>a</div><main>x</main><!-- -->tail",
+             "</ div>", "<pİ/>t"]
+    want = [None if h is None else extract.main_content(h, "fast")
+            for h in docs]
+    assert extract.main_content_batch(docs) == want
+
+
+def test_c_kernel_differential_fuzz_batch():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from orc_haskell_spark.codecs import native
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no native kernels")
+    atoms = st.sampled_from([
+        "<", ">", "/", "=", '"', "'", "&", ";", " ", "\n", "a", "x1",
+        "div", "main", "p", "a href=", "script", "style", "İ", "ſ",
+        "&amp;", "&lt;", "&#65;", "<script>", "</script>", "<main>",
+        "</main>", "<div>", "</div>", "<a>", "</a>", "<br/>", "<!--",
+        "-->", "<!doctype html>", "</ div>", "<p/>", "text words here",
+        "<![CDATA[", "]]>", "<?php", "?>", "\r\n", "\t", "-", "!",
+        "?", "[", "K", "&notareal;", "&amp", "<td>", "</td>",
+        "\x1c", "\v",
+    ])
+    doc = st.lists(atoms, min_size=0, max_size=50).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(doc)
+    def check(html):
+        assert extract.main_content_batch([html])[0] == \
+            extract.main_content(html, "fast")
+        assert extract.visible_text_batch([html])[0] == \
+            extract.visible_text(html, "fast")
+
+    check()
