@@ -295,11 +295,16 @@ def train(data: np.ndarray) -> SymbolTable:
         # for 8-byte keys but deterministic (counting noise only costs ratio)
         if keys.size:
             comb = keys ^ (klen << np.uint64(61))
-            order_ix = np.argsort(comb, kind="stable")
+            # quicksort + min-reduce instead of a stable argsort: the
+            # representative of each comb group must be its FIRST
+            # occurrence in the original order (what stable sort gave);
+            # min-of-original-indices per group is the same value at
+            # ~5x less sort cost (this is the training hot loop)
+            order_ix = np.argsort(comb)
             sc = comb[order_ix]
             bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
             cnts = np.diff(np.r_[bounds, sc.size])
-            rep = order_ix[bounds]
+            rep = np.minimum.reduceat(order_ix, bounds)
             gains = cnts * (klen[rep].astype(np.int64) - 1)
             # keep only the top candidates worth considering
             top = min(gains.size, MAX_SYMBOLS * 4)

@@ -26,6 +26,24 @@ from pyspark.sql import DataFrame, Window, functions as F
 TOKEN_SPLIT = "\\s+"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW input up to the session's
+    default parallelism so per-doc signature math (md5 shingles, 64
+    permutations, bit sums) runs on every core instead of inside the
+    scan's task count. Scale-guarded no-op when the scan already yields
+    enough partitions — a 100 TB input has thousands of splits and must
+    never pay an extra payload shuffle for this; only the
+    few-splits-small-table shape (guide: input skew / small files)
+    benefits."""
+    sc = df.sparkSession.sparkContext
+    try:
+        nin = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    n = sc.defaultParallelism
+    return df.repartition(n) if nin < n else df
+
+
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct word tokens per document."""
     return (df.select(id_col, F.explode(
@@ -59,6 +77,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     documented exact-mode escape hatch (uncapped index; small tables
     only — O(df^2) on the hottest token).
     """
+    df = _spread(df)
     t = tokens(df, id_col, text_col)
     if max_df is not None:
         dfreq = t.groupBy("token").agg(F.count("*").alias("df_tok"))
@@ -143,8 +162,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ~1e-8).
     """
     bands = num_perm // band_r
+    df = _spread(df)
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
-    banded = _banded_sig(sig, id_col, bands, band_r)
+    # localCheckpoint (lazy): the banded table feeds BOTH sides of the
+    # self-join below — without it every signature (md5 shingles + 64
+    # permutations, the dominant cost) is computed twice. Banded rows
+    # are (id, short band string): tiny relative to the text input.
+    banded = _banded_sig(sig, id_col, bands, band_r) \
+        .localCheckpoint(eager=False)
     cand = (banded.alias("x").join(banded.alias("y"), "band")
             .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(F.col(f"x.{id_col}").alias("id_a"),
@@ -220,7 +245,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     # the shuffle twice (asserted in tests/test_pipeline.py). The old
     # .cache() was never unpersisted and leaked executor memory in
     # long-lived sessions.
-    s = simhash(df, id_col, text_col)
+    s = simhash(_spread(df), id_col, text_col)
     bands = s.select(
         id_col, "simhash",
         F.explode(F.array(*[
@@ -315,7 +340,11 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
             F.aggregate(F.zip_with(vecd, c, lambda a, b: a * b),
                         F.lit(0.0), lambda acc, x: acc + x) > 0,
             F.lit("1")).otherwise(F.lit("0")))
+    df = _spread(df)
     sig = df.select(F.col(id_col), bits.alias("_bits"))
+    # lazy localCheckpoint: both self-join sides read one computation of
+    # the 128-hyperplane signatures (exchange reuse does not fire on
+    # this shape — measured on the minhash twin)
     banded = sig.select(
         id_col,
         F.explode(F.array(*[
@@ -323,7 +352,7 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                      F.concat_ws("", F.slice(F.col("_bits"),
                                              j * band_bits + 1, band_bits)))
             for j in range(n_bands)
-        ])).alias("band"))
+        ])).alias("band")).localCheckpoint(eager=False)
     cand = (banded.alias("x").join(banded.alias("y"), "band")
             .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(F.col(f"x.{id_col}").alias("id_a"),

@@ -436,11 +436,12 @@ def _norm_docs(docs):
     return srcs, pos
 
 
-def _chunk_text(buf, a: int, b: int, flags: int) -> str:
-    from html import unescape
+from html import unescape as _unescape  # module-level: _chunk_text is hot
 
+
+def _chunk_text(buf, a: int, b: int, flags: int) -> str:
     s = bytes(buf[a:b]).decode("utf-8")
-    return unescape(s) if flags & 2 else s
+    return _unescape(s) if flags & 2 else s
 
 
 def main_content_batch(docs, engine: str = "fast") -> list:
