@@ -39,7 +39,7 @@ def _pkg_stamp(pkg_dir: str, root: str) -> str:
     entries = []
     for dirpath, _, files in os.walk(pkg_dir):
         for f in files:
-            if f.endswith(".py"):
+            if f.endswith((".py", ".c")):
                 p = os.path.join(dirpath, f)
                 entries.append((os.path.relpath(p, root),
                                 int(os.path.getmtime(p))))
@@ -71,7 +71,11 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
                 if "__pycache__" in dirpath:
                     continue
                 for f in files:
-                    if f.endswith(".py"):
+                    # .c kernel sources ship too: a worker importing
+                    # from the zip alone (real-cluster --py-files
+                    # layout) would otherwise silently fall back to
+                    # the numpy kernels — a perf cliff, not an error
+                    if f.endswith((".py", ".c")):
                         p = os.path.join(dirpath, f)
                         z.write(p, os.path.relpath(p, root))
     try:

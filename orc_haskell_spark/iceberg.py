@@ -767,10 +767,33 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
     renamed columns) use read_iceberg_by_field_id."""
     all_files, dels = plan_scan(table_path, snapshot_id, as_of_ms,
                                 where, spark)
-    if not all_files:
-        raise ValueError(f"no live data files in {table_path}")
     meta = table_metadata(table_path)
     fields = _schema_of(meta)
+    if not all_files and where is not None:
+        # a predicate that prunes EVERY file is a valid, empty scan
+        # (filter semantics) — not an error. Build a 0-row frame with
+        # the table schema from any live file of the unpruned snapshot
+        # (schema-from-file handles nested types _align_to_schema
+        # cannot null-fill).
+        base, _ = plan_scan(table_path, snapshot_id, as_of_ms, None,
+                            spark)
+        if base:
+            pq_files = [f for f in base
+                        if f["file_format"].upper() == "PARQUET"]
+            if pq_files:
+                src = spark.read.option("mergeSchema", "true") \
+                    .parquet(pq_files[0]["file_path"])
+            else:
+                from .orcfile.spark_source import read_orc_distributed
+
+                src = read_orc_distributed(
+                    spark, table_path, files=[base[0]["file_path"]])
+            df_full = _align_to_schema(spark, src.limit(0), fields)
+            if columns:
+                df_full = df_full.select(*columns)
+            return df_full
+    if not all_files:
+        raise ValueError(f"no live data files in {table_path}")
     orc_files = [f for f in all_files
                  if f["file_format"].upper() == "ORC"]
     files = [f for f in all_files

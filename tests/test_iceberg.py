@@ -1561,3 +1561,20 @@ def test_fused_where_on_hive_layout_partition_column(spark, tmp_path):
     got = sorted(r.views for r in engine.decode_table(enc, schema)
                  .select("views").collect())
     assert got == [i for i in range(20) if i % 2 == 1]   # en rows only
+
+
+def test_read_iceberg_pruned_to_empty_returns_empty(spark, table):
+    # a predicate pruning EVERY file is a valid empty scan, not an
+    # error (round-6 fix: it used to raise "no live data files")
+    root, _ = table
+    df = iceberg.read_iceberg(spark, root,
+                              where=[("lang", "=", "zz")])
+    assert df.count() == 0
+    assert df.columns == ["url", "warc_ts", "text", "lang", "views"]
+    # projection composes with the empty scan
+    df2 = iceberg.read_iceberg(spark, root,
+                               where=[("lang", "=", "zz")],
+                               columns=["url", "views"])
+    assert df2.columns == ["url", "views"] and df2.count() == 0
+    # an unpredicated read of a live table still returns rows
+    assert iceberg.read_iceberg(spark, root).count() == 9
