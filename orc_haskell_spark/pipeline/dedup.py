@@ -87,8 +87,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .join(t.selectExpr(f"{id_col} as id_b", "token"), "token")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .distinct())
-    tk = df.select(
+            .distinct()).localCheckpoint(eager=False)
+    # tokenize only documents that appear in a candidate pair (the
+    # same semi-join-before-expansion shape as minhash verification)
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    tk = df.join(cand_ids, id_col, "leftsemi").select(
         F.col(id_col),
         F.filter(F.array_distinct(F.split(F.col(text_col), TOKEN_SPLIT)),
                  lambda x: F.length(x) > 0).alias("tk"))
@@ -174,9 +179,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(F.col(f"x.{id_col}").alias("id_a"),
                     F.col(f"y.{id_col}").alias("id_b"))
-            .distinct())
-    # exact verification on candidates only
-    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+            .distinct()).localCheckpoint(eager=False)
+    # exact verification on candidates only — and shingles only for
+    # DOCUMENTS THAT APPEAR IN A CANDIDATE (semi-join before the
+    # n-gram expansion): at corpus scale candidates are a tiny
+    # fraction, so the expensive shingle arrays are never built for
+    # the other 99%+ of documents (guide: project/filter before the
+    # expensive work, not after)
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    need = df.join(cand_ids, id_col, "leftsemi")
+    sh = need.select(F.col(id_col),
+                     _shingles(text_col, shingle_n).alias("sh"))
     verified = (cand
                 .join(sh.selectExpr(f"{id_col} as id_a", "sh as sh_a"), "id_a")
                 .join(sh.selectExpr(f"{id_col} as id_b", "sh as sh_b"), "id_b")
@@ -263,10 +278,15 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             .distinct())
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     cand = cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming)
-    tok = (df.select(F.col(id_col),
-                     F.array_distinct(F.split(F.col(text_col), TOKEN_SPLIT))
-                     .alias("tk")))
+        F.col("hamming") <= max_hamming).localCheckpoint(eager=False)
+    # tokenize only documents appearing in a surviving candidate
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    tok = (df.join(cand_ids, id_col, "leftsemi")
+           .select(F.col(id_col),
+                   F.array_distinct(F.split(F.col(text_col), TOKEN_SPLIT))
+                   .alias("tk")))
     return (cand
             .join(tok.selectExpr(f"{id_col} as id_a", "tk as tk_a"), "id_a")
             .join(tok.selectExpr(f"{id_col} as id_b", "tk as tk_b"), "id_b")
