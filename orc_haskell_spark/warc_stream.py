@@ -174,22 +174,30 @@ class WarcStreamReader(DataSourceStreamReader):
         from .warc import _rows_batch, iter_warc_file
 
         clamp_worker_threads()
-        fn = xm._MODES[partition.extract] if partition.extract else None
         rows: list[tuple] = []
         nbytes = 0
         end = None if partition.end < 0 else partition.end
+
+        def emit_rows():
+            # batch extraction (C kernel path) — same results as the
+            # old per-record call, ~10x cheaper; mirrors warc.read_warc
+            if partition.extract:
+                texts = xm._BATCH_MODES[partition.extract](
+                    [r[4] for r in rows])
+                return _rows_batch([r + (t,) for r, t in
+                                    zip(rows, texts)], partition.extract)
+            return _rows_batch(rows, partition.extract)
+
         for row in iter_warc_file(partition.file_path,
                                   strict=partition.strict,
                                   start=partition.start, end=end):
-            if fn is not None:
-                row = row + (fn(row[4]),)
             rows.append(row)
             nbytes += len(row[4] or b"")
             if len(rows) >= 2048 or nbytes >= (64 << 20):
-                yield _rows_batch(rows, partition.extract)
+                yield emit_rows()
                 rows, nbytes = [], 0
         if rows:
-            yield _rows_batch(rows, partition.extract)
+            yield emit_rows()
 
     def commit(self, end: dict) -> None:
         pass                               # offsets live in the checkpoint
