@@ -158,6 +158,9 @@ def ngram_repetition(df: DataFrame, id_col: str, text_col: str,
     partial aggregation, a per-doc window for the top gram, and a final
     groupBy(id) pivot.
     """
+    from .dedup import _spread
+
+    df = _spread(df)
     ns = sorted({top_n, dup_n})
 
     def _tag(n):

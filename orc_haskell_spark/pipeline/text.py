@@ -142,6 +142,9 @@ def profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     combined profile costs a single pass with no joins; n_chars is
     emitted once (token_stats and quality_scores both define it
     identically)."""
+    from .dedup import _spread
+
+    df = _spread(df)
     return df.select(
         F.col(id_col),
         *_token_stat_cols(text_col),          # n_tokens n_chars mean_tok_len
