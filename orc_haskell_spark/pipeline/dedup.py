@@ -129,14 +129,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     Spark and DuckDB and agree bit-for-bit)."""
     sh = _shingles(text_col, shingle_n)
     mask40 = (1 << 40) - 1
+    # md5 once per shingle into a digest array, then slice both hash
+    # halves from it — the previous twin transforms each recomputed
+    # md5(s) (Catalyst CSE does not cross lambda boundaries), doubling
+    # the digest cost per document
     base = (df.select(F.col(id_col), sh.alias("__sh"))
+            .select(F.col(id_col),
+                    F.expr("transform(__sh, s -> md5(s))").alias("__ds"))
             .select(
                 F.col(id_col),
-                F.expr("transform(__sh, s -> "
-                       "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+                F.expr("transform(__ds, d -> "
+                       "cast(conv(substring(d, 1, 15), 16, 10) as bigint)"
                        ")").alias("h1s"),
-                F.expr(f"transform(__sh, s -> "
-                       f"(cast(conv(substring(md5(s), 17, 15), 16, 10) as bigint) "
+                F.expr(f"transform(__ds, d -> "
+                       f"(cast(conv(substring(d, 17, 15), 16, 10) as bigint) "
                        f"& {mask40}) | 1)").alias("h2s")))  # odd -> proper perm
     perms = F.expr(
         f"transform(sequence(0, {num_perm - 1}), j -> "
