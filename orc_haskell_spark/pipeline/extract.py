@@ -501,14 +501,20 @@ def visible_text_batch(docs, engine: str = "fast") -> list:
         lines, cur = [], []
         for j in range(c0, c1):
             fl = int(chunk_flags[j])
-            if fl & 1:
-                line = " ".join("".join(cur).split())
-                if line:
-                    lines.append(line)
-                cur = []
-            else:
-                cur.append(_chunk_text(buf, int(chunk_a[j]),
-                                       int(chunk_b[j]), fl))
+            if not fl & 1:
+                txt = _chunk_text(buf, int(chunk_a[j]),
+                                  int(chunk_b[j]), fl)
+                # the Python sink stores block markers and data chunks
+                # in ONE string list, so a DATA chunk equal to "\n"
+                # (a literal newline between tags, or '&#10;') acts as
+                # a line break there — reproduce that conflation
+                if txt != "\n":
+                    cur.append(txt)
+                    continue
+            line = " ".join("".join(cur).split())
+            if line:
+                lines.append(line)
+            cur = []
         line = " ".join("".join(cur).split())
         if line:
             lines.append(line)

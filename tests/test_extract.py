@@ -306,3 +306,15 @@ def test_c_kernel_differential_fuzz_batch():
             extract.visible_text(html, "fast")
 
     check()
+
+
+def test_c_kernel_newline_data_chunk_conflation():
+    # the Python sink keeps markers and data in one string list, so a
+    # DATA chunk equal to "\n" acts as a line break in visible_text;
+    # the C batch path must reproduce that (hypothesis-found: '<\n<')
+    for h in ["<\n<", "<main>a&#10;b</main>", "<\n<\n<", "\n",
+              "a&#xA;b", "<p>x</p>\n<p>y</p>"]:
+        assert extract.visible_text_batch([h])[0] == \
+            extract.visible_text(h, "fast")
+        assert extract.main_content_batch([h])[0] == \
+            extract.main_content(h, "fast")
