@@ -166,6 +166,11 @@ void alp_rd_decode(const uint64_t *codes, const uint64_t *right, int r,
 {
     /* clamp codes against the dictionary size: a corrupt/truncated
        stripe must not read out of bounds (the numpy twin raises) */
+    if (dn <= 0) {               /* empty dictionary: nothing to read */
+        for (long k = 0; k < n; k++)
+            out_bits[k] = right[k];
+        return;
+    }
     for (long k = 0; k < n; k++) {
         uint64_t c = codes[k] < (uint64_t)dn ? codes[k] : 0;
         out_bits[k] = ((uint64_t)dict[c] << r) | right[k];

@@ -334,7 +334,13 @@ static long scan_starttag_end(const uint8_t *s, long j, long n)
     return -1;
 }
 
-/* _is_startend on a PURE-ASCII tag string s[0..len) == '<...>' */
+/* _is_startend on a PURE-ASCII tag string s[0..len) == '<...>'.
+ * Returns 1 = self-closing, 0 = not, -1 = needs Python fallback: an
+ * UNTERMINATED quoted attribute value makes Python's _ATTR_SKIP regex
+ * backtrack into an empty unquoted value and re-walk from there —
+ * full backtracking semantics this linear scan does not replicate
+ * (differential-fuzz finding: control bytes \x0b/\x1c-\x1f inside
+ * '/>'-ending tags reached that path). */
 static int is_startend(const uint8_t *t, long len)
 {
     /* _TAGNAME_SKIP: [a-zA-Z][^\t\n\r\f />\x00]* (?:\s|/(?!>))* */
@@ -387,9 +393,9 @@ static int is_startend(const uint8_t *t, long len)
                 if (p < len) {
                     k = p + 1;
                 } else {
-                    k = save;   /* quoted value never closes: the value
-                                 * alternative fails; regex backtracks to
-                                 * no-value (group optional) */
+                    return -1;  /* unterminated quoted value: Python
+                                 * backtracks into an empty unquoted
+                                 * value; punt to the Python engine */
                 }
             } else {
                 /* unquoted [^>\s]* (may be empty) */
@@ -584,10 +590,15 @@ static int parse_doc(const uint8_t *s, long n, sink_t *k)
                 for (long q = lt; q < end; q++)
                     if (s[q] >= 0x80)
                         return 1;
-                start_tag(k, t);
-                if (is_startend(s + lt, end - lt)) {
-                    end_tag(k, t);
-                    continue;
+                {
+                    int se = is_startend(s + lt, end - lt);
+                    if (se < 0)
+                        return 1;
+                    start_tag(k, t);
+                    if (se) {
+                        end_tag(k, t);
+                        continue;
+                    }
                 }
             } else {
                 start_tag(k, t);

@@ -395,32 +395,42 @@ def _native_parse_batch(srcs: list[str]):
     off[1:] = np.cumsum([len(b) for b in bts])
     nb = int(off[-1])
     buf = np.frombuffer(b"".join(bts) + b"\x00", np.uint8)
-    max_chunks = nb + 2 * len(bts) + 16
-    max_conts = nb // 4 + len(bts) + 16
-    chunk_a = np.empty(max_chunks, np.int64)
-    chunk_b = np.empty(max_chunks, np.int64)
-    chunk_cp = np.empty(max_chunks, np.int64)
-    chunk_flags = np.empty(max_chunks, np.uint8)
-    cont_c0 = np.empty(max_conts, np.int64)
-    cont_c1 = np.empty(max_conts, np.int64)
-    doc_chunk_end = np.empty(len(bts), np.int64)
-    doc_cont_end = np.empty(len(bts), np.int64)
-    doc_best = np.empty(len(bts), np.int64)
-    doc_fallback = np.empty(len(bts), np.uint8)
     i64 = ctypes.c_int64
     u8 = ctypes.c_uint8
-    rc = lib.html_extract_batch(
-        native.ptr(buf, u8), native.ptr(off, i64), len(bts),
-        native.ptr(chunk_a, i64), native.ptr(chunk_b, i64),
-        native.ptr(chunk_cp, i64), native.ptr(chunk_flags, u8),
-        native.ptr(cont_c0, i64), native.ptr(cont_c1, i64),
-        native.ptr(doc_chunk_end, i64), native.ptr(doc_cont_end, i64),
-        native.ptr(doc_best, i64), native.ptr(doc_fallback, u8),
-        max_chunks, max_conts)
-    if rc != 0:
-        return None
-    return (buf, chunk_a, chunk_b, chunk_flags, cont_c0, cont_c1,
-            doc_chunk_end, doc_best, doc_fallback)
+    # size for the EXPECTED chunk density and retry on the kernel's
+    # overflow signal, doubling toward the hard worst case (one chunk
+    # per input byte) — worst-case-up-front was ~30 bytes of output
+    # arrays per html byte, an OOM cliff on a 64 MB scan batch
+    max_chunks = min(nb // 8, 1 << 20) + 2 * len(bts) + 64
+    max_conts = min(nb // 32, 1 << 18) + len(bts) + 16
+    cap_chunks = nb + 2 * len(bts) + 64
+    cap_conts = nb // 4 + len(bts) + 16
+    while True:
+        chunk_a = np.empty(max_chunks, np.int64)
+        chunk_b = np.empty(max_chunks, np.int64)
+        chunk_cp = np.empty(max_chunks, np.int64)
+        chunk_flags = np.empty(max_chunks, np.uint8)
+        cont_c0 = np.empty(max_conts, np.int64)
+        cont_c1 = np.empty(max_conts, np.int64)
+        doc_chunk_end = np.empty(len(bts), np.int64)
+        doc_cont_end = np.empty(len(bts), np.int64)
+        doc_best = np.empty(len(bts), np.int64)
+        doc_fallback = np.empty(len(bts), np.uint8)
+        rc = lib.html_extract_batch(
+            native.ptr(buf, u8), native.ptr(off, i64), len(bts),
+            native.ptr(chunk_a, i64), native.ptr(chunk_b, i64),
+            native.ptr(chunk_cp, i64), native.ptr(chunk_flags, u8),
+            native.ptr(cont_c0, i64), native.ptr(cont_c1, i64),
+            native.ptr(doc_chunk_end, i64), native.ptr(doc_cont_end, i64),
+            native.ptr(doc_best, i64), native.ptr(doc_fallback, u8),
+            max_chunks, max_conts)
+        if rc == 0:
+            return (buf, chunk_a, chunk_b, chunk_flags, cont_c0,
+                    cont_c1, doc_chunk_end, doc_best, doc_fallback)
+        if max_chunks >= cap_chunks and max_conts >= cap_conts:
+            return None
+        max_chunks = min(max_chunks * 4, cap_chunks)
+        max_conts = min(max_conts * 4, cap_conts)
 
 
 def _norm_docs(docs):

@@ -406,6 +406,15 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
     if len(lengths) < 2:
         fc = False  # a single string cannot front-code (and k-clamping
         #             below assumes >= 2 sampled values)
+    # ONE measuring rule for both the trial and the verification below
+    # — two drifting copies would reintroduce inconsistent verdicts
+    comp = cfg.get("compression", "none")
+    lvl = cfg.get("compression_level")
+
+    def outer(b: bytes) -> int:
+        return len(block.compress(b, comp, lvl)) if comp != "none" \
+            and b else len(b)
+
     if fc is None and data.nbytes >= cfg.get("compression_min_bytes", 256):
         lens64 = lengths.astype(np.int64)
         csum = np.cumsum(lens64)
@@ -415,13 +424,6 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
         nb = int(csum[k - 1])
         plens_s, sdata_s = front_code(lens64[:k], data[:nb])
         _, pstream_s = _encode_uint_stream(plens_s, cfg)
-        comp = cfg.get("compression", "none")
-        lvl = cfg.get("compression_level")
-
-        def outer(b: bytes) -> int:
-            return len(block.compress(b, comp, lvl)) if comp != "none" \
-                and b else len(b)
-
         fc = (outer(sdata_s.tobytes()) + len(pstream_s)
               < 0.95 * outer(data[:nb].tobytes()))
         if cache is not None:
@@ -436,15 +438,8 @@ def _encode_string(arr: pa.Array, cfg: dict, cache: dict | None = None,
             # stripe and drop fc when the real streams are not smaller
             # — a prefix-sorted / tail-shuffled column could otherwise
             # lock in an inflating fc=True for the whole task
-            comp = cfg.get("compression", "none")
-            lvl = cfg.get("compression_level")
-
-            def outer_full(b: bytes) -> int:
-                return len(block.compress(b, comp, lvl)) \
-                    if comp != "none" and b else len(b)
-
-            if outer_full(sdata.tobytes()) + len(pstream) \
-                    >= 0.95 * outer_full(data.tobytes()):
+            if outer(sdata.tobytes()) + len(pstream) \
+                    >= 0.95 * outer(data.tobytes()):
                 cache[fckey] = fc = False
             else:
                 cache[vkey] = True

@@ -318,3 +318,22 @@ def test_c_kernel_newline_data_chunk_conflation():
             extract.visible_text(h, "fast")
         assert extract.main_content_batch([h])[0] == \
             extract.main_content(h, "fast")
+
+
+def test_c_kernel_unterminated_quote_startend_bails():
+    # review-found: an unterminated quoted attribute value in a
+    # '/>'-ending tag makes Python's regex backtrack into an empty
+    # unquoted value — the C kernel must punt the document instead of
+    # guessing (control bytes like \x0b reach this path)
+    cases = [
+        '<body><div c=\x0b"/>Real content words here</div>'
+        '<a>link chrome link chrome link</a></body>',
+        '<div a="/>text</div>',
+        "<p b='/>x</p>",
+        '<main d=\x1c"/>words</main>',
+    ]
+    for h in cases:
+        assert extract.main_content_batch([h])[0] == \
+            extract.main_content(h, "fast"), repr(h)
+        assert extract.visible_text_batch([h])[0] == \
+            extract.visible_text(h, "fast"), repr(h)

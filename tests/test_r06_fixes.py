@@ -123,3 +123,17 @@ def test_float_choice_cached_and_artifacts_reused():
     assert (p1, f1) == (p2, f2)
     d = stripe.decode_stripe(f2, memoryview(p2))
     assert d.column(0).to_pylist() == one.column(0).to_pylist()
+
+
+def test_alp_rd_decode_empty_dictionary():
+    # review-found: the bounds clamp still read dict[0] when the
+    # dictionary itself was empty (dn == 0)
+    from orc_haskell_spark.codecs import native
+
+    if native.load() is None:
+        pytest.skip("no native kernels")
+    out = alp.rd_decode(np.array([5, 9], np.uint64),
+                        np.zeros(2, np.uint64), 4,
+                        np.array([], np.uint16),
+                        np.array([], np.uint64), b"", np.float32)
+    assert out.shape == (2,)
